@@ -1,0 +1,311 @@
+"""The finite-difference grid.
+
+TPU-native analogue of the reference ``grid_type`` + ``grid_init``
+(finite_difference/src/grid_mod.f90:75-570).  Same responsibilities:
+
+* validate grid kind / offset convention / boundary conditions
+  (grid_constructor, grid_mod.f90:217-304);
+* own the domain decomposition (``decompose`` -> go_decompose,
+  grid_mod.f90:183-211);
+* hold the T-point mask with its boundary replication
+  (grid_mod.f90:395-455), the constant scale factors / cell areas /
+  f-plane latitudes (grid_mod.f90:461-523) and T-point coordinates
+  (grid_mod.f90:525-556);
+* set up communications (grid_mod.f90:558-569) — here that means
+  building the static :class:`~..parallel.halo.HaloSpec` and the device
+  mesh instead of MPI send/recv lists.
+
+TPU-first deviations (all documented):
+
+* Shards are shape-uniform; the remainder is masked padding on the last
+  shard of each axis (see core/decomposition.py).
+* Scale-factor / area / latitude / coordinate arrays are materialised
+  lazily (the mesh is orthogonal-regular, so they are constant or affine;
+  kernels on the fast path take scalars instead).
+* Periodic BCs are supported with any number of shards (the reference
+  aborts, grid_mod.f90:437-442) provided the periodic axis divides
+  evenly into tiles.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import kinds, layout
+from .constants import (ARAKAWA_B, ARAKAWA_C, BC, BC_PERIODIC, GridKind,
+                        Offset)
+from .decomposition import Decomposition, decompose as _decompose
+from .region import Subdomain
+from ..parallel import environment as env
+from ..parallel.halo import HaloSpec
+
+#: Halo width used for implementing PBCs (reference grid_mod.f90:72-73).
+HALO_WIDTH_X = 1
+HALO_WIDTH_Y = 1
+
+
+def _make_mesh(px: int, py: int, devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else env.devices()
+    if px * py > len(devs):
+        raise ValueError(
+            f"decomposition {px}x{py} needs {px*py} devices, have {len(devs)}")
+    arr = np.array(devs[: px * py]).reshape(py, px)
+    return Mesh(arr, ("y", "x"))
+
+
+class Grid:
+    """An Arakawa-C staggered grid over a device mesh."""
+
+    def __init__(self, grid_name=ARAKAWA_C,
+                 boundary_conditions=(BC.EXTERNAL, BC.EXTERNAL, BC.NONE),
+                 grid_offsets=Offset.NE,
+                 dtype=None):
+        # Validation mirrors grid_constructor (grid_mod.f90:250-278);
+        # ARAKAWA_B is declared-but-rejected exactly like the reference.
+        kind = GridKind(grid_name)
+        if kind == ARAKAWA_B:
+            raise NotImplementedError(
+                "ARAKAWA_B grids are declared but not supported "
+                "(reference parity: grid_mod.f90:46 is never usable)")
+        self.name = kind
+        offset = Offset(grid_offsets)
+        if offset not in (Offset.SW, Offset.NE):
+            # The reference's field-bounds code only implements SW and NE
+            # (field_mod.f90:658-669 et al.)
+            raise NotImplementedError(
+                f"offset convention {offset!r} not supported (only SW/NE, "
+                "matching the reference's implemented paths)")
+        self.offset = offset
+        bcs = tuple(BC(b) for b in boundary_conditions)
+        if len(bcs) != 3:
+            raise ValueError("boundary_conditions must have 3 entries (x,y,z)")
+        self.boundary_conditions = bcs
+
+        self.dtype = jnp.dtype(dtype) if dtype is not None else kinds.wp()
+
+        # Filled in by decompose()/grid_init():
+        self.decomp: Decomposition | None = None
+        self.mesh: Mesh | None = None
+        self.halo_spec: HaloSpec | None = None
+        self.global_nx = 0
+        self.global_ny = 0
+        self.dx = None
+        self.dy = None
+        self.tmask = None          # stacked int32 device array
+        self._tmask_np = None      # host copy for mask derivation
+        self._initialised = False
+        self._lazy = {}
+        self._region_masks = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def wrap_x(self) -> bool:
+        return self.boundary_conditions[0] == BC_PERIODIC
+
+    @property
+    def wrap_y(self) -> bool:
+        return self.boundary_conditions[1] == BC_PERIODIC
+
+    @property
+    def nx(self) -> int:
+        """Local shard x extent incl. halos+padding (reference grid%nx)."""
+        return self.decomp.local_nx
+
+    @property
+    def ny(self) -> int:
+        return self.decomp.local_ny
+
+    @property
+    def array_shape(self) -> tuple[int, int]:
+        """Shape of the stacked global array: (nprocy*ny, nprocx*nx)."""
+        return (self.decomp.array_ny, self.decomp.array_nx)
+
+    @property
+    def sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P("y", "x"))
+
+    def subdomain(self, rank: int = 0) -> Subdomain:
+        """This rank's subdomain (reference grid%subdomain, per-rank)."""
+        return self.decomp.subdomains[rank]
+
+    # ------------------------------------------------------------------
+    def decompose(self, domainx: int, domainy: int, ndomains=None,
+                  ndomainx=None, ndomainy=None, halo_width: int = 1,
+                  mesh: Mesh | None = None, devices=None,
+                  align: int | None = None) -> Decomposition:
+        """Decompose the global domain over the device mesh.
+
+        Analogue of grid%decompose -> go_decompose (grid_mod.f90:183-211).
+        With no explicit sizing, uses every available device (the
+        reference uses every MPI rank).
+        """
+        if mesh is not None:
+            if set(mesh.axis_names) != {"y", "x"}:
+                raise ValueError("mesh must have axes ('y', 'x')")
+            ndomainx = mesh.shape["x"]
+            ndomainy = mesh.shape["y"]
+            ndomains = None
+        elif ndomains is None and ndomainx is None and ndomainy is None:
+            ndomains = len(devices) if devices is not None else env.num_devices()
+
+        self.decomp = _decompose(domainx, domainy, ndomains=ndomains,
+                                 ndomainx=ndomainx, ndomainy=ndomainy,
+                                 halo_width=halo_width, align=align)
+        self.global_nx = domainx
+        self.global_ny = domainy
+
+        # Validate the domain decomposition itself before requiring devices,
+        # so configuration errors surface with the most specific message.
+        for axis, wrap, nproc, tile, glob in (
+                ("x", self.wrap_x, self.decomp.nprocx, self.decomp.tile_nx,
+                 domainx),
+                ("y", self.wrap_y, self.decomp.nprocy, self.decomp.tile_ny,
+                 domainy)):
+            if wrap and nproc * tile != glob:
+                raise ValueError(
+                    f"periodic {axis} axis requires the global extent "
+                    f"({glob}) to divide evenly into {nproc} tiles "
+                    f"(got tile={tile}); choose a divisible size or a "
+                    "different process grid")
+
+        if mesh is None:
+            mesh = _make_mesh(self.decomp.nprocx, self.decomp.nprocy, devices)
+        self.mesh = mesh
+
+        self.halo_spec = HaloSpec(
+            nprocx=self.decomp.nprocx, nprocy=self.decomp.nprocy,
+            halo=self.decomp.halo,
+            tile_nx=self.decomp.tile_nx, tile_ny=self.decomp.tile_ny,
+            local_nx=self.decomp.local_nx, local_ny=self.decomp.local_ny,
+            wrap_x=self.wrap_x, wrap_y=self.wrap_y)
+        return self.decomp
+
+    # ------------------------------------------------------------------
+    def init(self, dx: float, dy: float, tmask=None) -> None:
+        """Flesh out the grid (reference grid_init, grid_mod.f90:330-570).
+
+        ``tmask`` is the GLOBAL T-point mask, shape (global_ny, global_nx),
+        with 1=wet, 0=dry, -1=wet-outside-domain.  (The reference takes a
+        per-rank local mask; taking the global one and scattering is the
+        mesh-native equivalent and removes per-rank bookkeeping from
+        clients.)  If omitted, an all-wet mask is fabricated
+        (grid_mod.f90:444-453).
+        """
+        if self.decomp is None:
+            raise RuntimeError("call decompose() before init()")
+        self.dx = float(dx)
+        self.dy = float(dy)
+
+        if tmask is None:
+            tmask = np.ones((self.global_ny, self.global_nx), dtype=np.int32)
+        tmask = np.asarray(tmask, dtype=np.int32)
+        # Boundary strips / halos replicate the nearest edge value
+        # (grid_mod.f90:415-431); padding cells likewise.
+        stacked = layout.stack_global(self.decomp, tmask, mode="edge")
+        self._tmask_np = stacked
+        self.tmask = jax.device_put(stacked, self.sharding)
+        self._initialised = True
+        self._lazy.clear()
+
+    def get_tmask(self):
+        """Reference grid%get_tmask (grid_mod.f90:169-177)."""
+        return self.tmask
+
+    # ------------------------------------------------------------------
+    # Lazily-materialised constant/affine grid arrays.  The reference
+    # allocates all of these eagerly per rank (grid_mod.f90:461-523); on
+    # TPU they would burn HBM for values kernels can derive from scalars,
+    # so they materialise on first use (curvilinear support would replace
+    # these with real arrays).
+    def _const_array(self, key: str, value: float):
+        if key not in self._lazy:
+            self._lazy[key] = jax.device_put(
+                np.full(self.array_shape, value, dtype=self.dtype),
+                self.sharding)
+        return self._lazy[key]
+
+    @property
+    def dx_t(self): return self._const_array("dx_c", self.dx)
+    @property
+    def dy_t(self): return self._const_array("dy_c", self.dy)
+    @property
+    def dx_u(self): return self._const_array("dx_c", self.dx)
+    @property
+    def dy_u(self): return self._const_array("dy_c", self.dy)
+    @property
+    def dx_v(self): return self._const_array("dx_c", self.dx)
+    @property
+    def dy_v(self): return self._const_array("dy_c", self.dy)
+    @property
+    def dx_f(self): return self._const_array("dx_c", self.dx)
+    @property
+    def dy_f(self): return self._const_array("dy_c", self.dy)
+    @property
+    def area_t(self): return self._const_array("area", self.dx * self.dy)
+    @property
+    def area_u(self): return self._const_array("area", self.dx * self.dy)
+    @property
+    def area_v(self): return self._const_array("area", self.dx * self.dy)
+    #: f-plane latitude, constant 50 degrees (grid_mod.f90:512-523)
+    @property
+    def gphiu(self): return self._const_array("gphi", 50.0)
+    @property
+    def gphiv(self): return self._const_array("gphi", 50.0)
+    @property
+    def gphif(self): return self._const_array("gphi", 50.0)
+
+    def xt_1d(self) -> np.ndarray:
+        """x coordinate of T points per stacked column (host array).
+
+        Matches the reference exactly: global 1-based index * dx, extended
+        into halo/padding columns (grid_mod.f90:536-556).
+        """
+        gx = layout.global_x_index(self.decomp)
+        return ((gx + 1) * self.dx).astype(kinds.np_wp())
+
+    def yt_1d(self) -> np.ndarray:
+        gy = layout.global_y_index(self.decomp)
+        return ((gy + 1) * self.dy).astype(kinds.np_wp())
+
+    @property
+    def xt(self):
+        if "xt" not in self._lazy:
+            arr = np.broadcast_to(self.xt_1d()[None, :], self.array_shape)
+            self._lazy["xt"] = jax.device_put(
+                np.ascontiguousarray(arr, dtype=self.dtype), self.sharding)
+        return self._lazy["xt"]
+
+    @property
+    def yt(self):
+        if "yt" not in self._lazy:
+            arr = np.broadcast_to(self.yt_1d()[:, None], self.array_shape)
+            self._lazy["yt"] = jax.device_put(
+                np.ascontiguousarray(arr, dtype=self.dtype), self.sharding)
+        return self._lazy["yt"]
+
+    # ------------------------------------------------------------------
+    def region_mask(self, off_x: int = 0, off_y: int = 0,
+                    dtype=None) -> jax.Array:
+        """Device mask (1 inside / 0 outside) of a global internal region
+
+        shifted by the staggering offsets — the masking vocabulary that
+        replaces per-rank loop bounds (SURVEY §7 'pad-and-mask').
+        Cached per (off_x, off_y, dtype)."""
+        dtype = jnp.dtype(dtype) if dtype is not None else self.dtype
+        key = (off_x, off_y, str(dtype))
+        if key not in self._region_masks:
+            m = layout.region_mask(self.decomp, off_x, off_y)
+            self._region_masks[key] = jax.device_put(
+                m.astype(dtype), self.sharding)
+        return self._region_masks[key]
+
+    def region_mask_np(self, off_x: int = 0, off_y: int = 0) -> np.ndarray:
+        return layout.region_mask(self.decomp, off_x, off_y)
+
+
+def grid_init(grid: Grid, dx: float, dy: float, tmask=None) -> None:
+    """Module-level spelling matching the reference API (grid_mod.f90:330)."""
+    grid.init(dx, dy, tmask)

@@ -1,0 +1,185 @@
+"""Distributed halo exchange over a 2D device mesh.
+
+TPU-native replacement for the reference's entire dm_fd_lib stack —
+``map_comms`` + ``exchange_generic`` + the MPI pack/Isend/Irecv/waitany
+machinery (parallel_comms_mod.f90:178-1855, parallel_utils_mod.f90:148-226).
+
+Design
+------
+A field's storage is ONE ``jax.Array`` in *stacked local-shard layout*:
+global shape ``(nprocy*local_ny, nprocx*local_nx)`` sharded
+``PartitionSpec('y', 'x')`` over a ``Mesh`` with axes ``('y', 'x')``.
+Every device therefore holds its local subdomain *including its own halo
+ring* — the exact moral equivalent of the reference's per-rank
+``data(1:nx, 1:ny)`` arrays, so halos can be stale and refreshed
+explicitly, and per-chip stencil kernels never need communication.
+
+One exchange is two ``ppermute`` phases under ``shard_map``:
+
+1. **x phase**: send ``depth`` interior edge *columns* east and west.
+2. **y phase**: send ``depth`` edge *rows* of the FULL padded width
+   (including the x halos just received) north and south.
+
+Phase 2 re-sending the corners of phase 1 makes diagonal neighbours'
+corner values arrive without any explicit corner messages — replacing the
+reference's corner-folding logic (parallel_comms_mod.f90:988-1170) with
+sequencing.  The message schedule is fully static, like the reference's
+(map_comms precomputes it once; here XLA bakes it into the executable).
+
+Beyond-reference capabilities (documented extensions):
+* ``depth`` is honoured up to the decomposition halo width (the reference
+  hardwires depth 1, field_mod.f90:1226-1229 / parallel_comms_mod.f90:48).
+* Periodic BCs work with any number of shards via wrap pairs in the
+  permutation (the reference aborts, grid_mod.f90:437-442), provided the
+  axis divides evenly into tiles (no remainder padding at the seam).
+* Works for any dtype/rank-2 array (the reference only implements 2D
+  real, parallel_comms_mod.f90:1693-1742).
+
+A device with no neighbour in some direction keeps its existing boundary
+values (external-BC points stay untouched, matching the reference).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class HaloSpec:
+    """Static facts the exchange needs; hashable for jit caching."""
+
+    nprocx: int
+    nprocy: int
+    halo: int
+    tile_nx: int
+    tile_ny: int
+    local_nx: int
+    local_ny: int
+    wrap_x: bool
+    wrap_y: bool
+
+    @property
+    def array_shape(self) -> tuple[int, int]:
+        return (self.nprocy * self.local_ny, self.nprocx * self.local_nx)
+
+
+def _perms(n: int, wrap: bool) -> tuple[list, list]:
+    """(forward, backward) neighbour pairs along an axis of size n."""
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    if wrap and n > 1:
+        fwd.append((n - 1, 0))
+        bwd.append((0, n - 1))
+    return fwd, bwd
+
+
+def _exchange_block(blk, spec: HaloSpec, depth: int):
+    """Per-device body (inside shard_map). blk: (local_ny, local_nx)."""
+    h, d = spec.halo, depth
+    w, hgt = spec.tile_nx, spec.tile_ny
+    px, py = spec.nprocx, spec.nprocy
+
+    # ----- x phase: columns ------------------------------------------------
+    if px > 1 or spec.wrap_x:
+        east_src = blk[:, h + w - d: h + w]   # my east-most interior cols
+        west_src = blk[:, h: h + d]           # my west-most interior cols
+        if px == 1:
+            # single shard with periodic x: pure intra-block wrap copy
+            from_west, from_east = east_src, west_src
+            has_w = has_e = True
+        else:
+            fwd, bwd = _perms(px, spec.wrap_x)
+            from_west = lax.ppermute(east_src, "x", fwd)
+            from_east = lax.ppermute(west_src, "x", bwd)
+            ix = lax.axis_index("x")
+            has_w = (ix > 0) | spec.wrap_x
+            has_e = (ix < px - 1) | spec.wrap_x
+        blk = blk.at[:, h - d: h].set(
+            jnp.where(has_w, from_west, blk[:, h - d: h]))
+        blk = blk.at[:, h + w: h + w + d].set(
+            jnp.where(has_e, from_east, blk[:, h + w: h + w + d]))
+
+    # ----- y phase: full-width rows (propagates corners) -------------------
+    if py > 1 or spec.wrap_y:
+        north_src = blk[h + hgt - d: h + hgt, :]
+        south_src = blk[h: h + d, :]
+        if py == 1:
+            from_south, from_north = north_src, south_src
+            has_s = has_n = True
+        else:
+            fwd, bwd = _perms(py, spec.wrap_y)
+            from_south = lax.ppermute(north_src, "y", fwd)
+            from_north = lax.ppermute(south_src, "y", bwd)
+            iy = lax.axis_index("y")
+            has_s = (iy > 0) | spec.wrap_y
+            has_n = (iy < py - 1) | spec.wrap_y
+        blk = blk.at[h - d: h, :].set(
+            jnp.where(has_s, from_south, blk[h - d: h, :]))
+        blk = blk.at[h + hgt: h + hgt + d, :].set(
+            jnp.where(has_n, from_north, blk[h + hgt: h + hgt + d, :]))
+
+    return blk
+
+
+@functools.lru_cache(maxsize=None)
+def _build_exchange(mesh: Mesh, spec: HaloSpec, depth: int, nfields: int):
+    """Compile one exchange executable for (mesh, spec, depth, #fields)."""
+
+    def body(*blks):
+        out = tuple(_exchange_block(b, spec, depth) for b in blks)
+        return out[0] if len(out) == 1 else out
+
+    in_specs = tuple([P("y", "x")] * nfields)
+    out_specs = P("y", "x") if nfields == 1 else tuple([P("y", "x")] * nfields)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs)
+    return jax.jit(fn)
+
+
+def exchange(data, mesh: Mesh, spec: HaloSpec, depth: int = 1):
+    """Refresh the halo ring(s) of one stacked-layout array.
+
+    Functional: returns a new array (JAX arrays are immutable).  The
+    analogue of ``field%halo_exchange(depth)`` (field_mod.f90:1231-1256)
+    minus the host<->device sync sandwich — data never leaves HBM.
+    """
+    if depth < 1 or depth > spec.halo:
+        raise ValueError(
+            f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
+    return _build_exchange(mesh, spec, depth, 1)(data)
+
+
+def exchange_multi(arrays, mesh: Mesh, spec: HaloSpec, depth: int = 1):
+    """Exchange several same-layout fields in one compiled program.
+
+    Batches the per-field messages of the reference's per-field
+    ``exchange_generic`` calls: one executable, and XLA can coalesce the
+    edge transfers of all fields into fewer, larger ICI transactions.
+    """
+    if depth < 1 or depth > spec.halo:
+        raise ValueError(
+            f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
+    arrays = tuple(arrays)
+    out = _build_exchange(mesh, spec, depth, len(arrays))(*arrays)
+    return list(out) if isinstance(out, tuple) else [out]
+
+
+def exchange_fn(spec: HaloSpec, depth: int = 1):
+    """The raw per-block exchange body, for inlining INSIDE a larger
+
+    shard_map program (e.g. a whole time step compiled as one program:
+    exchange + stencil fused, comms overlapped by XLA's scheduler).
+    """
+    def fn(blk):
+        return _exchange_block(blk, spec, depth)
+    return fn
+
+
+def sharding(mesh: Mesh) -> NamedSharding:
+    """The canonical field sharding for this mesh."""
+    return NamedSharding(mesh, P("y", "x"))

@@ -1,0 +1,177 @@
+"""Halo-exchange correctness: the hill oracle.
+
+Port of tests/dist_mem/test_halos.f90 — every depth-1 (and, extension,
+depth-2) halo point adjacent to a neighbouring shard must equal the
+analytic per-global-position value after one exchange; boundary strips
+with no neighbour must be untouched.  Run on forced multi-device CPU
+meshes (the analogue of `mpirun -np N`, SURVEY §4).
+"""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.testing import hill_stacked, init_field_hill
+
+TOL = 1.0e-8
+POISON = -666.0
+
+
+def make_grid(gnx, gny, ndom, halo_width=1, bcs=None, offset=dl.OFFSET_NE):
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   bcs or (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   offset)
+    grid.decompose(gnx, gny, ndomains=ndom, halo_width=halo_width)
+    dl.grid_init(grid, 1.0, 1.0)
+    return grid
+
+
+def check_hill_halos(field, depth=1):
+    """Port of check_hill_halos (test_halos.f90:191-265), all four sides,
+    generalised to depth > 1 and to also assert no-neighbour strips are
+    NOT overwritten."""
+    d = field.grid.decomp
+    data = field.get_data()
+    oracle = hill_stacked(field)
+    for rank in range(d.ndomains):
+        sub = d.subdomains[rank]
+        sy, sx = d.shard_slices(rank)
+        loc = data[sy, sx]
+        orc = oracle[sy, sx]
+        r = field.internal_region(rank)
+        for dd in range(1, depth + 1):
+            strips = {
+                "-x": (slice(r.ystart, r.ystop), r.xstart - dd,
+                       sub.global_.xstart > 0),
+                "+x": (slice(r.ystart, r.ystop), r.xstop - 1 + dd,
+                       sub.global_.xstop < field.grid.global_nx),
+                "-y": (r.ystart - dd, slice(r.xstart, r.xstop),
+                       sub.global_.ystart > 0),
+                "+y": (r.ystop - 1 + dd, slice(r.xstart, r.xstop),
+                       sub.global_.ystop < field.grid.global_ny),
+            }
+            for name, (yy, xx, has_neighbour) in strips.items():
+                got = loc[yy, xx]
+                if has_neighbour:
+                    want = orc[yy, xx]
+                    assert np.allclose(got, want, atol=TOL), (
+                        f"rank {rank} {name} depth {dd} halo wrong: "
+                        f"{got} != {want}")
+                else:
+                    assert np.all(got == POISON), (
+                        f"rank {rank} {name} halo has no neighbour but was "
+                        f"overwritten: {got}")
+
+
+@pytest.mark.parametrize("gnx,gny,ndom", [
+    (10, 4, 2),    # x-split (reference Makefile:64-66)
+    (4, 10, 2),    # y-split
+    (10, 10, 4),   # 2x2
+    (10, 10, 6),   # non-square 2x3 process grid
+    (10, 10, 1),   # serial: nothing exchanged, nothing clobbered
+    (17, 13, 6),   # remainder padding on east/north shards
+])
+@pytest.mark.parametrize("points", [dl.T_POINTS, dl.U_POINTS, dl.V_POINTS,
+                                    dl.F_POINTS])
+def test_hill_halos(gnx, gny, ndom, points):
+    grid = make_grid(gnx, gny, ndom)
+    fld = dl.Field(grid, points)
+    init_field_hill(fld, POISON)
+    fld.halo_exchange(1)
+    check_hill_halos(fld, depth=1)
+
+
+def test_hill_halos_depth2():
+    """Extension over the reference: depth-2 exchange (the reference
+    hardwires depth 1, parallel_comms_mod.f90:48)."""
+    grid = make_grid(12, 12, 4, halo_width=2)
+    for points in (dl.T_POINTS, dl.U_POINTS):
+        fld = dl.Field(grid, points)
+        init_field_hill(fld, POISON)
+        fld.halo_exchange(2)
+        check_hill_halos(fld, depth=2)
+
+
+def test_depth_validation():
+    grid = make_grid(10, 10, 4, halo_width=1)
+    fld = dl.Field(grid, dl.T_POINTS)
+    with pytest.raises(ValueError):
+        fld.halo_exchange(2)
+    with pytest.raises(ValueError):
+        fld.halo_exchange(0)
+
+
+def test_corners_propagate():
+    """Diagonal-corner values must arrive (the reference needs explicit
+    corner messages, parallel_comms_mod.f90:988-1170; here phase
+    sequencing does it)."""
+    grid = make_grid(8, 8, 4)
+    fld = dl.Field(grid, dl.T_POINTS)
+    init_field_hill(fld, POISON)
+    fld.halo_exchange(1)
+    data = fld.get_data()
+    oracle = hill_stacked(fld)
+    d = grid.decomp
+    # rank 0 is the SW shard; its NE corner halo cell comes from rank 3.
+    sy, sx = d.shard_slices(0)
+    r = fld.internal_region(0)
+    got = data[sy, sx][r.ystop, r.xstop]
+    want = oracle[sy, sx][r.ystop, r.xstop]
+    assert abs(got - want) < TOL
+
+
+@pytest.mark.parametrize("ndom", [1, 2, 4])
+def test_periodic_wraparound(ndom):
+    """PBC support with any shard count — capability the reference lacks
+    (grid_mod.f90:437-442).  Halo cells beyond the global edge must hold
+    the value from the opposite side of the domain."""
+    gnx = gny = 8
+    grid = make_grid(gnx, gny, ndom,
+                     bcs=(dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE))
+    fld = dl.Field(grid, dl.T_POINTS)
+    # unique value per global cell
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    fld2 = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    fld.data = fld2.data
+    fld.halo_exchange(1)
+    data = fld.get_data()
+    d = grid.decomp
+    for rank in range(d.ndomains):
+        sub = d.subdomains[rank]
+        sy, sx = d.shard_slices(rank)
+        loc = data[sy, sx]
+        r = fld.internal_region(rank)
+        g = sub.global_
+        # west halo
+        want = vals[np.arange(g.ystart, g.ystop) % gny,
+                    (g.xstart - 1) % gnx]
+        np.testing.assert_allclose(loc[r.ystart:r.ystop, r.xstart - 1], want)
+        # east halo
+        want = vals[np.arange(g.ystart, g.ystop) % gny, g.xstop % gnx]
+        np.testing.assert_allclose(loc[r.ystart:r.ystop, r.xstop], want)
+        # south halo
+        want = vals[(g.ystart - 1) % gny, np.arange(g.xstart, g.xstop) % gnx]
+        np.testing.assert_allclose(loc[r.ystart - 1, r.xstart:r.xstop], want)
+        # north halo
+        want = vals[g.ystop % gny, np.arange(g.xstart, g.xstop) % gnx]
+        np.testing.assert_allclose(loc[r.ystop, r.xstart:r.xstop], want)
+        # corner across the periodic seam
+        np.testing.assert_allclose(
+            loc[r.ystart - 1, r.xstart - 1],
+            vals[(g.ystart - 1) % gny, (g.xstart - 1) % gnx])
+
+
+def test_exchange_multi_matches_single():
+    grid = make_grid(10, 10, 4)
+    f1 = dl.Field(grid, dl.T_POINTS)
+    f2 = dl.Field(grid, dl.U_POINTS)
+    init_field_hill(f1)
+    init_field_hill(f2)
+    a1, a2 = f1.data, f2.data
+    from dl_esm_inf_tpu.parallel.halo import exchange, exchange_multi
+    outs = exchange_multi([a1, a2], grid.mesh, grid.halo_spec, 1)
+    np.testing.assert_array_equal(
+        np.asarray(outs[0]), np.asarray(exchange(a1, grid.mesh,
+                                                 grid.halo_spec, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(outs[1]), np.asarray(exchange(a2, grid.mesh,
+                                                 grid.halo_spec, 1)))
