@@ -1,0 +1,326 @@
+"""Kernel metadata — the PSyclone-facing API layer.
+
+Analogue of the reference's ``argument_mod``/``kernel_mod``
+(finite_difference/src/argument_mod.f90:39-117,
+kernel_mod.f90:21-56): declarative descriptions of what a stencil
+kernel reads/writes, its footprint, iteration space and required grid
+properties.
+
+In the reference these are inert Fortran constants that PSyclone parses
+to *generate* the middle layer (loops + halo-exchange calls).  Here the
+metadata is live: :func:`invoke` consumes it directly to
+
+* halo-exchange read arguments whose stencil reaches off-point,
+* run the kernel body once per shard inside ``shard_map``,
+* mask writes to the declared iteration space (``INTERNAL_PTS`` etc.),
+* turn reduction arguments (``SUM/MIN/MAX``) into mesh collectives,
+
+i.e. the generated-code layer of PSyclone becomes a ~100-line runtime.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dfield
+from enum import IntEnum
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..core.field import Field
+
+
+class Access(IntEnum):
+    """Argument intents (argument_mod.f90:39-46)."""
+    READ = 0
+    WRITE = 1
+    READWRITE = 2
+    INC = 3
+    # reductions (globals only)
+    MIN = 4
+    MAX = 5
+    SUM = 6
+
+
+GO_READ, GO_WRITE, GO_READWRITE, GO_INC = (Access.READ, Access.WRITE,
+                                           Access.READWRITE, Access.INC)
+GO_MIN, GO_MAX, GO_SUM = Access.MIN, Access.MAX, Access.SUM
+
+
+class Element(IntEnum):
+    """What an argument is defined on (argument_mod.f90:66-71)."""
+    R_SCALAR = 0
+    I_SCALAR = 1
+    CU = 2
+    CV = 3
+    CT = 4
+    CF = 5
+    EVERY = 6
+
+
+(GO_R_SCALAR, GO_I_SCALAR, GO_CU, GO_CV, GO_CT, GO_CF, GO_EVERY) = (
+    Element.R_SCALAR, Element.I_SCALAR, Element.CU, Element.CV,
+    Element.CT, Element.CF, Element.EVERY)
+
+
+class GridProp(IntEnum):
+    """Grid properties a kernel may request (argument_mod.f90:73-112)."""
+    TIME_STEP = 1
+    GRID_AREA_T = 2
+    GRID_AREA_U = 3
+    GRID_AREA_V = 4
+    GRID_MASK_T = 5
+    GRID_DX_T = 6
+    GRID_DX_U = 7
+    GRID_DX_V = 8
+    GRID_DY_T = 9
+    GRID_DY_U = 10
+    GRID_DY_V = 11
+    GRID_LAT_U = 12
+    GRID_LAT_V = 13
+    GRID_DX_CONST = 14
+    GRID_DY_CONST = 15
+    GRID_X_MIN_INDEX = 16
+    GRID_X_MAX_INDEX = 17
+    GRID_Y_MIN_INDEX = 18
+    GRID_Y_MAX_INDEX = 19
+
+
+# iteration spaces (kernel_mod.f90:35-37)
+GO_INTERNAL_PTS = 0
+GO_EXTERNAL_PTS = 1
+GO_ALL_PTS = 2
+
+# grid-type expectations (kernel_mod.f90:43-44)
+GO_ORTHOGONAL_REGULAR = 7
+GO_ORTHOGONAL_CURVILINEAR = 8
+
+
+@dataclass(frozen=True)
+class Stencil:
+    """3-digit-per-row footprint descriptor (argument_mod.f90:48-52).
+
+    Each row is written as a 3-digit number whose digits are the access
+    counts at (W, centre, E); rows ordered N, centre, S.  e.g.
+    ``Stencil(000, 011, 000)`` reads the point and its East neighbour.
+    """
+    first_row: int
+    second_row: int
+    third_row: int
+
+    def reaches_off_point(self) -> bool:
+        return not (self.first_row == 0 and self.third_row == 0
+                    and self.second_row == 10)
+
+    def depth(self) -> int:
+        """Halo depth this footprint requires (0 or 1 for 3x3 stencils)."""
+        return 1 if self.reaches_off_point() else 0
+
+
+go_stencil = Stencil
+GO_POINTWISE = Stencil(0, 10, 0)
+
+
+@dataclass(frozen=True)
+class Arg:
+    """One kernel argument (go_arg, argument_mod.f90:57-61)."""
+    access: Access
+    element: object  # Element | GridProp
+    stencil: Stencil = GO_POINTWISE
+
+
+go_arg = Arg
+
+
+@dataclass(frozen=True)
+class KernelMeta:
+    """kernel_type metadata (kernel_mod.f90:46-50 + conventions)."""
+    name: str
+    args: tuple
+    iterates_over: int = GO_INTERNAL_PTS
+    index_offset: int = 3  # Offset.NE
+    grid_type: int = GO_ORTHOGONAL_REGULAR
+
+
+def kernel(args, iterates_over=GO_INTERNAL_PTS, index_offset=3,
+           name: str | None = None):
+    """Decorator binding PSyclone-style metadata to a block-level jnp fn.
+
+    The function body receives, positionally: one local block per
+    field/grid-property argument (in declaration order) and plain Python
+    values for scalar arguments; it returns the new blocks of its
+    WRITE/READWRITE/INC arguments (in declaration order) — plus one
+    scalar per reduction argument.
+    """
+    def deco(fn):
+        fn._meta = KernelMeta(name=name or fn.__name__, args=tuple(args),
+                              iterates_over=iterates_over,
+                              index_offset=index_offset)
+        return fn
+    return deco
+
+
+_GRID_PROP_GETTERS = {
+    GridProp.GRID_AREA_T: lambda g: g.area_t,
+    GridProp.GRID_AREA_U: lambda g: g.area_u,
+    GridProp.GRID_AREA_V: lambda g: g.area_v,
+    GridProp.GRID_MASK_T: lambda g: g.tmask,
+    GridProp.GRID_DX_T: lambda g: g.dx_t,
+    GridProp.GRID_DX_U: lambda g: g.dx_u,
+    GridProp.GRID_DX_V: lambda g: g.dx_v,
+    GridProp.GRID_DY_T: lambda g: g.dy_t,
+    GridProp.GRID_DY_U: lambda g: g.dy_u,
+    GridProp.GRID_DY_V: lambda g: g.dy_v,
+    GridProp.GRID_LAT_U: lambda g: g.gphiu,
+    GridProp.GRID_LAT_V: lambda g: g.gphiv,
+    GridProp.GRID_DX_CONST: lambda g: g.dx,
+    GridProp.GRID_DY_CONST: lambda g: g.dy,
+}
+
+
+def _is_scalar_arg(a: Arg) -> bool:
+    return a.element in (Element.R_SCALAR, Element.I_SCALAR) or (
+        isinstance(a.element, GridProp) and a.element in (
+            GridProp.TIME_STEP, GridProp.GRID_DX_CONST,
+            GridProp.GRID_DY_CONST))
+
+
+def _is_reduction(a: Arg) -> bool:
+    return a.access in (Access.SUM, Access.MIN, Access.MAX)
+
+
+def _is_written(a: Arg) -> bool:
+    return a.access in (Access.WRITE, Access.READWRITE, Access.INC)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_program(fn_id, meta: KernelMeta, mesh, order: tuple,
+                   n_written: int, n_reductions: int):
+    """Compile the shard_map program for one (kernel, mesh, signature).
+
+    ``order`` encodes, per declared argument, whether the kernel body
+    receives it from the arrays tuple or the scalars tuple — preserving
+    declaration order.
+    """
+    fn = _PROGRAM_FNS[fn_id]
+
+    def body(arrays, scalars, old_written, masks):
+        call_args = [arrays[i] if kind == "a" else scalars[i]
+                     for kind, i in order]
+        outs = fn(*call_args)
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+        new_blocks = outs[:n_written]
+        reds = outs[n_written:]
+        merged = tuple(
+            jnp.where(m > 0, nb.astype(ob.dtype), ob)
+            for nb, ob, m in zip(new_blocks, old_written, masks))
+        red_out = []
+        red_args = [a for a in meta.args if _is_reduction(a)]
+        for a, r in zip(red_args, reds):
+            for ax in ("x", "y"):
+                if a.access == Access.SUM:
+                    r = jax.lax.psum(r, ax)
+                elif a.access == Access.MIN:
+                    r = jax.lax.pmin(r, ax)
+                else:
+                    r = jax.lax.pmax(r, ax)
+            red_out.append(r)
+        return merged + tuple(red_out)
+
+    blk = P("y", "x")
+    n_arrays = sum(1 for kind, _ in order if kind == "a")
+    n_scalars = len(order) - n_arrays
+    in_specs = (tuple([blk] * n_arrays), tuple([P()] * n_scalars),
+                tuple([blk] * n_written), tuple([blk] * n_written))
+    out_specs = tuple([blk] * n_written) + tuple([P()] * n_reductions)
+    smapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs)
+    return jax.jit(smapped)
+
+
+_PROGRAM_FNS: dict = {}
+
+
+def invoke(kern, *args, exchange_halos: bool = True):
+    """Apply a metadata-carrying kernel — the PSyclone middle layer.
+
+    ``args`` align with the kernel's declared ``Arg`` list: pass a
+    :class:`Field` for CU/CV/CT/CF/EVERY arguments, nothing for grid
+    properties (fetched from the grid automatically), and Python numbers
+    for scalars.  Written fields are updated in place (their ``.data``
+    is replaced); reduction results are returned.
+    """
+    meta: KernelMeta = kern._meta
+    arrays = []
+    scalars = []
+    order = []           # ("a"|"s", index) per declared arg
+    old_written = []
+    masks = []
+    written_fields = []
+    grid = None
+    it = iter(args)
+
+    # First pass: find the grid (needed to resolve grid properties).
+    field_args = [a for a in args if isinstance(a, Field)]
+    if not field_args:
+        raise ValueError(f"kernel {meta.name} needs at least one Field arg")
+    grid = field_args[0].grid
+
+    for a in meta.args:
+        if isinstance(a.element, GridProp):
+            getter = _GRID_PROP_GETTERS.get(a.element)
+            if getter is None:
+                raise NotImplementedError(
+                    f"grid property {a.element!r} not available")
+            val = getter(grid)
+            if _is_scalar_arg(a):
+                order.append(("s", len(scalars)))
+                scalars.append(val)
+            else:
+                order.append(("a", len(arrays)))
+                arrays.append(val)
+            continue
+        if a.element in (Element.R_SCALAR, Element.I_SCALAR):
+            if _is_reduction(a):
+                # reduction scalars are outputs: returned by the kernel
+                # body, reduced over the mesh, handed back to the caller
+                continue
+            order.append(("s", len(scalars)))
+            scalars.append(next(it))
+            continue
+        f = next(it)
+        if not isinstance(f, Field):
+            raise TypeError(
+                f"kernel {meta.name}: argument declared {a.element!r} "
+                f"must be a Field, got {type(f)}")
+        if exchange_halos and a.access in (Access.READ, Access.READWRITE) \
+                and a.stencil.reaches_off_point():
+            f.halo_exchange(a.stencil.depth())
+        order.append(("a", len(arrays)))
+        arrays.append(f.data)
+        if _is_written(a):
+            written_fields.append(f)
+            old_written.append(f.data)
+            if meta.iterates_over == GO_INTERNAL_PTS:
+                masks.append(f.internal_mask)
+            elif meta.iterates_over == GO_ALL_PTS:
+                masks.append(jnp.ones_like(f.data))
+            else:  # EXTERNAL_PTS
+                masks.append(1.0 - f.internal_mask)
+
+    n_red = sum(1 for a in meta.args if _is_reduction(a))
+    fn_id = id(kern)
+    _PROGRAM_FNS[fn_id] = kern
+    prog = _build_program(fn_id, meta, grid.mesh, tuple(order),
+                          len(written_fields), n_red)
+    outs = prog(tuple(arrays), tuple(scalars), tuple(old_written),
+                tuple(masks))
+    for f, nb in zip(written_fields, outs[: len(written_fields)]):
+        f.data = nb
+    reds = outs[len(written_fields):]
+    if n_red == 1:
+        return float(reds[0])
+    if n_red:
+        return tuple(float(r) for r in reds)
+    return None

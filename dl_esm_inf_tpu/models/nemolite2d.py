@@ -1,0 +1,382 @@
+"""NEMOLite2D-class nonlinear shallow-water solver (BASELINE config #3).
+
+The flagship client model: free-surface + depth-integrated momentum on
+the Arakawa-C grid (NE offset), with the kernel set of the NEMOLite2D
+GOcean benchmark — continuity, momentum_u/v (nonlinear flux-form
+advection, horizontal viscosity, f-plane Coriolis, pressure gradient,
+semi-implicit bottom friction), boundary kernels (prescribed-ssh
+forcing, solid walls via the T mask, Flather radiation on open
+boundaries) and the field-update/next kernels.  The equations follow the
+standard NEMOLite2D formulation (centred advection; per-kernel metadata
+is attached for the PSyclone-style API); exact Fortran-kernel parity is
+not claimed — the reference library contains no model physics
+(SURVEY: 'It contains no model physics'), this is the demonstrator
+client the infrastructure exists to serve.
+
+Wetness/boundary classification comes entirely from the T mask
+(1 wet, 0 dry/solid, -1 open-sea outside the modelled domain,
+reference grid_mod.f90:94-102):
+
+* solid faces  — a face between a wet and a dry (0) cell: velocity 0;
+* open faces   — between wet and outside (-1): Flather radiation;
+* ssh forcing  — wet cells adjacent to an outside cell.
+
+One time step = ONE shard_map program (halo exchange + all kernels);
+multi-step runs go through ``lax.fori_loop`` under a single jit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+import dl_esm_inf_tpu as dl
+from ..core import layout
+from ..ops import stencils as st
+from ..parallel.halo import exchange_fn
+from ..api.kernel_meta import (Arg, GO_CT, GO_CU, GO_CV, GO_POINTWISE,
+                               GO_READ, GO_READWRITE, GO_WRITE, Stencil,
+                               kernel)
+
+_FULL = Stencil(111, 111, 111)
+
+
+@dataclass(frozen=True)
+class Params:
+    rdt: float = 20.0          # time step (s)
+    cbfr: float = 0.00015      # bottom friction coefficient
+    visc: float = 0.1          # horizontal viscosity (m^2/s)
+    g: float = 9.81
+    omega: float = 7.292116e-5  # Earth rotation (rad/s)
+    d2r: float = np.pi / 180.0
+    amp: float = 0.1           # open-boundary ssh forcing amplitude (m)
+    tide_period: float = 12.42 * 3600.0
+
+
+# ---------------------------------------------------------------------------
+# Kernels (block-level; metadata attached for the PSyclone-facing API)
+# ---------------------------------------------------------------------------
+
+@kernel(args=[Arg(GO_WRITE, GO_CT),
+              Arg(GO_READ, GO_CT),
+              Arg(GO_READ, GO_CU, _FULL), Arg(GO_READ, GO_CV, _FULL),
+              Arg(GO_READ, GO_CU, _FULL), Arg(GO_READ, GO_CV, _FULL)],
+        name="continuity")
+def continuity(sshn_t, un, vn, depu, depv, *, rdt, dx, dy):
+    """ssha_t: divergence of depth-integrated fluxes onto T cells.
+
+    Flux through the east U face of T cell (ji): dep_u*un*dy at U[ji];
+    west face is U[ji-1] (NE offset)."""
+    flux_x = depu * un * dy
+    flux_y = depv * vn * dx
+    div = (flux_x - st.xm(flux_x)) + (flux_y - st.ym(flux_y))
+    return sshn_t - div * rdt / (dx * dy)
+
+
+@kernel(args=[Arg(GO_WRITE, GO_CU),
+              Arg(GO_READ, GO_CU, _FULL), Arg(GO_READ, GO_CV, _FULL),
+              Arg(GO_READ, GO_CT, _FULL), Arg(GO_READ, GO_CU),
+              Arg(GO_READ, GO_CT, _FULL), Arg(GO_READ, GO_CU),
+              Arg(GO_READ, GO_CV, _FULL)],
+        name="momentum_u")
+def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
+               dx, dy, fcor):
+    """ua at U faces: advection + viscosity + Coriolis + pressure
+    gradient + semi-implicit bottom friction.
+
+    Advection is flux-form donor-cell upwind (the robust variant of
+    NEMOLite2D's upwind-biased scheme): mass fluxes at the T centres /
+    F corners surrounding the U face carry the upstream u value.
+    Every read is within +/-1 of the exchanged prognostics (halo-1)."""
+    dep_u = hu + sshn_u                       # total depth at U
+    dep_te = st.xp(ht + sshn_t)               # total depth at east T
+    dep_tw = ht + sshn_t                      # total depth at west T
+
+    # mass fluxes through the faces of the U control volume
+    m_e = 0.5 * (un + st.xp(un)) * dep_te * dy   # east T centre
+    m_w = 0.5 * (un + st.xm(un)) * dep_tw * dy   # west T centre
+    dep_fn = 0.5 * (depv + st.xp(depv))          # NE F corner depth
+    m_n = 0.5 * (vn + st.xp(vn)) * dep_fn * dx   # NE F corner
+    m_s = st.ym(m_n)                             # SE F corner
+    # donor-cell (upstream) u carried by each flux
+    u_de = jnp.where(m_e > 0, un, st.xp(un))
+    u_dw = jnp.where(m_w > 0, st.xm(un), un)
+    u_dn = jnp.where(m_n > 0, un, st.yp(un))
+    u_ds = jnp.where(m_s > 0, st.ym(un), un)
+    adv = -(m_e * u_de - m_w * u_dw + m_n * u_dn - m_s * u_ds)
+    dep_n = dep_fn
+    dep_s = st.ym(dep_n)
+
+    # --- viscosity: div(dep * visc * grad u) ----------------------------
+    dudx_e = (st.xp(un) - un) / dx * dep_te
+    dudx_w = (un - st.xm(un)) / dx * dep_tw
+    dudy_n = (st.yp(un) - un) / dy * dep_n
+    dudy_s = (un - st.ym(un)) / dy * dep_s
+    vis = p.visc * ((dudx_e - dudx_w) * dy + (dudy_n - dudy_s) * dx)
+
+    # --- Coriolis (f-plane from latitude) -------------------------------
+    v_u = 0.25 * (vn + st.xp(vn) + st.ym(vn) + st.ym(st.xp(vn)))
+    cor = fcor * v_u * dep_u * (dx * dy)
+
+    # --- pressure gradient on the NEW ssh (forward-backward scheme:
+    # continuity first, momentum sees the updated surface — gravity-wave
+    # stable up to c*dt*sqrt(2)/dx ~ 1) -----------------------------------
+    hpg = -p.g * dep_u * (st.xp(ssha_t) - ssha_t) / dx * (dx * dy)
+
+    # --- time update with semi-implicit linear bottom friction ----------
+    ua = (un * dep_u + p.rdt * (adv + vis + cor + hpg) / (dx * dy)) \
+        / dep_u / (1.0 + p.cbfr * p.rdt)
+    return ua
+
+
+@kernel(args=[Arg(GO_WRITE, GO_CV),
+              Arg(GO_READ, GO_CU, _FULL), Arg(GO_READ, GO_CV, _FULL),
+              Arg(GO_READ, GO_CT, _FULL), Arg(GO_READ, GO_CV),
+              Arg(GO_READ, GO_CT, _FULL), Arg(GO_READ, GO_CV),
+              Arg(GO_READ, GO_CU, _FULL)],
+        name="momentum_v")
+def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
+               dx, dy, fcor):
+    dep_v = hv + sshn_v
+    dep_tn = st.yp(ht + sshn_t)
+    dep_ts = ht + sshn_t
+
+    # mass fluxes through the faces of the V control volume
+    m_n = 0.5 * (vn + st.yp(vn)) * dep_tn * dx   # north T centre
+    m_s = 0.5 * (vn + st.ym(vn)) * dep_ts * dx   # south T centre
+    dep_fe = 0.5 * (depu + st.yp(depu))          # NE F corner depth
+    m_e = 0.5 * (un + st.yp(un)) * dep_fe * dy   # NE F corner
+    m_w = st.xm(m_e)                             # NW F corner
+    v_dn = jnp.where(m_n > 0, vn, st.yp(vn))
+    v_ds = jnp.where(m_s > 0, st.ym(vn), vn)
+    v_de = jnp.where(m_e > 0, vn, st.xp(vn))
+    v_dw = jnp.where(m_w > 0, st.xm(vn), vn)
+    adv = -(m_e * v_de - m_w * v_dw + m_n * v_dn - m_s * v_ds)
+    dep_e = dep_fe
+    dep_w = st.xm(dep_e)
+
+    dvdy_n = (st.yp(vn) - vn) / dy * dep_tn
+    dvdy_s = (vn - st.ym(vn)) / dy * dep_ts
+    dvdx_e = (st.xp(vn) - vn) / dx * dep_e
+    dvdx_w = (vn - st.xm(vn)) / dx * dep_w
+    vis = p.visc * ((dvdy_n - dvdy_s) * dx + (dvdx_e - dvdx_w) * dy)
+
+    u_v = 0.25 * (un + st.yp(un) + st.xm(un) + st.xm(st.yp(un)))
+    cor = -fcor * u_v * dep_v * (dx * dy)
+
+    hpg = -p.g * dep_v * (st.yp(ssha_t) - ssha_t) / dy * (dx * dy)
+
+    va = (vn * dep_v + p.rdt * (adv + vis + cor + hpg) / (dx * dy)) \
+        / dep_v / (1.0 + p.cbfr * p.rdt)
+    return va
+
+
+def bc_ssh(ssha_t, bc_cells, rtime, p: Params):
+    """Prescribed sinusoidal ssh at open-boundary wet cells (the
+    NEMOLite2D bc_ssh tidal forcing)."""
+    forcing = p.amp * jnp.sin(2.0 * jnp.pi * rtime / p.tide_period)
+    return jnp.where(bc_cells > 0, forcing, ssha_t)
+
+
+def bc_flather_u(ua, sshn_u, hu, flather_u, p: Params):
+    """Flather radiation: u = u_ext +/- sqrt(g/h) (ssh - ssh_ext).
+
+    With zero external state this damps outgoing waves at open U faces."""
+    flath = -jnp.sqrt(p.g / jnp.maximum(hu, 1e-3)) * sshn_u
+    return jnp.where(flather_u > 0, flath, ua)
+
+
+def bc_flather_v(va, sshn_v, hv, flather_v, p: Params):
+    flath = -jnp.sqrt(p.g / jnp.maximum(hv, 1e-3)) * sshn_v
+    return jnp.where(flather_v > 0, flath, va)
+
+
+def next_sshu(sshn_t, t_wet):
+    """Interpolate T ssh onto U faces (area-weighted; uniform grid ->
+    arithmetic mean of the wet neighbours, NEMOLite2D next_sshu)."""
+    wsum = t_wet + st.xp(t_wet)
+    s = (sshn_t * t_wet + st.xp(sshn_t * t_wet))
+    return jnp.where(wsum > 0, s / jnp.maximum(wsum, 1.0), 0.0)
+
+
+def next_sshv(sshn_t, t_wet):
+    wsum = t_wet + st.yp(t_wet)
+    s = (sshn_t * t_wet + st.yp(sshn_t * t_wet))
+    return jnp.where(wsum > 0, s / jnp.maximum(wsum, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# The model
+# ---------------------------------------------------------------------------
+
+def default_tmask(gnx: int, gny: int, open_north: bool = True) -> np.ndarray:
+    """Closed basin with solid walls; optionally an open (Flather/forced)
+    boundary along the north edge — the NEMOLite2D canonical domain has
+    solid walls on three sides and an open boundary."""
+    t = np.ones((gny, gnx), dtype=np.int32)
+    t[0, :] = 0
+    t[:, 0] = 0
+    t[:, -1] = 0
+    t[-1, :] = -1 if open_north else 0
+    return t
+
+
+class NemoLite2D:
+    """Nonlinear SW solver bound to a grid; the framework's flagship."""
+
+    def __init__(self, grid: dl.Grid, params: Params = Params(),
+                 depth: float = 100.0):
+        self.grid = grid
+        self.p = params
+        dtype = grid.dtype
+
+        # prognostic fields
+        self.sshn_t = dl.Field(grid, dl.T_POINTS)
+        self.sshn_u = dl.Field(grid, dl.U_POINTS)
+        self.sshn_v = dl.Field(grid, dl.V_POINTS)
+        self.un = dl.Field(grid, dl.U_POINTS)
+        self.vn = dl.Field(grid, dl.V_POINTS)
+        # bathymetry (constant in time)
+        self.ht = dl.Field(grid, dl.T_POINTS)
+        self.hu = dl.Field(grid, dl.U_POINTS)
+        self.hv = dl.Field(grid, dl.V_POINTS)
+        dl.set_field(self.ht, depth)
+        dl.set_field(self.hu, depth)
+        dl.set_field(self.hv, depth)
+
+        tm = grid.tmask
+        wet = (tm == 1)
+        geo = grid.region_mask(0, 0, dtype=jnp.bool_)
+        self._t_wet = wet.astype(dtype)
+        self._t_upd = (wet & geo).astype(dtype)
+        self._u_wet = (wet & (st.xp(tm) == 1)).astype(dtype)
+        self._v_wet = (wet & (st.yp(tm) == 1)).astype(dtype)
+        # open-boundary classification
+        outside = (tm == -1)
+        near_out = (st.xp(outside) | st.xm(outside) | st.yp(outside)
+                    | st.ym(outside))
+        self._bc_cells = (wet & near_out & geo).astype(dtype)
+        self._flather_u = ((wet & st.xp(outside))
+                           | (outside & st.xp(wet))).astype(dtype)
+        self._flather_v = ((wet & st.yp(outside))
+                           | (outside & st.yp(wet))).astype(dtype)
+        # Coriolis parameter from the f-plane latitude arrays
+        self._fcor = (2.0 * params.omega
+                      * jnp.sin(grid.gphiu * params.d2r)).astype(dtype)
+        self._step_cache = {}
+        self._istep0 = 0
+
+    # ------------------------------------------------------------------
+    def set_initial_ssh(self, ssh_global: np.ndarray) -> None:
+        stacked = layout.stack_global(self.grid.decomp,
+                                      np.asarray(ssh_global), mode="zeros",
+                                      dtype=np.dtype(self.grid.dtype))
+        self.sshn_t.set_data(stacked)
+        self.sshn_t.halo_exchange(1)
+        t_wet = self._t_wet
+        self.sshn_u.data = next_sshu(self.sshn_t.data, t_wet)
+        self.sshn_v.data = next_sshv(self.sshn_t.data, t_wet)
+
+    # ------------------------------------------------------------------
+    def _block_step(self, exch, istep, sshn_t, un, vn, consts):
+        (ht, hu, hv, t_wet, t_upd, u_wet, v_wet, bc_cells,
+         flather_u, flather_v, fcor) = consts
+        p = self.p
+        dx, dy = self.grid.dx, self.grid.dy
+
+        sshn_t = exch(sshn_t)
+        un = exch(un)
+        vn = exch(vn)
+
+        # U/V-face ssh derived from the freshly-exchanged T ssh (the
+        # NEMOLite2D next_sshu/next_sshv kernels).  Deriving here — not
+        # after the T update — keeps halo cells consistent across shard
+        # seams: values are valid wherever sshn_t's depth-1 halo is.
+        sshn_u = next_sshu(sshn_t, t_wet)
+        sshn_v = next_sshv(sshn_t, t_wet)
+
+        depu = hu + sshn_u
+        depv = hv + sshn_v
+
+        ssha_t = continuity(sshn_t, un, vn, depu, depv,
+                            rdt=p.rdt, dx=dx, dy=dy)
+        ssha_t = jnp.where(t_upd > 0, ssha_t, sshn_t)
+        rtime = (istep + 1).astype(ssha_t.dtype) * p.rdt
+        ssha_t = bc_ssh(ssha_t, bc_cells, rtime, p)
+
+        # Halo exchange between dependent kernels (the reference client
+        # pattern, SURVEY §3.6): momentum's pressure gradient reads the
+        # new surface across shard seams.
+        ssha_t = exch(ssha_t)
+
+        ua = momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv,
+                        p=p, dx=dx, dy=dy, fcor=fcor)
+        va = momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu,
+                        p=p, dx=dx, dy=dy, fcor=fcor)
+        ua = ua * u_wet
+        va = va * v_wet
+        ua = bc_flather_u(ua, sshn_u, hu, flather_u, p)
+        va = bc_flather_v(va, sshn_v, hv, flather_v, p)
+
+        return ssha_t, ua, va
+
+    def step_program(self, nsteps: int):
+        if nsteps not in self._step_cache:
+            grid = self.grid
+            exch = exchange_fn(grid.halo_spec, depth=1)
+
+            def body(istep0, state, consts):
+                def one(i, s):
+                    return self._block_step(exch, istep0 + i, *s, consts)
+                return lax.fori_loop(0, nsteps, one, state)
+
+            blk = P("y", "x")
+            smapped = jax.shard_map(
+                body, mesh=grid.mesh,
+                in_specs=(P(), (blk,) * 3, (blk,) * 11),
+                out_specs=(blk,) * 3)
+            self._step_cache[nsteps] = jax.jit(smapped)
+        return self._step_cache[nsteps]
+
+    def _consts(self):
+        return (self.ht.data, self.hu.data, self.hv.data, self._t_wet,
+                self._t_upd, self._u_wet, self._v_wet, self._bc_cells,
+                self._flather_u, self._flather_v, self._fcor)
+
+    def run(self, nsteps: int) -> None:
+        prog = self.step_program(nsteps)
+        state = (self.sshn_t.data, self.un.data, self.vn.data)
+        out = prog(jnp.int32(self._istep0), state, self._consts())
+        self.sshn_t.data, self.un.data, self.vn.data = out
+        self._istep0 += nsteps
+        # keep the derived U/V-face ssh fields in sync for API users
+        self.sshn_t.halo_exchange(1)
+        self.sshn_u.data = next_sshu(self.sshn_t.data, self._t_wet)
+        self.sshn_v.data = next_sshv(self.sshn_t.data, self._t_wet)
+
+    # ------------------------------------------------------------------
+    def checksums(self) -> dict:
+        return {"sshn": self.sshn_t.checksum(), "un": self.un.checksum(),
+                "vn": self.vn.checksum()}
+
+    def gather(self) -> dict:
+        return {"sshn": self.sshn_t.gather_inner_data(),
+                "un": self.un.gather_inner_data(),
+                "vn": self.vn.gather_inner_data()}
+
+
+def build(gnx: int = 256, gny: int = 256, ndomains=None,
+          params: Params = Params(), depth: float = 100.0,
+          open_north: bool = True, dtype=None) -> NemoLite2D:
+    """Convenience constructor: grid + tmask + model."""
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE, dtype=dtype)
+    grid.decompose(gnx, gny, ndomains=ndomains)
+    dl.grid_init(grid, 1000.0, 1000.0, default_tmask(gnx, gny, open_north))
+    return NemoLite2D(grid, params, depth)

@@ -1,0 +1,124 @@
+"""Kernel metadata + invoke: the live PSyclone middle layer."""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.api.kernel_meta import (
+    Arg, GO_ALL_PTS, GO_INTERNAL_PTS, GO_POINTWISE, GO_READ, GO_READWRITE,
+    GO_SUM, GO_WRITE, GridProp, GO_CT, GO_CU, GO_R_SCALAR, Stencil, go_arg,
+    go_stencil, invoke, kernel)
+from dl_esm_inf_tpu.ops import stencils as st
+
+
+def make_grid(gnx=10, gny=8, ndom=4):
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=ndom)
+    dl.grid_init(grid, 1.0, 1.0)
+    return grid
+
+
+def test_stencil_descriptor():
+    assert GO_POINTWISE == go_stencil(0, 10, 0)
+    assert not GO_POINTWISE.reaches_off_point()
+    s = Stencil(0, 11, 0)  # reads centre + East
+    assert s.reaches_off_point() and s.depth() == 1
+
+
+def test_pointwise_kernel_internal_pts():
+    """A pointwise doubling kernel only touches internal points."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT)])
+    def double(out, inp):
+        return 2.0 * inp
+
+    grid = make_grid()
+    a = dl.Field(grid, dl.T_POINTS,
+                 init_global_data=np.full((8, 10), 3.0))
+    b = dl.Field(grid, dl.T_POINTS)
+    before_halo = b.get_data().copy()
+    invoke(double, b, a)
+    m = b.internal_mask_np()
+    got = b.get_data()
+    assert np.all(got[m] == 6.0)
+    np.testing.assert_array_equal(got[~m], before_halo[~m])
+
+
+def test_stencil_kernel_auto_halo_exchange():
+    """A kernel whose metadata declares an off-point read triggers the
+    halo exchange automatically — shard seams must be invisible."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))])
+    def east_diff(out, inp):
+        return st.xp(inp) - inp
+
+    gnx, gny = 12, 8
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    grid = make_grid(gnx, gny, ndom=4)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(east_diff, out, a)
+    g = out.gather_inner_data()
+    # interior: difference of +1 in x; global east column reads the
+    # (stale-zero after exchange? no—edge halo untouched) boundary cell
+    np.testing.assert_array_equal(g[:, :-1], np.ones((gny, gnx - 1)))
+
+
+def test_reduction_kernel():
+    @kernel(args=[go_arg(GO_SUM, GO_R_SCALAR),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READWRITE, GO_CT)])
+    def sum_and_zero(inp, out):
+        import jax.numpy as jnp
+        return jnp.zeros_like(out), jnp.sum(inp)
+
+    grid = make_grid(8, 8, 4)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=np.ones((8, 8)))
+    b = dl.Field(grid, dl.T_POINTS, init_global_data=np.ones((8, 8)))
+    total = invoke(sum_and_zero, a, b)
+    # sum over the whole stacked blocks (internal 64 + zero halos)
+    assert total == 64.0
+    assert dl.field_checksum(b) == 0.0
+
+
+def test_grid_property_args():
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_AREA_T),
+                  go_arg(GO_READ, GridProp.GRID_DX_CONST)])
+    def area_over_dx(out, area, dx):
+        return area / dx
+
+    grid = make_grid()
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(area_over_dx, out)
+    m = out.internal_mask_np()
+    assert np.all(out.get_data()[m] == 1.0)  # (dx*dy)/dx with dx=dy=1
+
+
+def test_scalar_and_array_order_preserved():
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_R_SCALAR, GO_R_SCALAR),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_R_SCALAR, GO_R_SCALAR)])
+    def affine(out, a, x, b):
+        return a * x + b
+
+    grid = make_grid()
+    x = dl.Field(grid, dl.T_POINTS, init_global_data=np.full((8, 10), 2.0))
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(affine, out, 10.0, x, 5.0)
+    m = out.internal_mask_np()
+    assert np.all(out.get_data()[m] == 25.0)
+
+
+def test_all_pts_iteration():
+    @kernel(args=[go_arg(GO_WRITE, GO_CT)], iterates_over=GO_ALL_PTS)
+    def fill7(out):
+        import jax.numpy as jnp
+        return jnp.full_like(out, 7.0)
+
+    grid = make_grid()
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(fill7, out)
+    assert np.all(out.get_data() == 7.0)
