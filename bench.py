@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Headline benchmark: NEMOLite2D fused-step throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpt/s/chip", "vs_baseline": N}
+
+* value        — grid-points advanced per second per chip on the
+                 flagship nonlinear shallow-water step (1024^2, f32,
+                 fused Pallas kernel, steady state).
+* vs_baseline  — fraction of the measured-HBM-bandwidth roofline for
+                 the step's minimal state traffic (3 f32 reads + 3 f32
+                 writes + 1 int8 mask read = 25 B/pt).  The reference
+                 publishes no performance numbers (BASELINE.md), so the
+                 bar is speed-of-light on our own hardware.
+
+Timing method: the axon TPU tunnel adds ~30-50 ms of per-call RPC
+latency and may overlap identical requests, so single-call timings lie.
+We time TWO in-jit chains of different step counts (whole chain = one
+device program) and take the slope; a scalar readback fences each call.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _best(f, n=4):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_membw(jnp, jax) -> float:
+    """Measured HBM copy-out+in bandwidth (GB/s) via an in-jit loop."""
+    a = jnp.zeros((4096, 8192), jnp.float32)  # 128 MB
+    n = 40
+
+    @jax.jit
+    def chain(x):
+        def body(i, v):
+            return v * 1.0000001 + 0.5
+        return jax.lax.fori_loop(0, n, body, x)
+
+    out = chain(a)
+    _ = float(out[0, 0])
+
+    def run():
+        _ = float(chain(a)[0, 0])
+
+    run()
+    t_n = _best(run)
+
+    @jax.jit
+    def chain4(x):
+        def body(i, v):
+            return v * 1.0000001 + 0.5
+        return jax.lax.fori_loop(0, 4 * n, body, x)
+
+    _ = float(chain4(a)[0, 0])
+
+    def run4():
+        _ = float(chain4(a)[0, 0])
+
+    run4()
+    t_4n = _best(run4)
+    per_pass = (t_4n - t_n) / (3 * n)
+    return 2 * a.nbytes / per_pass / 1e9
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+    N = 1024
+    m = nl.build(N, N, pallas=jax.default_backend() != "cpu")
+    if not m.use_pallas:
+        # CPU fallback (smoke): jnp path, tiny run
+        m = nl.build(N, N, halo_width=2)
+    m.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
+
+    n_lo, n_hi = 100, 600
+    times = {}
+    state0 = (m.sshn_t.data, m.un.data, m.vn.data)
+    for nsteps in (n_lo, n_hi):
+        prog = m.step_program(nsteps)
+
+        def run():
+            out = prog(jnp.int32(0), state0, m._mask_codes)
+            _ = float(out[0][16, 16])   # fence
+
+        run()  # compile + warm
+        times[nsteps] = _best(run)
+
+    per_step = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    mpts = N * N / per_step / 1e6
+
+    bw = measure_membw(jnp, jax)
+    bytes_per_point = 3 * 4 + 3 * 4 + 1      # read ssh,u,v; write 3; mask
+    roofline_mpts = bw * 1e9 / bytes_per_point / 1e6
+    vs = mpts / roofline_mpts
+
+    # correctness guard: the benchmarked state must be finite
+    g = m.gather()
+    assert all(np.isfinite(v).all() for v in g.values()), "non-finite state"
+
+    print(json.dumps({
+        "metric": "nemolite2d-1024sq-f32-fused-step-throughput",
+        "value": round(mpts, 1),
+        "unit": "Mpt/s/chip",
+        "vs_baseline": round(vs, 4),
+        "detail": {
+            "us_per_step": round(per_step * 1e6, 1),
+            "measured_hbm_gbps": round(bw, 1),
+            "roofline_mpts": round(roofline_mpts, 1),
+            "backend": jax.default_backend(),
+            "pallas": bool(m.use_pallas),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,7 +183,8 @@ def decompose(global_nx: int,
               ndomainx: int | None = None,
               ndomainy: int | None = None,
               halo_width: int = 1,
-              align: int | None = None) -> Decomposition:
+              align: int | None = None,
+              align_y: int = 1) -> Decomposition:
     """Decompose a ``global_nx x global_ny`` domain into uniform shards.
 
     Mirrors the argument contract of ``go_decompose``
@@ -215,7 +216,9 @@ def decompose(global_nx: int,
     tile_nx = _cdiv(global_nx, px)
     tile_ny = _cdiv(global_ny, py)
     local_nx = _cdiv(tile_nx + 2 * h, align) * align
-    local_ny = tile_ny + 2 * h
+    # align_y pads the sublane dimension (TPU f32 tiling is (8, 128);
+    # the fused Pallas kernels need 8-row-aligned shards)
+    local_ny = _cdiv(tile_ny + 2 * h, align_y) * align_y
 
     subs = []
     for iy in range(py):

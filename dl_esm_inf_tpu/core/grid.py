@@ -135,7 +135,8 @@ class Grid:
     def decompose(self, domainx: int, domainy: int, ndomains=None,
                   ndomainx=None, ndomainy=None, halo_width: int = 1,
                   mesh: Mesh | None = None, devices=None,
-                  align: int | None = None) -> Decomposition:
+                  align: int | None = None,
+                  align_y: int = 1) -> Decomposition:
         """Decompose the global domain over the device mesh.
 
         Analogue of grid%decompose -> go_decompose (grid_mod.f90:183-211).
@@ -153,7 +154,8 @@ class Grid:
 
         self.decomp = _decompose(domainx, domainy, ndomains=ndomains,
                                  ndomainx=ndomainx, ndomainy=ndomainy,
-                                 halo_width=halo_width, align=align)
+                                 halo_width=halo_width, align=align,
+                                 align_y=align_y)
         self.global_nx = domainx
         self.global_ny = domainy
 

@@ -48,7 +48,7 @@ def stack_global(decomp: Decomposition, global_arr, mode: str = "edge",
 
     # Extend the global array by h on the south/west and by
     # (padding + h + alignment) on the north/east, replicating edges.
-    ext = np.pad(g, ((h, py * hgt - decomp.global_ny + h),
+    ext = np.pad(g, ((h, py * hgt - decomp.global_ny + h + (ly - 2 * h - hgt)),
                      (h, px * w - decomp.global_nx + h + (lx - 2 * h - w))),
                  mode="edge")
 

@@ -176,10 +176,14 @@ def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
     return va
 
 
-def bc_ssh(ssha_t, bc_cells, rtime, p: Params):
-    """Prescribed sinusoidal ssh at open-boundary wet cells (the
-    NEMOLite2D bc_ssh tidal forcing)."""
-    forcing = p.amp * jnp.sin(2.0 * jnp.pi * rtime / p.tide_period)
+def tidal_forcing(rtime, p: Params):
+    """The bc_ssh amplitude at model time ``rtime`` (scalar)."""
+    return p.amp * jnp.sin(2.0 * jnp.pi * rtime / p.tide_period)
+
+
+def bc_ssh(ssha_t, bc_cells, forcing):
+    """Prescribed ssh at open-boundary wet cells (the NEMOLite2D bc_ssh
+    tidal forcing); ``forcing`` is the scalar boundary value."""
     return jnp.where(bc_cells > 0, forcing, ssha_t)
 
 
@@ -208,6 +212,87 @@ def next_sshv(sshn_t, t_wet):
     wsum = t_wet + st.yp(t_wet)
     s = (sshn_t * t_wet + st.yp(sshn_t * t_wet))
     return jnp.where(wsum > 0, s / jnp.maximum(wsum, 1.0), 0.0)
+
+
+def derive_masks(tmask, dtype):
+    """The six 0/1 float masks of the step, from the int8/int32 tmask.
+
+    Only pointwise compares touch bools — shifted masks roll the float
+    arrays (Mosaic cannot shuffle i1 vectors)."""
+    t_wet = (tmask == 1).astype(dtype)
+    out_f = (tmask == -1).astype(dtype)
+    u_wet = t_wet * st.xp(t_wet)
+    v_wet = t_wet * st.yp(t_wet)
+    near_out = jnp.minimum(
+        st.xp(out_f) + st.xm(out_f) + st.yp(out_f) + st.ym(out_f), 1.0)
+    bc_cells = t_wet * near_out
+    # wet and outside are mutually exclusive, so the sums stay 0/1
+    flather_u = t_wet * st.xp(out_f) + out_f * st.xp(t_wet)
+    flather_v = t_wet * st.yp(out_f) + out_f * st.yp(t_wet)
+    return (t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v)
+
+
+def encode_masks(tmask) -> jnp.ndarray:
+    """Pack the six masks into one int8 bitfield (they are constant in
+
+    time): 1 byte/point of HBM instead of six float arrays, decoded
+    roll-free on the VPU each step."""
+    masks = derive_masks(tmask, jnp.float32)
+    code = sum((m.astype(jnp.int32) << k) for k, m in enumerate(masks))
+    return code.astype(jnp.int8)
+
+
+def decode_masks(codes, dtype):
+    """Unpack :func:`encode_masks` — shifts and ands only, no rolls."""
+    c = codes.astype(jnp.int32)
+    return tuple(((c >> k) & 1).astype(dtype) for k in range(6))
+
+
+def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
+              forcing, exch_mid=None):
+    """One complete NEMOLite2D step as a pure stencil chain.
+
+    Shared by the jnp path (full shard blocks) and the Pallas fused
+    kernel (per-tile windows) — the physics is written once.
+    ``mask_codes`` is the static int8 bitfield from :func:`encode_masks`:
+    one byte per point of HBM traffic instead of six float mask arrays
+    (roofline economics).  Total input reach is 2 cells, so with fresh
+    depth-2 halos the chain needs no mid-step communication (pass
+    ``exch_mid=None``).
+    """
+    dtype = sshn_t.dtype
+    ht = hu = hv = jnp.asarray(depth, dtype)
+
+    (t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v) = \
+        decode_masks(mask_codes, dtype)
+    wet_b = t_wet > 0
+
+    # U/V-face ssh derived from the freshly-exchanged T ssh (the
+    # NEMOLite2D next_sshu/next_sshv kernels), valid wherever sshn_t's
+    # halo is.
+    sshn_u = next_sshu(sshn_t, t_wet)
+    sshn_v = next_sshv(sshn_t, t_wet)
+
+    depu = hu + sshn_u
+    depv = hv + sshn_v
+
+    ssha_t = continuity(sshn_t, un, vn, depu, depv, rdt=p.rdt, dx=dx, dy=dy)
+    ssha_t = jnp.where(wet_b, ssha_t, sshn_t)
+    ssha_t = bc_ssh(ssha_t, bc_cells, forcing)
+
+    if exch_mid is not None:
+        ssha_t = exch_mid(ssha_t)
+
+    ua = momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv,
+                    p=p, dx=dx, dy=dy, fcor=fcor)
+    va = momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu,
+                    p=p, dx=dx, dy=dy, fcor=fcor)
+    ua = ua * u_wet
+    va = va * v_wet
+    ua = bc_flather_u(ua, sshn_u, hu, flather_u, p)
+    va = bc_flather_v(va, sshn_v, hv, flather_v, p)
+
+    return ssha_t, ua, va
 
 
 # ---------------------------------------------------------------------------
@@ -241,35 +326,62 @@ class NemoLite2D:
         self.sshn_v = dl.Field(grid, dl.V_POINTS)
         self.un = dl.Field(grid, dl.U_POINTS)
         self.vn = dl.Field(grid, dl.V_POINTS)
-        # bathymetry (constant in time)
-        self.ht = dl.Field(grid, dl.T_POINTS)
-        self.hu = dl.Field(grid, dl.U_POINTS)
-        self.hv = dl.Field(grid, dl.V_POINTS)
-        dl.set_field(self.ht, depth)
-        dl.set_field(self.hu, depth)
-        dl.set_field(self.hv, depth)
+        # flat bathymetry: scalar depths (HBM-frugal fast path; variable
+        # bathymetry would promote these to Fields)
+        self.depth = float(depth)
 
+        # One int8 mask array is the only per-point constant the step
+        # reads: wet/dry/outside classification with the uniform-shard
+        # padding forced to dry so padded cells are inert.  All derived
+        # masks (face wetness, Flather faces, forcing cells) are
+        # recomputed on the VPU each step — compute is ~free next to the
+        # HBM bytes they would otherwise cost (SURVEY §6: HBM roofline).
         tm = grid.tmask
-        wet = (tm == 1)
-        geo = grid.region_mask(0, 0, dtype=jnp.bool_)
-        self._t_wet = wet.astype(dtype)
-        self._t_upd = (wet & geo).astype(dtype)
-        self._u_wet = (wet & (st.xp(tm) == 1)).astype(dtype)
-        self._v_wet = (wet & (st.yp(tm) == 1)).astype(dtype)
-        # open-boundary classification
-        outside = (tm == -1)
-        near_out = (st.xp(outside) | st.xm(outside) | st.yp(outside)
-                    | st.ym(outside))
-        self._bc_cells = (wet & near_out & geo).astype(dtype)
-        self._flather_u = ((wet & st.xp(outside))
-                           | (outside & st.xp(wet))).astype(dtype)
-        self._flather_v = ((wet & st.yp(outside))
-                           | (outside & st.yp(wet))).astype(dtype)
-        # Coriolis parameter from the f-plane latitude arrays
-        self._fcor = (2.0 * params.omega
-                      * jnp.sin(grid.gphiu * params.d2r)).astype(dtype)
+        valid = self._valid_cell_mask()
+        tmask_i8 = jnp.where(valid, tm, 0).astype(jnp.int8)
+        self._tmask_i8 = jax.device_put(tmask_i8, grid.sharding)
+        self._mask_codes = jax.device_put(encode_masks(self._tmask_i8),
+                                          grid.sharding)
+        self._t_wet = ((tmask_i8 == 1)).astype(dtype)
+        # Coriolis: f-plane scalar from the constant latitude
+        # (grid_mod.f90:512-523 fixes gphi = 50 degrees)
+        self._fcor = float(2.0 * params.omega * np.sin(50.0 * params.d2r))
         self._step_cache = {}
         self._istep0 = 0
+        #: use the fused Pallas kernel for the step (requires halo>=2,
+        #: since the kernel contains no mid-step exchange)
+        self.use_pallas = False
+        self._pallas_interpret = False
+
+    def _valid_cell_mask(self):
+        """Cells representing a real global cell (internal, or a halo cell
+
+        whose global index is inside the domain).  Alignment/remainder
+        padding and beyond-domain halo cells are forced dry: a solid-wall
+        default exactly where the serial reference would have external
+        boundary cells."""
+        d = self.grid.decomp
+        gx = layout.global_x_index(d)
+        gy = layout.global_y_index(d)
+        mx = (gx >= 0) & (gx < d.global_nx)
+        my = (gy >= 0) & (gy < d.global_ny)
+        return jnp.asarray(my[:, None] & mx[None, :])
+
+    # ------------------------------------------------------------------
+    def enable_pallas(self, interpret: bool = False,
+                      tile_rows: int | None = None) -> None:
+        """Switch the step to the fused Pallas kernel (the fast path).
+
+        Needs a depth-2 halo: the kernel has no mid-step exchange, so the
+        whole chain must fit in the shard halo (build(halo_width=2))."""
+        if self.grid.halo_spec.halo < 2:
+            raise ValueError(
+                "the fused Pallas step needs halo_width >= 2 "
+                "(build(..., halo_width=2))")
+        self.use_pallas = True
+        self._pallas_interpret = interpret
+        self._pallas_tile_rows = tile_rows
+        self._step_cache.clear()
 
     # ------------------------------------------------------------------
     def set_initial_ssh(self, ssh_global: np.ndarray) -> None:
@@ -283,75 +395,65 @@ class NemoLite2D:
         self.sshn_v.data = next_sshv(self.sshn_t.data, t_wet)
 
     # ------------------------------------------------------------------
-    def _block_step(self, exch, istep, sshn_t, un, vn, consts):
-        (ht, hu, hv, t_wet, t_upd, u_wet, v_wet, bc_cells,
-         flather_u, flather_v, fcor) = consts
+    def _block_step(self, exch, istep, sshn_t, un, vn, mask_codes):
         p = self.p
         dx, dy = self.grid.dx, self.grid.dy
+        spec = self.grid.halo_spec
+        h = spec.halo
 
         sshn_t = exch(sshn_t)
         un = exch(un)
         vn = exch(vn)
 
-        # U/V-face ssh derived from the freshly-exchanged T ssh (the
-        # NEMOLite2D next_sshu/next_sshv kernels).  Deriving here — not
-        # after the T update — keeps halo cells consistent across shard
-        # seams: values are valid wherever sshn_t's depth-1 halo is.
-        sshn_u = next_sshu(sshn_t, t_wet)
-        sshn_v = next_sshv(sshn_t, t_wet)
+        rtime = (istep + 1).astype(sshn_t.dtype) * p.rdt
+        forcing = tidal_forcing(rtime, p)
 
-        depu = hu + sshn_u
-        depv = hv + sshn_v
+        if self.use_pallas:
+            from ..ops.pallas_step import make_fused_step
+            fused = make_fused_step(
+                spec.local_ny, spec.local_nx, str(sshn_t.dtype), p, dx, dy,
+                self._fcor, self.depth,
+                tile_rows=getattr(self, "_pallas_tile_rows", None),
+                interpret=self._pallas_interpret)
+            return fused(sshn_t, un, vn, mask_codes, forcing)
 
-        ssha_t = continuity(sshn_t, un, vn, depu, depv,
-                            rdt=p.rdt, dx=dx, dy=dy)
-        ssha_t = jnp.where(t_upd > 0, ssha_t, sshn_t)
-        rtime = (istep + 1).astype(ssha_t.dtype) * p.rdt
-        ssha_t = bc_ssh(ssha_t, bc_cells, rtime, p)
-
-        # Halo exchange between dependent kernels (the reference client
-        # pattern, SURVEY §3.6): momentum's pressure gradient reads the
-        # new surface across shard seams.
-        ssha_t = exch(ssha_t)
-
-        ua = momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv,
-                        p=p, dx=dx, dy=dy, fcor=fcor)
-        va = momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu,
-                        p=p, dx=dx, dy=dy, fcor=fcor)
-        ua = ua * u_wet
-        va = va * v_wet
-        ua = bc_flather_u(ua, sshn_u, hu, flather_u, p)
-        va = bc_flather_v(va, sshn_v, hv, flather_v, p)
-
-        return ssha_t, ua, va
+        # With halo width 1 the new surface must cross shard seams
+        # between continuity and momentum (the reference's
+        # between-dependent-kernels exchange, SURVEY §3.6).  With halo
+        # width >= 2 the deep halo lets every shard compute ssha
+        # redundantly one ring into its halo, so the whole step is a
+        # single communication-free stencil chain — the fused-kernel
+        # fast path.
+        exch_mid = exch if h < 2 else None
+        return step_math(sshn_t, un, vn, mask_codes, p, dx, dy, self._fcor,
+                         self.depth, forcing, exch_mid=exch_mid)
 
     def step_program(self, nsteps: int):
         if nsteps not in self._step_cache:
             grid = self.grid
-            exch = exchange_fn(grid.halo_spec, depth=1)
+            h = grid.halo_spec.halo
+            exch = exchange_fn(grid.halo_spec, depth=min(h, 2) or 1)
 
-            def body(istep0, state, consts):
+            def body(istep0, state, mask_codes):
                 def one(i, s):
-                    return self._block_step(exch, istep0 + i, *s, consts)
+                    return self._block_step(exch, istep0 + i, *s,
+                                            mask_codes)
                 return lax.fori_loop(0, nsteps, one, state)
 
             blk = P("y", "x")
+            # check_vma=False: pallas_call outputs don't carry varying-
+            # mesh-axis metadata; the specs are explicit anyway.
             smapped = jax.shard_map(
                 body, mesh=grid.mesh,
-                in_specs=(P(), (blk,) * 3, (blk,) * 11),
-                out_specs=(blk,) * 3)
+                in_specs=(P(), (blk,) * 3, blk),
+                out_specs=(blk,) * 3, check_vma=False)
             self._step_cache[nsteps] = jax.jit(smapped)
         return self._step_cache[nsteps]
-
-    def _consts(self):
-        return (self.ht.data, self.hu.data, self.hv.data, self._t_wet,
-                self._t_upd, self._u_wet, self._v_wet, self._bc_cells,
-                self._flather_u, self._flather_v, self._fcor)
 
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)
         state = (self.sshn_t.data, self.un.data, self.vn.data)
-        out = prog(jnp.int32(self._istep0), state, self._consts())
+        out = prog(jnp.int32(self._istep0), state, self._mask_codes)
         self.sshn_t.data, self.un.data, self.vn.data = out
         self._istep0 += nsteps
         # keep the derived U/V-face ssh fields in sync for API users
@@ -372,11 +474,26 @@ class NemoLite2D:
 
 def build(gnx: int = 256, gny: int = 256, ndomains=None,
           params: Params = Params(), depth: float = 100.0,
-          open_north: bool = True, dtype=None) -> NemoLite2D:
-    """Convenience constructor: grid + tmask + model."""
+          open_north: bool = True, dtype=None,
+          halo_width: int = 1, pallas: bool = False) -> NemoLite2D:
+    """Convenience constructor: grid + tmask + model.
+
+    ``halo_width=2`` selects the deep-halo fast path: one exchange per
+    step, no mid-step communication (redundant ring compute instead).
+    ``pallas=True`` additionally swaps the step for the fused Pallas
+    kernel (implies halo_width=2 and TPU-tile-aligned shards).
+    """
+    align = align_y = 1
+    if pallas:
+        halo_width = max(halo_width, 2)
+        align, align_y = 128, 8   # f32 TPU tiling (sublane 8, lane 128)
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
                    dl.OFFSET_NE, dtype=dtype)
-    grid.decompose(gnx, gny, ndomains=ndomains)
+    grid.decompose(gnx, gny, ndomains=ndomains, halo_width=halo_width,
+                   align=align, align_y=align_y)
     dl.grid_init(grid, 1000.0, 1000.0, default_tmask(gnx, gny, open_north))
-    return NemoLite2D(grid, params, depth)
+    model = NemoLite2D(grid, params, depth)
+    if pallas:
+        model.enable_pallas()
+    return model

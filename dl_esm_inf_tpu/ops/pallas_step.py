@@ -1,0 +1,166 @@
+"""Fused Pallas TPU kernel for the NEMOLite2D time step.
+
+The jnp step is ~60 elementwise/roll ops; XLA materialises many
+intermediates, costing ~35 HBM array-passes per step.  This kernel does
+the whole step — mask derivation, next_sshu/v, continuity, boundary
+forcing, momentum, Flather — in ONE pass over HBM:
+
+* grid over row-strips of the local shard block;
+* per strip, DMA a (TY+4, lx)-row window of the three prognostics + the
+  int8 tmask from HBM into VMEM (the +-2 ring covers the step's total
+  stencil reach of 2, so the chain needs no cross-tile communication —
+  the same redundant-compute argument as the shard-level deep halo);
+* evaluate :func:`..models.nemolite2d.step_math` on the window (the
+  physics is written once and shared with the jnp path);
+* DMA the (TY, lx) result rows of ssha/ua/va back to HBM.
+
+HBM traffic: ~(TY+4)/TY * 13 B read + 12 B written per point — within a
+few % of the 25 B/pt speed-of-light for this state layout.
+
+Halo rows/cols of the output hold window-wrapped garbage (finite by
+construction: every division in the step is bounded away from zero);
+they are exactly the cells the next halo exchange overwrites or the
+masks keep inert — identical semantics to the jnp path, which also
+computes garbage there (block-wrapped instead of window-wrapped).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
+                    dy: float, fcor: float, depth: float,
+                    tile_rows: int | None = None, interpret: bool = False):
+    """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing)
+
+    -> (ssha, ua, va), all shaped (ly, lx) per shard block."""
+    from ..models.nemolite2d import step_math
+
+    dtype = jnp.dtype(dtype_str)
+    if ly % 8 != 0:
+        raise ValueError(
+            f"fused Pallas step needs 8-row-aligned shards (local_ny={ly}); "
+            "decompose with align_y=8 (models.nemolite2d.build(pallas=True) "
+            "does this)")
+    # Window ring of 8 rows per side (the physics needs 2; 8 satisfies
+    # Mosaic's f32 sublane tiling so every VMEM row slice is aligned).
+    # Tile height trades DMA efficiency against Mosaic's VMEM stack for
+    # the chain's live temporaries (~25 window-sized arrays).
+    TY = tile_rows or min(128, ly)
+    TY = min(TY, ly)
+    if TY % 8 != 0:
+        raise ValueError(f"tile_rows must be a multiple of 8, got {TY}")
+    H = min(TY + 16, ly)         # input window rows
+    n_tiles = _cdiv(ly, TY)
+
+    def _rows(i):
+        """(output-row start, window-row start, in-window offset) of tile i;
+
+        all 8-aligned for Mosaic's f32 sublane tiling."""
+        ry = pl.multiple_of(jnp.minimum(i * TY, ly - TY), 8)
+        wy = pl.multiple_of(jnp.clip(ry - 8, 0, ly - H), 8)
+        off = pl.multiple_of(ry - wy, 8)
+        return ry, wy, off
+
+    def kernel(forcing_ref, sshn_hbm, un_hbm, vn_hbm, tm_hbm,
+               ssha_hbm, ua_hbm, va_hbm,
+               w_ssh, w_un, w_vn, w_tm, o_ssh, o_ua, o_va,
+               in_sems, out_sems):
+        # Double-buffered pipeline over row tiles (guide: Patterns /
+        # Double Buffering): tile i computes while tile i+1 streams in
+        # and tile i-1 streams out.
+        ins_of = [sshn_hbm, un_hbm, vn_hbm, tm_hbm]
+        wins = [w_ssh, w_un, w_vn, w_tm]
+        outs_of = [ssha_hbm, ua_hbm, va_hbm]
+        obufs = [o_ssh, o_ua, o_va]
+
+        def in_dmas(slot, i):
+            _, wy, _ = _rows(i)
+            return [pltpu.make_async_copy(src.at[pl.ds(wy, H), :],
+                                          w.at[slot], in_sems.at[k, slot])
+                    for k, (src, w) in enumerate(zip(ins_of, wins))]
+
+        def out_dmas(slot, i):
+            ry, _, off = _rows(i)
+            return [pltpu.make_async_copy(o.at[slot, pl.ds(off, TY), :],
+                                          dst.at[pl.ds(ry, TY), :],
+                                          out_sems.at[k, slot])
+                    for k, (o, dst) in enumerate(zip(obufs, outs_of))]
+
+        for c in in_dmas(0, 0):
+            c.start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+            nslot = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                for c in in_dmas(nslot, i + 1):
+                    c.start()
+
+            for c in in_dmas(slot, i):
+                c.wait()
+
+            ssha, ua, va = step_math(
+                w_ssh[slot], w_un[slot], w_vn[slot], w_tm[slot], p, dx,
+                dy, fcor, depth, forcing=forcing_ref[0], exch_mid=None)
+
+            # fence: tile i-2 used this out slot; its DMA must be done
+            @pl.when(i >= 2)
+            def _():
+                for c in out_dmas(slot, i - 2):
+                    c.wait()
+
+            o_ssh[slot] = ssha
+            o_ua[slot] = ua
+            o_va[slot] = va
+            for c in out_dmas(slot, i):
+                c.start()
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, body, 0)
+        for i in (n_tiles - 2, n_tiles - 1):
+            @pl.when(i >= 0)
+            def _(i=i):
+                for c in out_dmas(jax.lax.rem(i, 2), i):
+                    c.wait()
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  any_spec, any_spec, any_spec, any_spec],
+        out_specs=(any_spec, any_spec, any_spec),
+        out_shape=(jax.ShapeDtypeStruct((ly, lx), dtype),) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, H, lx), dtype),      # sshn windows
+            pltpu.VMEM((2, H, lx), dtype),      # un windows
+            pltpu.VMEM((2, H, lx), dtype),      # vn windows
+            pltpu.VMEM((2, H, lx), jnp.int8),   # tmask windows
+            pltpu.VMEM((2, H, lx), dtype),      # ssha out buffers
+            pltpu.VMEM((2, H, lx), dtype),      # ua out buffers
+            pltpu.VMEM((2, H, lx), dtype),      # va out buffers
+            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fused(sshn, un, vn, mask_codes_i8, forcing):
+        f = jnp.asarray(forcing, dtype).reshape((1,))
+        return call(f, sshn, un, vn, mask_codes_i8)
+
+    return fused

@@ -87,8 +87,8 @@ def test_continuity_kernel_vs_numpy():
     sshn = np.asarray(m.sshn_t.data)
     un = np.asarray(m.un.data)
     vn = np.asarray(m.vn.data)
-    depu = np.asarray(m.hu.data) + np.asarray(m.sshn_u.data)
-    depv = np.asarray(m.hv.data) + np.asarray(m.sshn_v.data)
+    depu = m.depth + np.asarray(m.sshn_u.data)
+    depv = m.depth + np.asarray(m.sshn_v.data)
     dx = dy = m.grid.dx
     got = np.asarray(nl.continuity(jnp.asarray(sshn), jnp.asarray(un),
                                    jnp.asarray(vn), jnp.asarray(depu),
