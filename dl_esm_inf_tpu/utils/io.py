@@ -1,0 +1,43 @@
+"""Field output utilities.
+
+Analogue of the reference's test-only gnuplot ``dump_field``
+(tests/dist_mem/test_halos.f90:267-338): write a field (with physical
+coordinates) for inspection, plus a compact .npz form.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.field import Field
+
+
+def dump_field(field: Field, path: str, halo_depth: int = 0,
+               fmt: str = "npz") -> None:
+    """Write one field's global internal data (optionally with a halo
+
+    ring view per rank for debugging).
+
+    fmt='npz'  -> arrays x, y, data (global, internal points)
+    fmt='dat'  -> gnuplot-style "x y value" triples, blank-line-separated
+                  rows (the reference's dump format)
+    """
+    g = field.gather_inner_data()
+    d = field.grid.decomp
+    # global T coordinates of internal points (reference xt/yt formula)
+    x = (np.arange(d.global_nx) + 1) * field.grid.dx
+    y = (np.arange(d.global_ny) + 1) * field.grid.dy
+    if fmt == "npz":
+        np.savez_compressed(path, x=x, y=y, data=g)
+    elif fmt == "dat":
+        with open(path, "w") as f:
+            for j in range(g.shape[0]):
+                for i in range(g.shape[1]):
+                    f.write(f"{x[i]:.6e} {y[j]:.6e} {g[j, i]:.6e}\n")
+                f.write("\n")
+    else:
+        raise ValueError(f"unknown dump format {fmt!r}")
+
+
+def load_dump(path: str) -> dict:
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}

@@ -1,0 +1,109 @@
+"""Aux subsystems: checkpoint/resume, profiling report, config, io."""
+import os
+
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.models import nemolite2d as nl
+from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+from dl_esm_inf_tpu.utils import checkpoint, config, io as dio, profiling
+
+
+def build(ndom=4, gnx=32, gny=24):
+    m = nl.build(gnx, gny, ndomains=ndom, open_north=False)
+    m.set_initial_ssh(gaussian_eta(gnx, gny, amp=0.5))
+    return m
+
+
+def test_checkpoint_roundtrip_same_mesh(tmp_path):
+    m = build()
+    m.run(20)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_model(path, m)
+    m2 = build()
+    checkpoint.load_model(path, m2)
+    assert m2._istep0 == 20
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(m2.gather()[k], m.gather()[k],
+                                   rtol=1e-12, atol=1e-14)
+    # resumed run == uninterrupted run
+    m.run(20)
+    m2.run(20)
+    np.testing.assert_allclose(m2.gather()["sshn"], m.gather()["sshn"],
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_checkpoint_across_mesh_shapes(tmp_path):
+    """Save on 6 shards, restore on 1 — elastic restart through the
+    global form (capability the reference entirely lacks)."""
+    m6 = build(ndom=6)
+    m6.run(10)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_model(path, m6)
+    m1 = build(ndom=1)
+    checkpoint.load_model(path, m1)
+    m6.run(10)
+    m1.run(10)
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(m1.gather()[k], m6.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_checkpoint_missing_field(tmp_path):
+    m = build()
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_fields(path, {"only": m.sshn_t})
+    with pytest.raises(KeyError):
+        checkpoint.load_fields(path, {"other": m.sshn_t})
+
+
+def test_comms_schedule():
+    m = build(ndom=6)
+    sched = profiling.comms_schedule(m.grid.halo_spec, depth=2)
+    axes = {(e["axis"], e["direction"]) for e in sched}
+    assert axes == {("x", "east"), ("x", "west"),
+                    ("y", "north"), ("y", "south")}
+    east = next(e for e in sched if e["direction"] == "east")
+    # 32x24 domain on 6 shards -> 3x2 process grid: x pairs (0,1),(1,2)
+    assert east["pairs"] == [(0, 1), (1, 2)]
+    assert east["strip"][1] == 2  # depth
+
+
+def test_decomposition_report():
+    d = dl.decompose(10, 10, ndomains=4)
+    rep = profiling.decomposition_report(d)
+    assert "2x2" in rep and "load imbalance" in rep
+    assert rep.count("subdomain[") == 4
+
+
+def test_step_timer():
+    t = profiling.StepTimer()
+    with t.measure():
+        pass
+    assert t.summary()["n"] == 1 and t.best >= 0
+
+
+def test_config_env(monkeypatch):
+    monkeypatch.setenv("DL_ESM_ALIGNMENT", "64")
+    monkeypatch.setenv("GOCEAN_OMP_GRID", "4x2")
+    monkeypatch.setenv("JPIGLO", "100")
+    cfg = config.read_env()
+    assert cfg.alignment == 64
+    assert cfg.tile_grid == (4, 2)
+    assert cfg.jpiglo == 100 and cfg.jpjglo is None
+    assert config.parse_grid_dims("bad") is None
+    assert config.parse_grid_dims("ax2") is None
+
+
+def test_dump_field(tmp_path):
+    m = build(ndom=4, gnx=8, gny=6)
+    p = str(tmp_path / "fld.npz")
+    dio.dump_field(m.sshn_t, p)
+    d = dio.load_dump(p)
+    assert d["data"].shape == (6, 8)
+    assert d["x"][0] == m.grid.dx
+    pd = str(tmp_path / "fld.dat")
+    dio.dump_field(m.sshn_t, pd, fmt="dat")
+    lines = open(pd).read().strip().split("\n\n")
+    assert len(lines) == 6  # one block per row
