@@ -71,11 +71,13 @@ def continuity(sshn_t, un, vn, depu, depv, *, rdt, dx, dy):
     """ssha_t: divergence of depth-integrated fluxes onto T cells.
 
     Flux through the east U face of T cell (ji): dep_u*un*dy at U[ji];
-    west face is U[ji-1] (NE offset)."""
-    flux_x = depu * un * dy
-    flux_y = depv * vn * dx
-    div = (flux_x - st.xm(flux_x)) + (flux_y - st.ym(flux_y))
-    return sshn_t - div * rdt / (dx * dy)
+    west face is U[ji-1] (NE offset).  All scalar factors are folded at
+    trace time (rdt/dx, rdt/dy) — VPU op count matters more than
+    formula symmetry."""
+    fx = depu * un
+    fy = depv * vn
+    return sshn_t - ((rdt / dx) * (fx - st.xm(fx))
+                     + (rdt / dy) * (fy - st.ym(fy)))
 
 
 @kernel(args=[Arg(GO_WRITE, GO_CU),
@@ -85,7 +87,7 @@ def continuity(sshn_t, un, vn, depu, depv, *, rdt, dx, dy):
               Arg(GO_READ, GO_CV, _FULL)],
         name="momentum_u")
 def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
-               dx, dy, fcor):
+               dx, dy, fcor, recip=None):
     """ua at U faces: advection + viscosity + Coriolis + pressure
     gradient + semi-implicit bottom friction.
 
@@ -97,40 +99,45 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
     dep_te = st.xp(ht + sshn_t)               # total depth at east T
     dep_tw = ht + sshn_t                      # total depth at west T
 
-    # mass fluxes through the faces of the U control volume
-    m_e = 0.5 * (un + st.xp(un)) * dep_te * dy   # east T centre
-    m_w = 0.5 * (un + st.xm(un)) * dep_tw * dy   # west T centre
+    # Everything below is a TENDENCY (per unit area): scalar geometry
+    # factors fold into trace-time constants, minimising VPU ops.
+    # mass fluxes (per unit face length) through the U control volume
+    m_e = 0.5 * (un + st.xp(un)) * dep_te        # east T centre
+    m_w = 0.5 * (un + st.xm(un)) * dep_tw        # west T centre
     dep_fn = 0.5 * (depv + st.xp(depv))          # NE F corner depth
-    m_n = 0.5 * (vn + st.xp(vn)) * dep_fn * dx   # NE F corner
+    m_n = 0.5 * (vn + st.xp(vn)) * dep_fn        # NE F corner
     m_s = st.ym(m_n)                             # SE F corner
     # donor-cell (upstream) u carried by each flux
     u_de = jnp.where(m_e > 0, un, st.xp(un))
     u_dw = jnp.where(m_w > 0, st.xm(un), un)
     u_dn = jnp.where(m_n > 0, un, st.yp(un))
     u_ds = jnp.where(m_s > 0, st.ym(un), un)
-    adv = -(m_e * u_de - m_w * u_dw + m_n * u_dn - m_s * u_ds)
+    adv = -((1.0 / dx) * (m_e * u_de - m_w * u_dw)
+            + (1.0 / dy) * (m_n * u_dn - m_s * u_ds))
     dep_n = dep_fn
     dep_s = st.ym(dep_n)
 
     # --- viscosity: div(dep * visc * grad u) ----------------------------
-    dudx_e = (st.xp(un) - un) / dx * dep_te
-    dudx_w = (un - st.xm(un)) / dx * dep_tw
-    dudy_n = (st.yp(un) - un) / dy * dep_n
-    dudy_s = (un - st.ym(un)) / dy * dep_s
-    vis = p.visc * ((dudx_e - dudx_w) * dy + (dudy_n - dudy_s) * dx)
+    gx_e = (st.xp(un) - un) * dep_te
+    gx_w = (un - st.xm(un)) * dep_tw
+    gy_n = (st.yp(un) - un) * dep_n
+    gy_s = (un - st.ym(un)) * dep_s
+    vis = (p.visc / (dx * dx)) * (gx_e - gx_w) \
+        + (p.visc / (dy * dy)) * (gy_n - gy_s)
 
     # --- Coriolis (f-plane from latitude) -------------------------------
     v_u = 0.25 * (vn + st.xp(vn) + st.ym(vn) + st.ym(st.xp(vn)))
-    cor = fcor * v_u * dep_u * (dx * dy)
+    cor = fcor * v_u * dep_u
 
     # --- pressure gradient on the NEW ssh (forward-backward scheme:
     # continuity first, momentum sees the updated surface — gravity-wave
     # stable up to c*dt*sqrt(2)/dx ~ 1) -----------------------------------
-    hpg = -p.g * dep_u * (st.xp(ssha_t) - ssha_t) / dx * (dx * dy)
+    hpg = (-p.g / dx) * dep_u * (st.xp(ssha_t) - ssha_t)
 
     # --- time update with semi-implicit linear bottom friction ----------
-    ua = (un * dep_u + p.rdt * (adv + vis + cor + hpg) / (dx * dy)) \
-        / dep_u / (1.0 + p.cbfr * p.rdt)
+    rd = recip(dep_u) if recip is not None else 1.0 / dep_u
+    ua = (un * dep_u + p.rdt * (adv + vis + cor + hpg)) \
+        * (1.0 / (1.0 + p.cbfr * p.rdt)) * rd
     return ua
 
 
@@ -141,38 +148,41 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
               Arg(GO_READ, GO_CU, _FULL)],
         name="momentum_v")
 def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
-               dx, dy, fcor):
+               dx, dy, fcor, recip=None):
     dep_v = hv + sshn_v
     dep_tn = st.yp(ht + sshn_t)
     dep_ts = ht + sshn_t
 
-    # mass fluxes through the faces of the V control volume
-    m_n = 0.5 * (vn + st.yp(vn)) * dep_tn * dx   # north T centre
-    m_s = 0.5 * (vn + st.ym(vn)) * dep_ts * dx   # south T centre
+    # tendency form, scalar factors folded (see momentum_u)
+    m_n = 0.5 * (vn + st.yp(vn)) * dep_tn        # north T centre
+    m_s = 0.5 * (vn + st.ym(vn)) * dep_ts        # south T centre
     dep_fe = 0.5 * (depu + st.yp(depu))          # NE F corner depth
-    m_e = 0.5 * (un + st.yp(un)) * dep_fe * dy   # NE F corner
+    m_e = 0.5 * (un + st.yp(un)) * dep_fe        # NE F corner
     m_w = st.xm(m_e)                             # NW F corner
     v_dn = jnp.where(m_n > 0, vn, st.yp(vn))
     v_ds = jnp.where(m_s > 0, st.ym(vn), vn)
     v_de = jnp.where(m_e > 0, vn, st.xp(vn))
     v_dw = jnp.where(m_w > 0, st.xm(vn), vn)
-    adv = -(m_e * v_de - m_w * v_dw + m_n * v_dn - m_s * v_ds)
+    adv = -((1.0 / dx) * (m_e * v_de - m_w * v_dw)
+            + (1.0 / dy) * (m_n * v_dn - m_s * v_ds))
     dep_e = dep_fe
     dep_w = st.xm(dep_e)
 
-    dvdy_n = (st.yp(vn) - vn) / dy * dep_tn
-    dvdy_s = (vn - st.ym(vn)) / dy * dep_ts
-    dvdx_e = (st.xp(vn) - vn) / dx * dep_e
-    dvdx_w = (vn - st.xm(vn)) / dx * dep_w
-    vis = p.visc * ((dvdy_n - dvdy_s) * dx + (dvdx_e - dvdx_w) * dy)
+    gy_n = (st.yp(vn) - vn) * dep_tn
+    gy_s = (vn - st.ym(vn)) * dep_ts
+    gx_e = (st.xp(vn) - vn) * dep_e
+    gx_w = (vn - st.xm(vn)) * dep_w
+    vis = (p.visc / (dy * dy)) * (gy_n - gy_s) \
+        + (p.visc / (dx * dx)) * (gx_e - gx_w)
 
     u_v = 0.25 * (un + st.yp(un) + st.xm(un) + st.xm(st.yp(un)))
-    cor = -fcor * u_v * dep_v * (dx * dy)
+    cor = -fcor * u_v * dep_v
 
-    hpg = -p.g * dep_v * (st.yp(ssha_t) - ssha_t) / dy * (dx * dy)
+    hpg = (-p.g / dy) * dep_v * (st.yp(ssha_t) - ssha_t)
 
-    va = (vn * dep_v + p.rdt * (adv + vis + cor + hpg) / (dx * dy)) \
-        / dep_v / (1.0 + p.cbfr * p.rdt)
+    rd = recip(dep_v) if recip is not None else 1.0 / dep_v
+    va = (vn * dep_v + p.rdt * (adv + vis + cor + hpg)) \
+        * (1.0 / (1.0 + p.cbfr * p.rdt)) * rd
     return va
 
 
@@ -200,18 +210,26 @@ def bc_flather_v(va, sshn_v, hv, flather_v, p: Params):
     return jnp.where(flather_v > 0, flath, va)
 
 
-def next_sshu(sshn_t, t_wet):
+def next_sshu(sshn_t, t_wet, u_wet=None):
     """Interpolate T ssh onto U faces (area-weighted; uniform grid ->
-    arithmetic mean of the wet neighbours, NEMOLite2D next_sshu)."""
-    wsum = t_wet + st.xp(t_wet)
-    s = (sshn_t * t_wet + st.xp(sshn_t * t_wet))
-    return jnp.where(wsum > 0, s / jnp.maximum(wsum, 1.0), 0.0)
+    arithmetic mean of the wet neighbours, NEMOLite2D next_sshu).
+
+    Division-free identity: the wet-neighbour count is 2 exactly where
+    the face itself is wet (``u_wet``), else <= 1 — so the weight is
+    ``1 - u_wet/2`` and the dry-face sum is already 0."""
+    sw = sshn_t * t_wet
+    s = sw + st.xp(sw)
+    if u_wet is None:
+        u_wet = t_wet * st.xp(t_wet)
+    return s * (1.0 - 0.5 * u_wet)
 
 
-def next_sshv(sshn_t, t_wet):
-    wsum = t_wet + st.yp(t_wet)
-    s = (sshn_t * t_wet + st.yp(sshn_t * t_wet))
-    return jnp.where(wsum > 0, s / jnp.maximum(wsum, 1.0), 0.0)
+def next_sshv(sshn_t, t_wet, v_wet=None):
+    sw = sshn_t * t_wet
+    s = sw + st.yp(sw)
+    if v_wet is None:
+        v_wet = t_wet * st.yp(t_wet)
+    return s * (1.0 - 0.5 * v_wet)
 
 
 def derive_masks(tmask, dtype):
@@ -248,8 +266,22 @@ def decode_masks(codes, dtype):
     return tuple(((c >> k) & 1).astype(dtype) for k in range(6))
 
 
+def _recip_exact(x):
+    return 1.0 / x
+
+
+def _recip_fast(x):
+    """Hardware approximate reciprocal + one Newton step (~f32 accurate);
+
+    the VPU's divide is many times slower than multiply, and the step's
+    two 1/dep divisions are a visible slice of its op budget."""
+    from jax.experimental import pallas as pl
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
 def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
-              forcing, exch_mid=None):
+              forcing, exch_mid=None, recip=_recip_exact):
     """One complete NEMOLite2D step as a pure stencil chain.
 
     Shared by the jnp path (full shard blocks) and the Pallas fused
@@ -270,8 +302,8 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
     # U/V-face ssh derived from the freshly-exchanged T ssh (the
     # NEMOLite2D next_sshu/next_sshv kernels), valid wherever sshn_t's
     # halo is.
-    sshn_u = next_sshu(sshn_t, t_wet)
-    sshn_v = next_sshv(sshn_t, t_wet)
+    sshn_u = next_sshu(sshn_t, t_wet, u_wet)
+    sshn_v = next_sshv(sshn_t, t_wet, v_wet)
 
     depu = hu + sshn_u
     depv = hv + sshn_v
@@ -284,9 +316,9 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
         ssha_t = exch_mid(ssha_t)
 
     ua = momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv,
-                    p=p, dx=dx, dy=dy, fcor=fcor)
+                    p=p, dx=dx, dy=dy, fcor=fcor, recip=recip)
     va = momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu,
-                    p=p, dx=dx, dy=dy, fcor=fcor)
+                    p=p, dx=dx, dy=dy, fcor=fcor, recip=recip)
     ua = ua * u_wet
     va = va * v_wet
     ua = bc_flather_u(ua, sshn_u, hu, flather_u, p)

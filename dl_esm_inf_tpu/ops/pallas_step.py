@@ -44,7 +44,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing)
 
     -> (ssha, ua, va), all shaped (ly, lx) per shard block."""
-    from ..models.nemolite2d import step_math
+    from ..models.nemolite2d import _recip_exact, step_math
 
     dtype = jnp.dtype(dtype_str)
     if ly % 8 != 0:
@@ -112,9 +112,12 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
             for c in in_dmas(slot, i):
                 c.wait()
 
+            # measured: _recip_fast (approx+Newton) is not faster than
+            # the VPU divide here; keep exact for jnp-path identity
             ssha, ua, va = step_math(
                 w_ssh[slot], w_un[slot], w_vn[slot], w_tm[slot], p, dx,
-                dy, fcor, depth, forcing=forcing_ref[0], exch_mid=None)
+                dy, fcor, depth, forcing=forcing_ref[0], exch_mid=None,
+                recip=_recip_exact)
 
             # fence: tile i-2 used this out slot; its DMA must be done
             @pl.when(i >= 2)
