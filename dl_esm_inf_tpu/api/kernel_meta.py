@@ -175,6 +175,14 @@ _GRID_PROP_GETTERS = {
     GridProp.GRID_LAT_V: lambda g: g.gphiv,
     GridProp.GRID_DX_CONST: lambda g: g.dx,
     GridProp.GRID_DY_CONST: lambda g: g.dy,
+    # Local internal-region index bounds (argument_mod.f90:109-112).  The
+    # shards are shape-uniform, so the template bounds are the same on
+    # every device (half-open 0-based; the Fortran values are
+    # xstart+1..xstop inclusive).
+    GridProp.GRID_X_MIN_INDEX: lambda g: g.decomp.halo,
+    GridProp.GRID_X_MAX_INDEX: lambda g: g.decomp.halo + g.decomp.tile_nx,
+    GridProp.GRID_Y_MIN_INDEX: lambda g: g.decomp.halo,
+    GridProp.GRID_Y_MAX_INDEX: lambda g: g.decomp.halo + g.decomp.tile_ny,
 }
 
 
@@ -182,7 +190,9 @@ def _is_scalar_arg(a: Arg) -> bool:
     return a.element in (Element.R_SCALAR, Element.I_SCALAR) or (
         isinstance(a.element, GridProp) and a.element in (
             GridProp.TIME_STEP, GridProp.GRID_DX_CONST,
-            GridProp.GRID_DY_CONST))
+            GridProp.GRID_DY_CONST, GridProp.GRID_X_MIN_INDEX,
+            GridProp.GRID_X_MAX_INDEX, GridProp.GRID_Y_MIN_INDEX,
+            GridProp.GRID_Y_MAX_INDEX))
 
 
 def _is_reduction(a: Arg) -> bool:

@@ -1,0 +1,71 @@
+"""'Shallow' model: SW offset + doubly-periodic, distributed."""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.models import shallow
+from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+
+@pytest.mark.parametrize("ndom", [1, 4])
+def test_allclose_vs_golden(ndom):
+    gnx = gny = 32
+    m = shallow.build(gnx, gny, ndomains=ndom, dt=0.02)
+    eta0 = gaussian_eta(gnx, gny, amp=0.3)
+    m.set_initial_eta(eta0)
+    m.run(200)
+    got = m.gather()
+    want = shallow.golden_reference(eta0, 0.02, 200)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-11, atol=1e-12,
+                                   err_msg=k)
+
+
+def test_decomposition_invariance_periodic():
+    m1 = shallow.build(32, 32, ndomains=1)
+    m4 = shallow.build(32, 32, ndomains=4)
+    eta0 = gaussian_eta(32, 32, amp=0.3)
+    m1.set_initial_eta(eta0)
+    m4.set_initial_eta(eta0)
+    m1.run(100)
+    m4.run(100)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(m4.gather()[k], m1.gather()[k],
+                                   rtol=1e-12, atol=1e-13)
+
+
+def test_mass_conserved_periodic():
+    m = shallow.build(32, 32, ndomains=4)
+    eta0 = gaussian_eta(32, 32, amp=0.3)
+    m.set_initial_eta(eta0)
+    m.run(300)
+    g = m.gather()
+    assert np.all(np.isfinite(g["eta"]))
+    assert abs(g["eta"].sum() - eta0.sum()) < 1e-9
+
+
+def test_wave_crosses_periodic_seam():
+    """An off-centre bump must propagate across the wrap seam with no
+    reflection artefacts: the domain max should not sit pinned at the
+    seam and energy stays bounded."""
+    gnx = gny = 48
+    m = shallow.build(gnx, gny, ndomains=4, dt=0.02)
+    eta0 = np.roll(gaussian_eta(gnx, gny, amp=0.5), gnx // 2, axis=1)
+    m.set_initial_eta(eta0)
+    e0 = float((m.gather()["eta"] ** 2).sum())
+    m.run(400)
+    g = m.gather()
+    e1 = float((g["eta"] ** 2).sum() +
+               (m.depth / m.g) * ((g["u"] ** 2).sum() + (g["v"] ** 2).sum()))
+    assert np.all(np.isfinite(g["eta"]))
+    assert e1 < 10 * e0  # bounded (linear waves, no forcing)
+
+
+def test_requires_sw_periodic():
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(16, 16, ndomains=1)
+    dl.grid_init(grid, 1.0, 1.0)
+    with pytest.raises(ValueError, match="SW offset"):
+        shallow.ShallowModel(grid, dt=0.1)
