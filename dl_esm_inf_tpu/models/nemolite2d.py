@@ -460,16 +460,99 @@ class NemoLite2D:
         return step_math(sshn_t, un, vn, mask_codes, p, dx, dy, self._fcor,
                          self.depth, forcing, exch_mid=exch_mid)
 
-    def step_program(self, nsteps: int):
-        if nsteps not in self._step_cache:
-            grid = self.grid
+    # ------------------------------------------------------------------
+    def _block_step_overlap(self, exch, istep, sshn_t, un, vn, mask_codes):
+        """Comms/compute-overlapped step (SURVEY §2: 'split interior/
+
+        boundary stencil, overlap ppermute with interior compute').
+
+        The interior is computed from the STALE block — a graph node with
+        no dependence on the halo collectives, so XLA's latency-hiding
+        scheduler runs the ppermutes underneath it.  Only thin boundary
+        bands (the cells within stencil reach of a halo) are recomputed
+        from the freshly-exchanged block and pasted over the interior
+        result.  Requires the deep-halo (h>=2) communication-free chain.
+
+        Measured tradeoff (v5e, 1024^2/chip): the band recompute costs
+        ~170us of unfused small-slice jnp work while a depth-2 halo
+        exchange moves only ~100KB/field over ICI (~us) — so this mode
+        only pays when communication is latency-bound (multi-host DCN
+        hops), not within a slice.  It is therefore opt-in
+        (``step_program(n, overlap=True)``), kept correct by tests.
+        """
+        p = self.p
+        dx, dy = self.grid.dx, self.grid.dy
+        spec = self.grid.halo_spec
+        h = spec.halo
+        w, hgt = spec.tile_nx, spec.tile_ny
+        lx, ly = spec.local_nx, spec.local_ny
+        B = 8                                   # band slice thickness
+
+        rtime = (istep + 1).astype(sshn_t.dtype) * p.rdt
+        forcing = tidal_forcing(rtime, p)
+
+        def run(s, u, v, c):
+            return step_math(s, u, v, c, p, dx, dy, self._fcor,
+                             self.depth, forcing, exch_mid=None)
+
+        # collectives — and, independently, the stale-interior compute
+        fresh = (exch(sshn_t), exch(un), exch(vn))
+        if self.use_pallas:
+            from ..ops.pallas_step import make_fused_step
+            fused = make_fused_step(
+                ly, lx, str(sshn_t.dtype), p, dx, dy, self._fcor,
+                self.depth, tile_rows=getattr(self, "_pallas_tile_rows",
+                                              None),
+                interpret=self._pallas_interpret)
+            stale = fused(sshn_t, un, vn, mask_codes, forcing)
+        else:
+            stale = run(sshn_t, un, vn, mask_codes)
+
+        # boundary bands recomputed from the fresh block.  Valid target
+        # cells sit >= 2 from each band-slice edge; bands cover every
+        # internal cell within reach 2 of a halo cell.
+        out = list(stale)
+
+        def paste_rows(r0):
+            sl = slice(r0, r0 + B)
+            band = run(*(f[sl, :] for f in fresh), mask_codes[sl, :])
+            tgt = slice(r0 + 2, r0 + B - 2)
+            for k in range(3):
+                out[k] = out[k].at[tgt, :].set(band[k][2:B - 2, :])
+
+        def paste_cols(c0):
+            sl = slice(c0, c0 + B)
+            band = run(*(f[:, sl] for f in fresh), mask_codes[:, sl])
+            tgt = slice(c0 + 2, c0 + B - 2)
+            for k in range(3):
+                out[k] = out[k].at[:, tgt].set(band[k][:, 2:B - 2])
+
+        # south rows [h, h+2) & north rows [h+hgt-2, h+hgt)
+        paste_rows(h - 2)
+        paste_rows(h + hgt - (B - 2))
+        # west cols & east cols
+        paste_cols(h - 2)
+        paste_cols(h + w - (B - 2))
+        return tuple(out)
+
+    def step_program(self, nsteps: int, overlap: bool = False):
+        grid = self.grid
+        if overlap:
+            spec = grid.halo_spec
+            if spec.halo < 2:
+                raise ValueError("overlap mode needs halo_width >= 2")
+            if spec.tile_nx < 8 or spec.tile_ny < 8:
+                raise ValueError("overlap mode needs tiles >= 8x8")
+        key = (nsteps, overlap)
+        if key not in self._step_cache:
             h = grid.halo_spec.halo
             exch = exchange_fn(grid.halo_spec, depth=min(h, 2) or 1)
+            stepper = (self._block_step_overlap if overlap
+                       else self._block_step)
 
             def body(istep0, state, mask_codes):
                 def one(i, s):
-                    return self._block_step(exch, istep0 + i, *s,
-                                            mask_codes)
+                    return stepper(exch, istep0 + i, *s, mask_codes)
                 return lax.fori_loop(0, nsteps, one, state)
 
             blk = P("y", "x")

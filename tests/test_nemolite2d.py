@@ -103,3 +103,42 @@ def test_continuity_kernel_vs_numpy():
         (fy[1:-1, 1:-1] - fy[0:-2, 1:-1])) * m.p.rdt / (dx * dy)
     np.testing.assert_allclose(got[1:-1, 1:-1], want[1:-1, 1:-1],
                                rtol=1e-12)
+
+
+def test_overlap_step_matches_plain():
+    """Interior/boundary-split overlapped step must equal the plain step
+    exactly (jnp path, fp64): the split is pure restructuring."""
+    import jax.numpy as jnp
+    for ndom in (1, 4):
+        ma = build(gnx=48, gny=40, ndom=ndom)
+        mb = build(gnx=48, gny=40, ndom=ndom)
+        # rebuild with deep halos (overlap requires h>=2)
+        ma = nl.build(48, 40, ndomains=ndom, halo_width=2, open_north=True)
+        mb = nl.build(48, 40, ndomains=ndom, halo_width=2, open_north=True)
+        from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+        ma.set_initial_ssh(gaussian_eta(48, 40, amp=0.5))
+        mb.set_initial_ssh(gaussian_eta(48, 40, amp=0.5))
+        # run a: plain; run b: overlapped
+        pa = ma.step_program(30)
+        pb = mb.step_program(30, overlap=True)
+        sa = pa(jnp.int32(0), (ma.sshn_t.data, ma.un.data, ma.vn.data),
+                ma._mask_codes)
+        sb = pb(jnp.int32(0), (mb.sshn_t.data, mb.un.data, mb.vn.data),
+                mb._mask_codes)
+        for k, (a, b) in enumerate(zip(sa, sb)):
+            # compare in-domain internal points only (halo/pad cells
+            # legitimately differ: plain computes them, overlap pastes).
+            # Tolerance: the two programs compile differently, so XLA's
+            # FMA/excess-precision choices differ by ~1 ulp per step.
+            ma.sshn_t.data = a
+            mb.sshn_t.data = b
+            np.testing.assert_allclose(mb.sshn_t.gather_inner_data(),
+                                       ma.sshn_t.gather_inner_data(),
+                                       rtol=1e-12, atol=1e-13,
+                                       err_msg=f"ndom={ndom} field {k}")
+
+
+def test_overlap_guards():
+    m = build(gnx=16, gny=16, ndom=1)  # halo 1
+    with pytest.raises(ValueError, match="halo_width"):
+        m.step_program(1, overlap=True)
