@@ -82,6 +82,12 @@ GO_VERTICES = 0
 GO_EDGES = 1
 GO_CELLS = 2
 
+#: finite-element stencil marker (reference global_parameters_mod.f90:20-23)
+GO_FE = 4
+#: maximum object-name length (reference global_parameters_mod.f90:9);
+#: irrelevant to Python strings, kept for completeness
+NAME_LEN = 1024
+
 # T-mask point classification (reference grid_mod.f90:94-102).
 TMASK_WET = 1
 TMASK_DRY = 0

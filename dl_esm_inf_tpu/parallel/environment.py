@@ -34,13 +34,27 @@ class GOceanStop(RuntimeError):
     """
 
 
-def initialise(devices=None) -> None:
+def initialise(devices=None, multihost: bool | None = None) -> None:
     """Analogue of gocean_initialise()/parallel_init (gocean_mod.F90:22-34).
 
     Records the device pool used for subsequent decompositions.  Safe to
     call more than once.
+
+    Multi-host: when launched under a multi-host coordinator (env vars
+    ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
+    or an autodetected platform), pass ``multihost=True`` (or leave the
+    default, which turns it on if a coordinator address is present) to
+    run ``jax.distributed.initialize()`` first — the moral equivalent of
+    the reference's ``mpi_init`` (parallel_utils_mod.f90:77-90).
+    ``jax.devices()`` then spans all hosts, halo exchanges cross DCN
+    transparently, and the rest of the framework is unchanged.
     """
     global _devices, _initialised
+    import os
+    if multihost is None:
+        multihost = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if multihost and jax.process_count() == 1 and not _initialised:
+        jax.distributed.initialize()
     _devices = list(devices) if devices is not None else list(jax.devices())
     _initialised = True
 
