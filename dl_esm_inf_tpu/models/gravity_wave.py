@@ -33,7 +33,7 @@ from jax.sharding import PartitionSpec as P
 import dl_esm_inf_tpu as dl
 from ..core import layout
 from ..ops import stencils as st
-from ..parallel.halo import exchange_fn
+from ..parallel.halo import exchange_multi_fn
 
 
 def default_tmask(gnx: int, gny: int) -> np.ndarray:
@@ -91,9 +91,7 @@ class GravityWaveModel:
         """One forward-backward step on a local block (inside shard_map)."""
         g, H, dt = self.g, self.depth, self.dt
         dx, dy = self.grid.dx, self.grid.dy
-        eta = exch(eta)
-        u = exch(u)
-        v = exch(v)
+        eta, u, v = exch((eta, u, v))
         u_new = (u - g * dt * st.ddx(eta, dx)) * u_wet
         v_new = (v - g * dt * st.ddy(eta, dy)) * v_wet
         div = st.ddx_back(u_new, dx) + st.ddy_back(v_new, dy)
@@ -105,7 +103,7 @@ class GravityWaveModel:
         key = nsteps
         if key not in self._step_cache:
             grid = self.grid
-            exch = exchange_fn(grid.halo_spec, depth=1)
+            exch = exchange_multi_fn(grid.halo_spec, depth=1)
 
             def body(eta, u, v, t_upd, u_wet, v_wet):
                 def one(_, s):

@@ -38,7 +38,7 @@ from jax.sharding import PartitionSpec as P
 import dl_esm_inf_tpu as dl
 from ..core import layout
 from ..ops import stencils as st
-from ..parallel.halo import exchange_fn
+from ..parallel.halo import exchange_fn, exchange_multi_fn
 from ..api.kernel_meta import (Arg, GO_CT, GO_CU, GO_CV, GO_POINTWISE,
                                GO_READ, GO_READWRITE, GO_WRITE, Stencil,
                                kernel)
@@ -433,9 +433,8 @@ class NemoLite2D:
         spec = self.grid.halo_spec
         h = spec.halo
 
-        sshn_t = exch(sshn_t)
-        un = exch(un)
-        vn = exch(vn)
+        # one coalesced exchange for the whole state (4 collectives)
+        sshn_t, un, vn = exch((sshn_t, un, vn))
 
         rtime = (istep + 1).astype(sshn_t.dtype) * p.rdt
         forcing = tidal_forcing(rtime, p)
@@ -456,7 +455,7 @@ class NemoLite2D:
         # redundantly one ring into its halo, so the whole step is a
         # single communication-free stencil chain — the fused-kernel
         # fast path.
-        exch_mid = exch if h < 2 else None
+        exch_mid = (lambda a: exch((a,))[0]) if h < 2 else None
         return step_math(sshn_t, un, vn, mask_codes, p, dx, dy, self._fcor,
                          self.depth, forcing, exch_mid=exch_mid)
 
@@ -496,7 +495,7 @@ class NemoLite2D:
                              self.depth, forcing, exch_mid=None)
 
         # collectives — and, independently, the stale-interior compute
-        fresh = (exch(sshn_t), exch(un), exch(vn))
+        fresh = exch((sshn_t, un, vn))
         if self.use_pallas:
             from ..ops.pallas_step import make_fused_step
             fused = make_fused_step(
@@ -546,7 +545,7 @@ class NemoLite2D:
         key = (nsteps, overlap)
         if key not in self._step_cache:
             h = grid.halo_spec.halo
-            exch = exchange_fn(grid.halo_spec, depth=min(h, 2) or 1)
+            exch = exchange_multi_fn(grid.halo_spec, depth=min(h, 2) or 1)
             stepper = (self._block_step_overlap if overlap
                        else self._block_step)
 

@@ -29,7 +29,7 @@ from jax.sharding import PartitionSpec as P
 import dl_esm_inf_tpu as dl
 from ..core import layout
 from ..ops import stencils as st
-from ..parallel.halo import exchange_fn
+from ..parallel.halo import exchange_multi_fn
 
 
 class ShallowModel:
@@ -59,9 +59,7 @@ class ShallowModel:
     def _block_step(self, exch, eta, u, v):
         g, H, dt, f = self.g, self.depth, self.dt, self.f0
         dx, dy = self.grid.dx, self.grid.dy
-        eta = exch(eta)
-        u = exch(u)
-        v = exch(v)
+        eta, u, v = exch((eta, u, v))
         # SW offset: U_i sits between T_{i-1} and T_i; V_j between
         # T_{j-1} and T_j.
         # Coriolis velocities interpolated to the opposite points:
@@ -76,7 +74,7 @@ class ShallowModel:
     def step_program(self, nsteps: int):
         if nsteps not in self._step_cache:
             grid = self.grid
-            exch = exchange_fn(grid.halo_spec, depth=1)
+            exch = exchange_multi_fn(grid.halo_spec, depth=1)
 
             def body(eta, u, v):
                 return lax.fori_loop(

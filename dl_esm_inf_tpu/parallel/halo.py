@@ -79,17 +79,47 @@ def _perms(n: int, wrap: bool) -> tuple[list, list]:
 
 
 def _exchange_block(blk, spec: HaloSpec, depth: int):
-    """Per-device body (inside shard_map). blk: (local_ny, local_nx)."""
+    """Per-device body (inside shard_map). blk: (..., local_ny, local_nx).
+
+    Arbitrary leading (e.g. vertical-level or field) dimensions are
+    carried along — the 3D-real and integer exchanges the reference
+    aborts on (parallel_comms_mod.f90:1693-1742) fall out for free.
+    """
+    out = _exchange_blocks((blk,), spec, depth)
+    return out[0]
+
+
+def _exchange_blocks(blks, spec: HaloSpec, depth: int):
+    """Exchange several same-layout blocks with ONE ppermute per
+
+    direction: the fields' edge strips are batched into a single
+    message, so a model exchanging its whole state pays 4 collectives
+    per step instead of 4 per field.  Mixed dtypes are upcast for the
+    shared message and cast back."""
     h, d = spec.halo, depth
     w, hgt = spec.tile_nx, spec.tile_ny
     px, py = spec.nprocx, spec.nprocy
+    blks = list(blks)
+    dtypes = [b.dtype for b in blks]
+    same = all(dt == dtypes[0] for dt in dtypes)
+
+    def batch(strips):
+        if len(strips) == 1:
+            return strips[0]
+        if same:
+            return jnp.stack(strips)
+        common = jnp.result_type(*dtypes)
+        return jnp.stack([s.astype(common) for s in strips])
+
+    def unbatch(msg, k):
+        s = msg if len(blks) == 1 else msg[k]
+        return s.astype(dtypes[k])
 
     # ----- x phase: columns ------------------------------------------------
     if px > 1 or spec.wrap_x:
-        east_src = blk[:, h + w - d: h + w]   # my east-most interior cols
-        west_src = blk[:, h: h + d]           # my west-most interior cols
+        east_src = batch([b[..., :, h + w - d: h + w] for b in blks])
+        west_src = batch([b[..., :, h: h + d] for b in blks])
         if px == 1:
-            # single shard with periodic x: pure intra-block wrap copy
             from_west, from_east = east_src, west_src
             has_w = has_e = True
         else:
@@ -99,15 +129,18 @@ def _exchange_block(blk, spec: HaloSpec, depth: int):
             ix = lax.axis_index("x")
             has_w = (ix > 0) | spec.wrap_x
             has_e = (ix < px - 1) | spec.wrap_x
-        blk = blk.at[:, h - d: h].set(
-            jnp.where(has_w, from_west, blk[:, h - d: h]))
-        blk = blk.at[:, h + w: h + w + d].set(
-            jnp.where(has_e, from_east, blk[:, h + w: h + w + d]))
+        for k, b in enumerate(blks):
+            blks[k] = b.at[..., :, h - d: h].set(
+                jnp.where(has_w, unbatch(from_west, k),
+                          b[..., :, h - d: h]))
+            blks[k] = blks[k].at[..., :, h + w: h + w + d].set(
+                jnp.where(has_e, unbatch(from_east, k),
+                          blks[k][..., :, h + w: h + w + d]))
 
     # ----- y phase: full-width rows (propagates corners) -------------------
     if py > 1 or spec.wrap_y:
-        north_src = blk[h + hgt - d: h + hgt, :]
-        south_src = blk[h: h + d, :]
+        north_src = batch([b[..., h + hgt - d: h + hgt, :] for b in blks])
+        south_src = batch([b[..., h: h + d, :] for b in blks])
         if py == 1:
             from_south, from_north = north_src, south_src
             has_s = has_n = True
@@ -118,12 +151,15 @@ def _exchange_block(blk, spec: HaloSpec, depth: int):
             iy = lax.axis_index("y")
             has_s = (iy > 0) | spec.wrap_y
             has_n = (iy < py - 1) | spec.wrap_y
-        blk = blk.at[h - d: h, :].set(
-            jnp.where(has_s, from_south, blk[h - d: h, :]))
-        blk = blk.at[h + hgt: h + hgt + d, :].set(
-            jnp.where(has_n, from_north, blk[h + hgt: h + hgt + d, :]))
+        for k, b in enumerate(blks):
+            blks[k] = b.at[..., h - d: h, :].set(
+                jnp.where(has_s, unbatch(from_south, k),
+                          b[..., h - d: h, :]))
+            blks[k] = blks[k].at[..., h + hgt: h + hgt + d, :].set(
+                jnp.where(has_n, unbatch(from_north, k),
+                          blks[k][..., h + hgt: h + hgt + d, :]))
 
-    return blk
+    return tuple(blks)
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,7 +167,7 @@ def _build_exchange(mesh: Mesh, spec: HaloSpec, depth: int, nfields: int):
     """Compile one exchange executable for (mesh, spec, depth, #fields)."""
 
     def body(*blks):
-        out = tuple(_exchange_block(b, spec, depth) for b in blks)
+        out = _exchange_blocks(blks, spec, depth)
         return out[0] if len(out) == 1 else out
 
     in_specs = tuple([P("y", "x")] * nfields)
@@ -177,6 +213,16 @@ def exchange_fn(spec: HaloSpec, depth: int = 1):
     """
     def fn(blk):
         return _exchange_block(blk, spec, depth)
+    return fn
+
+
+def exchange_multi_fn(spec: HaloSpec, depth: int = 1):
+    """Like :func:`exchange_fn` for a tuple of same-layout blocks,
+
+    coalescing every field's strips into one message per direction —
+    4 collectives per call regardless of field count."""
+    def fn(blks):
+        return _exchange_blocks(tuple(blks), spec, depth)
     return fn
 
 

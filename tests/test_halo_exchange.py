@@ -175,3 +175,67 @@ def test_exchange_multi_matches_single():
     np.testing.assert_array_equal(
         np.asarray(outs[1]), np.asarray(exchange(a2, grid.mesh,
                                                  grid.halo_spec, 1)))
+
+
+def test_exchange_3d_and_int():
+    """Capabilities the reference aborts on (parallel_comms_mod.f90:
+    1693-1742): 3D-real and integer halo exchange."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from dl_esm_inf_tpu.parallel.halo import exchange_fn
+    grid = make_grid(8, 8, 4)
+    spec = grid.halo_spec
+    d = grid.decomp
+    # 3D: 5 vertical levels, level k holds (global value + 1000*k)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    base = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    lvl = np.stack([np.asarray(base.data) + 1000.0 * k for k in range(5)])
+    lvl3 = jax.device_put(
+        lvl, jax.sharding.NamedSharding(grid.mesh, P(None, "y", "x")))
+    fn = jax.jit(jax.shard_map(exchange_fn(spec, 1), mesh=grid.mesh,
+                               in_specs=P(None, "y", "x"),
+                               out_specs=P(None, "y", "x")))
+    out = np.asarray(fn(lvl3))
+    # east halo of rank 0 must hold rank 1's first internal column at
+    # every level
+    sy, sx = d.shard_slices(0)
+    r = base.internal_region(0)
+    for k in range(5):
+        want = vals[0:4, 4] + 1000.0 * k   # rank 1 internal col 0
+        np.testing.assert_array_equal(
+            out[k][sy, sx][r.ystart:r.ystop, r.xstop], want)
+    # integer exchange
+    ints = dl.Field(grid, dl.T_POINTS)
+    arr = (np.asarray(base.data)).astype(np.int32)
+    iarr = jax.device_put(arr, grid.sharding)
+    fn2 = jax.jit(jax.shard_map(exchange_fn(spec, 1), mesh=grid.mesh,
+                                in_specs=P("y", "x"),
+                                out_specs=P("y", "x")))
+    out2 = np.asarray(fn2(iarr))
+    assert out2.dtype == np.int32
+    np.testing.assert_array_equal(
+        out2[sy, sx][r.ystart:r.ystop, r.xstop], vals[0:4, 4].astype(np.int32))
+
+
+def test_exchange_multi_mixed_dtype():
+    """Coalesced multi-field exchange with mixed dtypes round-trips each
+    field in its own dtype."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from dl_esm_inf_tpu.parallel.halo import exchange_multi_fn
+    grid = make_grid(8, 8, 4)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    f = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    a32 = f.data.astype(np.float32)
+    a64 = f.data
+    fn = jax.jit(jax.shard_map(
+        lambda t: exchange_multi_fn(grid.halo_spec, 1)(t),
+        mesh=grid.mesh, in_specs=((P("y", "x"),) * 2,),
+        out_specs=(P("y", "x"),) * 2))
+    o32, o64 = fn((a32, a64))
+    assert o32.dtype == np.float32 and o64.dtype == np.float64
+    d = grid.decomp
+    sy, sx = d.shard_slices(0)
+    r = f.internal_region(0)
+    np.testing.assert_array_equal(
+        np.asarray(o64)[sy, sx][r.ystart:r.ystop, r.xstop], vals[0:4, 4])
