@@ -94,49 +94,50 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
     Advection is flux-form donor-cell upwind (the robust variant of
     NEMOLite2D's upwind-biased scheme): mass fluxes at the T centres /
     F corners surrounding the U face carry the upstream u value.
-    Every read is within +/-1 of the exchanged prognostics (halo-1)."""
+    Every read is within +/-1 of the exchanged prognostics (halo-1).
+
+    VPU-roll-minimal form (the step is VPU-bound on TPU, scripts/
+    kbench.py): each face-flux pair is computed ONCE at its donor-side
+    site and the opposite face obtained by rolling the *result* —
+    m_e = xp(m_w), u_de = xp(u_dw), gx_e = xp(gx_w), gy_s = ym(gy_n)
+    are exact elementwise identities because roll is a permutation.
+    The advection and viscosity divergences along each axis then share
+    a single roll of their rdt-folded sum."""
     dep_u = hu + sshn_u                       # total depth at U
-    dep_te = st.xp(ht + sshn_t)               # total depth at east T
-    dep_tw = ht + sshn_t                      # total depth at west T
+    z = ht + sshn_t                           # total depth at (west) T
 
-    # Everything below is a TENDENCY (per unit area): scalar geometry
-    # factors fold into trace-time constants, minimising VPU ops.
-    # mass fluxes (per unit face length) through the U control volume
-    m_e = 0.5 * (un + st.xp(un)) * dep_te        # east T centre
-    m_w = 0.5 * (un + st.xm(un)) * dep_tw        # west T centre
-    dep_fn = 0.5 * (depv + st.xp(depv))          # NE F corner depth
-    m_n = 0.5 * (vn + st.xp(vn)) * dep_fn        # NE F corner
-    m_s = st.ym(m_n)                             # SE F corner
-    # donor-cell (upstream) u carried by each flux
-    u_de = jnp.where(m_e > 0, un, st.xp(un))
-    u_dw = jnp.where(m_w > 0, st.xm(un), un)
-    u_dn = jnp.where(m_n > 0, un, st.yp(un))
-    u_ds = jnp.where(m_s > 0, st.ym(un), un)
-    adv = -((1.0 / dx) * (m_e * u_de - m_w * u_dw)
-            + (1.0 / dy) * (m_n * u_dn - m_s * u_ds))
-    dep_n = dep_fn
-    dep_s = st.ym(dep_n)
+    # --- x direction: everything lives at the west T centre -------------
+    umx = st.xm(un)
+    m_w2 = (un + umx) * z                     # 2*m_w (0.5 folded below)
+    u_dw = jnp.where(m_w2 > 0, umx, un)       # donor u (z > 0)
+    phi_x = m_w2 * u_dw                       # 2 * advective flux
+    g_x = (un - umx) * z                      # viscous flux * dx
+    w_x = (-0.5 * p.rdt / dx) * phi_x + (p.rdt * p.visc / (dx * dx)) * g_x
+    term_x = st.xp(w_x) - w_x                 # rdt*(adv_x + vis_x)
 
-    # --- viscosity: div(dep * visc * grad u) ----------------------------
-    gx_e = (st.xp(un) - un) * dep_te
-    gx_w = (un - st.xm(un)) * dep_tw
-    gy_n = (st.yp(un) - un) * dep_n
-    gy_s = (un - st.ym(un)) * dep_s
-    vis = (p.visc / (dx * dx)) * (gx_e - gx_w) \
-        + (p.visc / (dy * dy)) * (gy_n - gy_s)
+    # --- y direction: everything lives at the NE F corner ---------------
+    wv = vn + st.xp(vn)                       # 2 * corner-interp v
+    dep_f = 0.5 * (depv + st.xp(depv))        # F-corner depth
+    m_n2 = wv * dep_f                         # 2*m_n (sign preserved)
+    upy = st.yp(un)
+    u_dn = jnp.where(m_n2 > 0, un, upy)
+    phi_y = m_n2 * u_dn                       # 2 * advective flux
+    g_y = (upy - un) * dep_f                  # viscous flux * dy
+    w_y = (-0.5 * p.rdt / dy) * phi_y + (p.rdt * p.visc / (dy * dy)) * g_y
+    term_y = w_y - st.ym(w_y)                 # rdt*(adv_y + vis_y)
 
     # --- Coriolis (f-plane from latitude) -------------------------------
-    v_u = 0.25 * (vn + st.xp(vn) + st.ym(vn) + st.ym(st.xp(vn)))
-    cor = fcor * v_u * dep_u
+    v_u = 0.25 * (wv + st.ym(wv))             # 4-point average of v
+    cor = (p.rdt * fcor) * v_u * dep_u
 
     # --- pressure gradient on the NEW ssh (forward-backward scheme:
     # continuity first, momentum sees the updated surface — gravity-wave
     # stable up to c*dt*sqrt(2)/dx ~ 1) -----------------------------------
-    hpg = (-p.g / dx) * dep_u * (st.xp(ssha_t) - ssha_t)
+    hpg = (-p.rdt * p.g / dx) * dep_u * (st.xp(ssha_t) - ssha_t)
 
     # --- time update with semi-implicit linear bottom friction ----------
     rd = recip(dep_u) if recip is not None else 1.0 / dep_u
-    ua = (un * dep_u + p.rdt * (adv + vis + cor + hpg)) \
+    ua = (un * dep_u + (term_x + term_y + cor + hpg)) \
         * (1.0 / (1.0 + p.cbfr * p.rdt)) * rd
     return ua
 
@@ -149,39 +150,37 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
         name="momentum_v")
 def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
                dx, dy, fcor, recip=None):
+    """Mirror of :func:`momentum_u` in the same roll-minimal form."""
     dep_v = hv + sshn_v
-    dep_tn = st.yp(ht + sshn_t)
-    dep_ts = ht + sshn_t
+    z = ht + sshn_t                           # total depth at (south) T
 
-    # tendency form, scalar factors folded (see momentum_u)
-    m_n = 0.5 * (vn + st.yp(vn)) * dep_tn        # north T centre
-    m_s = 0.5 * (vn + st.ym(vn)) * dep_ts        # south T centre
-    dep_fe = 0.5 * (depu + st.yp(depu))          # NE F corner depth
-    m_e = 0.5 * (un + st.yp(un)) * dep_fe        # NE F corner
-    m_w = st.xm(m_e)                             # NW F corner
-    v_dn = jnp.where(m_n > 0, vn, st.yp(vn))
-    v_ds = jnp.where(m_s > 0, st.ym(vn), vn)
-    v_de = jnp.where(m_e > 0, vn, st.xp(vn))
-    v_dw = jnp.where(m_w > 0, st.xm(vn), vn)
-    adv = -((1.0 / dx) * (m_e * v_de - m_w * v_dw)
-            + (1.0 / dy) * (m_n * v_dn - m_s * v_ds))
-    dep_e = dep_fe
-    dep_w = st.xm(dep_e)
+    # --- y direction: everything lives at the south T centre ------------
+    vmy = st.ym(vn)
+    m_s2 = (vn + vmy) * z                     # 2*m_s (0.5 folded below)
+    v_ds = jnp.where(m_s2 > 0, vmy, vn)
+    phi_y = m_s2 * v_ds
+    g_y = (vn - vmy) * z
+    w_y = (-0.5 * p.rdt / dy) * phi_y + (p.rdt * p.visc / (dy * dy)) * g_y
+    term_y = st.yp(w_y) - w_y
 
-    gy_n = (st.yp(vn) - vn) * dep_tn
-    gy_s = (vn - st.ym(vn)) * dep_ts
-    gx_e = (st.xp(vn) - vn) * dep_e
-    gx_w = (vn - st.xm(vn)) * dep_w
-    vis = (p.visc / (dy * dy)) * (gy_n - gy_s) \
-        + (p.visc / (dx * dx)) * (gx_e - gx_w)
+    # --- x direction: everything lives at the NE F corner ---------------
+    wu = un + st.yp(un)                       # 2 * corner-interp u
+    dep_f = 0.5 * (depu + st.yp(depu))        # F-corner depth
+    m_e2 = wu * dep_f                         # 2*m_e (sign preserved)
+    xpv = st.xp(vn)
+    v_de = jnp.where(m_e2 > 0, vn, xpv)
+    phi_x = m_e2 * v_de
+    g_x = (xpv - vn) * dep_f
+    w_x = (-0.5 * p.rdt / dx) * phi_x + (p.rdt * p.visc / (dx * dx)) * g_x
+    term_x = w_x - st.xm(w_x)
 
-    u_v = 0.25 * (un + st.yp(un) + st.xm(un) + st.xm(st.yp(un)))
-    cor = -fcor * u_v * dep_v
+    u_v = 0.25 * (wu + st.xm(wu))             # 4-point average of u
+    cor = (-p.rdt * fcor) * u_v * dep_v
 
-    hpg = (-p.g / dy) * dep_v * (st.yp(ssha_t) - ssha_t)
+    hpg = (-p.rdt * p.g / dy) * dep_v * (st.yp(ssha_t) - ssha_t)
 
     rd = recip(dep_v) if recip is not None else 1.0 / dep_v
-    va = (vn * dep_v + p.rdt * (adv + vis + cor + hpg)) \
+    va = (vn * dep_v + (term_y + term_x + cor + hpg)) \
         * (1.0 / (1.0 + p.cbfr * p.rdt)) * rd
     return va
 

@@ -5,17 +5,26 @@ intermediates, costing ~35 HBM array-passes per step.  This kernel does
 the whole step — mask derivation, next_sshu/v, continuity, boundary
 forcing, momentum, Flather — in ONE pass over HBM:
 
-* grid over row-strips of the local shard block;
-* per strip, DMA a (TY+4, lx)-row window of the three prognostics + the
-  int8 tmask from HBM into VMEM (the +-2 ring covers the step's total
-  stencil reach of 2, so the chain needs no cross-tile communication —
-  the same redundant-compute argument as the shard-level deep halo);
+* per row-strip tile, DMA a (TY+16, lx)-row window of the three
+  prognostics + the int8 tmask from HBM into VMEM (the ring covers the
+  step's total stencil reach of 2, rounded to Mosaic's 8-row f32
+  sublane tile so every DMA offset is aligned — the chain then needs no
+  cross-tile communication, the same redundant-compute argument as the
+  shard-level deep halo);
 * evaluate :func:`..models.nemolite2d.step_math` on the window (the
   physics is written once and shared with the jnp path);
 * DMA the (TY, lx) result rows of ssha/ua/va back to HBM.
 
-HBM traffic: ~(TY+4)/TY * 13 B read + 12 B written per point — within a
-few % of the 25 B/pt speed-of-light for this state layout.
+The tile loop is a double-buffered DMA pipeline (guide: Patterns /
+Double Buffering) processed in PAIRS with Python-static slot indices:
+tiles 2j use slot 0, 2j+1 slot 1.  Measured on v5e (scripts/kbench.py),
+dynamic `buf[slot]` first-dim indexing cost ~17 us/step of VMEM
+shuffling; static slots put the step at the kernel's pure-compute
+floor — the DMAs are then fully hidden (step is VPU-bound, not
+HBM-bound: ~10 us of DMA vs ~50 us of compute per 1024^2 step).
+
+HBM traffic: ~(TY+16)/TY * 13 B read + 12 B written per point — within
+a few % of the 25 B/pt speed-of-light for this state layout.
 
 Halo rows/cols of the output hold window-wrapped garbage (finite by
 construction: every division in the step is bounded away from zero);
@@ -53,10 +62,11 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
             "decompose with align_y=8 (models.nemolite2d.build(pallas=True) "
             "does this)")
     # Window ring of 8 rows per side (the physics needs 2; 8 satisfies
-    # Mosaic's f32 sublane tiling so every VMEM row slice is aligned).
-    # Tile height trades DMA efficiency against Mosaic's VMEM stack for
-    # the chain's live temporaries (~25 window-sized arrays).
-    TY = tile_rows or min(128, ly)
+    # Mosaic's f32 sublane tiling so every DMA row offset is aligned —
+    # unaligned offsets fail to compile).  TY=64 measured fastest on
+    # v5e: small enough for good vreg locality, large enough that the
+    # 25% ring overhead is amortised by pipeline overlap.
+    TY = tile_rows or min(64, ly)
     TY = min(TY, ly)
     if TY % 8 != 0:
         raise ValueError(f"tile_rows must be a multiple of 8, got {TY}")
@@ -76,9 +86,6 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                ssha_hbm, ua_hbm, va_hbm,
                w_ssh, w_un, w_vn, w_tm, o_ssh, o_ua, o_va,
                in_sems, out_sems):
-        # Double-buffered pipeline over row tiles (guide: Patterns /
-        # Double Buffering): tile i computes while tile i+1 streams in
-        # and tile i-1 streams out.
         ins_of = [sshn_hbm, un_hbm, vn_hbm, tm_hbm]
         wins = [w_ssh, w_un, w_vn, w_tm]
         outs_of = [ssha_hbm, ua_hbm, va_hbm]
@@ -97,23 +104,15 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                                           out_sems.at[k, slot])
                     for k, (o, dst) in enumerate(zip(obufs, outs_of))]
 
-        for c in in_dmas(0, 0):
-            c.start()
-
-        def body(i, _):
-            slot = jax.lax.rem(i, 2)
-            nslot = jax.lax.rem(i + 1, 2)
-
+        def tile(slot, i):
+            """Process tile ``i`` in buffer ``slot`` (slot Python-static)."""
             @pl.when(i + 1 < n_tiles)
             def _():
-                for c in in_dmas(nslot, i + 1):
+                for c in in_dmas(1 - slot, i + 1):
                     c.start()
-
             for c in in_dmas(slot, i):
                 c.wait()
 
-            # measured: _recip_fast (approx+Newton) is not faster than
-            # the VPU divide here; keep exact for jnp-path identity
             ssha, ua, va = step_math(
                 w_ssh[slot], w_un[slot], w_vn[slot], w_tm[slot], p, dx,
                 dy, fcor, depth, forcing=forcing_ref[0], exch_mid=None,
@@ -124,22 +123,29 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
             def _():
                 for c in out_dmas(slot, i - 2):
                     c.wait()
-
             o_ssh[slot] = ssha
             o_ua[slot] = ua
             o_va[slot] = va
             for c in out_dmas(slot, i):
                 c.start()
+
+        for c in in_dmas(0, 0):
+            c.start()
+
+        def pair(j, _):
+            tile(0, 2 * j)
+            tile(1, 2 * j + 1)
             return 0
 
-        jax.lax.fori_loop(0, n_tiles, body, 0)
+        jax.lax.fori_loop(0, n_tiles // 2, pair, 0)
+        if n_tiles % 2:
+            tile((n_tiles - 1) % 2, n_tiles - 1)
         for i in (n_tiles - 2, n_tiles - 1):
-            @pl.when(i >= 0)
-            def _(i=i):
-                for c in out_dmas(jax.lax.rem(i, 2), i):
+            if i >= 0:
+                for c in out_dmas(i % 2, i):
                     c.wait()
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),

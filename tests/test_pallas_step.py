@@ -1,0 +1,50 @@
+"""Fused Pallas step vs the jnp step: the two paths share step_math, so
+interior results must agree to roundoff (interpret mode on the CPU
+mesh; the compiled kernel is exercised by bench.py on real TPU).
+"""
+import numpy as np
+import pytest
+
+from dl_esm_inf_tpu.models import nemolite2d as nl
+from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+
+def _build(pallas: bool, tile_rows=None, gnx=96, gny=64):
+    m = nl.build(gnx, gny, ndomains=1, halo_width=2, open_north=True,
+                 pallas=pallas)
+    if pallas:
+        m.enable_pallas(interpret=True, tile_rows=tile_rows)
+    m.set_initial_ssh(gaussian_eta(gnx, gny, amp=0.5))
+    return m
+
+
+@pytest.mark.parametrize("tile_rows", [None, 24])
+def test_fused_step_matches_jnp(tile_rows):
+    ma = _build(pallas=False)
+    mb = _build(pallas=True, tile_rows=tile_rows)
+    ma.run(5)
+    mb.run(5)
+    ga, gb = ma.gather(), mb.gather()
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(gb[k], ga[k], rtol=1e-12, atol=1e-13,
+                                   err_msg=k)
+        assert np.all(np.isfinite(gb[k])), k
+
+
+def test_fused_step_single_tile():
+    """ly <= TY: the pipeline degenerates to one (odd) tail tile."""
+    ma = _build(pallas=False, gnx=64, gny=32)
+    mb = _build(pallas=True, gnx=64, gny=32)
+    ma.run(3)
+    mb.run(3)
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(mb.gather()[k], ma.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_fused_step_guards():
+    m = _build(pallas=False, gnx=64, gny=32)  # halo 2 but no pallas align
+    m.use_pallas = False
+    with pytest.raises(ValueError, match="halo_width"):
+        bad = nl.build(32, 32, ndomains=1, halo_width=1)
+        bad.enable_pallas()
