@@ -53,9 +53,15 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing)
 
     -> (ssha, ua, va), all shaped (ly, lx) per shard block."""
-    from ..models.nemolite2d import _recip_exact, step_math
+    from ..models.nemolite2d import _recip_exact, _recip_fast, step_math
 
     dtype = jnp.dtype(dtype_str)
+    # The step's two 1/dep divides are ~10-35% of its VPU time (measured,
+    # scripts/kbench.py); hardware approx-reciprocal + one Newton step is
+    # ~1 ulp at f32.  Interpret mode keeps the exact divide so the
+    # CPU-mesh tests can require bitwise agreement with the jnp path.
+    recip = (_recip_fast if dtype == jnp.float32 and not interpret
+             else _recip_exact)
     if ly % 8 != 0:
         raise ValueError(
             f"fused Pallas step needs 8-row-aligned shards (local_ny={ly}); "
@@ -116,7 +122,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
             ssha, ua, va = step_math(
                 w_ssh[slot], w_un[slot], w_vn[slot], w_tm[slot], p, dx,
                 dy, fcor, depth, forcing=forcing_ref[0], exch_mid=None,
-                recip=_recip_exact)
+                recip=recip)
 
             # fence: tile i-2 used this out slot; its DMA must be done
             @pl.when(i >= 2)

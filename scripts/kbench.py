@@ -17,7 +17,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dl_esm_inf_tpu.models import nemolite2d as nl
-from dl_esm_inf_tpu.models.nemolite2d import _recip_exact, step_math
+from dl_esm_inf_tpu.models.nemolite2d import (_recip_exact, _recip_fast,
+                                              step_math)
 from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
 
 
@@ -75,7 +76,9 @@ def make_variant(ly, lx, dtype, p, dx, dy, fcor, depth, TY, mode):
                                           out_sems.at[k, slot])
                     for k, (o, dst) in enumerate(zip(obufs, outs_of))]
 
-        if mode == "compute":
+        if mode.startswith("compute"):
+            recip = {"compute": _recip_exact,
+                     "compute_fast": _recip_fast}[mode]
             # one DMA to land data, then pure compute per "tile"
             for c in in_dmas(0, 0):
                 c.start()
@@ -86,7 +89,7 @@ def make_variant(ly, lx, dtype, p, dx, dy, fcor, depth, TY, mode):
                 ssha, ua, va = step_math(
                     w_ssh[0], w_un[0], w_vn[0], w_tm[0], p, dx, dy,
                     fcor, depth, forcing=forcing_ref[0], exch_mid=None,
-                    recip=_recip_exact)
+                    recip=recip)
                 o_ssh[0] = ssha
                 o_ua[0] = ua
                 o_va[0] = va
@@ -236,8 +239,8 @@ def main():
     tm = m._mask_codes
     f = jnp.ones((1,), dtype)
 
-    for TY in (48, 64, 80, 96, 128):
-        for mode in ("unroll",):
+    for TY in (64,):
+        for mode in ("compute", "compute_fast", "compute", "compute_fast"):
             Hbytes = 2 * (TY + 16) * lx * (6 * 4 + 1)
             if Hbytes > 100 * 1024 * 1024:
                 continue
