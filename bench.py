@@ -79,7 +79,8 @@ def main():
     from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
 
     N = 1024
-    m = nl.build(N, N, pallas=jax.default_backend() != "cpu")
+    m = nl.build(N, N, pallas=jax.default_backend() != "cpu",
+                 steps_per_sweep=2)
     if not m.use_pallas:
         # CPU fallback (smoke): jnp path, tiny run
         m = nl.build(N, N, halo_width=2)
@@ -121,6 +122,7 @@ def main():
             "roofline_mpts": round(roofline_mpts, 1),
             "backend": jax.default_backend(),
             "pallas": bool(m.use_pallas),
+            "steps_per_sweep": m._sweep_K,
         },
     }))
 

@@ -383,6 +383,8 @@ class NemoLite2D:
         #: since the kernel contains no mid-step exchange)
         self.use_pallas = False
         self._pallas_interpret = False
+        self._pallas_tile_rows = None
+        self._sweep_K = 1
 
     def _valid_cell_mask(self):
         """Cells representing a real global cell (internal, or a halo cell
@@ -400,18 +402,28 @@ class NemoLite2D:
 
     # ------------------------------------------------------------------
     def enable_pallas(self, interpret: bool = False,
-                      tile_rows: int | None = None) -> None:
+                      tile_rows: int | None = None,
+                      steps_per_sweep: int = 1) -> None:
         """Switch the step to the fused Pallas kernel (the fast path).
 
-        Needs a depth-2 halo: the kernel has no mid-step exchange, so the
-        whole chain must fit in the shard halo (build(halo_width=2))."""
-        if self.grid.halo_spec.halo < 2:
+        Needs a depth-2K halo: the kernel has no mid-step exchange, so
+        the whole K-step chain must fit in the shard halo
+        (build(halo_width=2*steps_per_sweep)).
+
+        ``steps_per_sweep`` > 1 is temporal blocking: K steps advance in
+        one HBM pass (ops/pallas_step.py), and the halo exchange runs at
+        depth 2K once per K steps — a communication-AVOIDING schedule
+        the reference cannot express (its depth is hardwired to 1,
+        parallel_comms_mod.f90:48)."""
+        K = int(steps_per_sweep)
+        if self.grid.halo_spec.halo < 2 * K:
             raise ValueError(
-                "the fused Pallas step needs halo_width >= 2 "
-                "(build(..., halo_width=2))")
+                f"the fused Pallas step with steps_per_sweep={K} needs "
+                f"halo_width >= {2 * K} (build(..., halo_width={2 * K}))")
         self.use_pallas = True
         self._pallas_interpret = interpret
         self._pallas_tile_rows = tile_rows
+        self._sweep_K = K
         self._step_cache.clear()
 
     # ------------------------------------------------------------------
@@ -533,6 +545,14 @@ class NemoLite2D:
         paste_cols(h + w - (B - 2))
         return tuple(out)
 
+    def _block_sweep(self, exch, fused, K, istep0, sshn_t, un, vn,
+                     mask_codes):
+        """K fused steps after ONE depth-2K exchange (temporal blocking)."""
+        p = self.p
+        sshn_t, un, vn = exch((sshn_t, un, vn))
+        rtimes = (istep0 + 1 + jnp.arange(K)).astype(sshn_t.dtype) * p.rdt
+        return fused(sshn_t, un, vn, mask_codes, tidal_forcing(rtimes, p))
+
     def step_program(self, nsteps: int, overlap: bool = False):
         grid = self.grid
         if overlap:
@@ -547,11 +567,32 @@ class NemoLite2D:
             exch = exchange_multi_fn(grid.halo_spec, depth=min(h, 2) or 1)
             stepper = (self._block_step_overlap if overlap
                        else self._block_step)
+            K = self._sweep_K if (self.use_pallas and not overlap) else 1
+            if K > 1:
+                from ..ops.pallas_step import make_fused_step
+                spec = grid.halo_spec
+                fusedK = make_fused_step(
+                    spec.local_ny, spec.local_nx, str(grid.dtype), self.p,
+                    grid.dx, grid.dy, self._fcor, self.depth,
+                    tile_rows=self._pallas_tile_rows,
+                    interpret=self._pallas_interpret, steps_per_sweep=K)
+                exchK = exchange_multi_fn(grid.halo_spec, depth=2 * K)
 
             def body(istep0, state, mask_codes):
+                base = 0
+                if K > 1 and nsteps >= K:
+                    def sweep(j, s):
+                        return self._block_sweep(exchK, fusedK, K,
+                                                 istep0 + j * K, *s,
+                                                 mask_codes)
+                    state = lax.fori_loop(0, nsteps // K, sweep, state)
+                    base = (nsteps // K) * K
+                if nsteps - base == 0:
+                    return state
+
                 def one(i, s):
-                    return stepper(exch, istep0 + i, *s, mask_codes)
-                return lax.fori_loop(0, nsteps, one, state)
+                    return stepper(exch, istep0 + base + i, *s, mask_codes)
+                return lax.fori_loop(0, nsteps - base, one, state)
 
             blk = P("y", "x")
             # check_vma=False: pallas_call outputs don't carry varying-
@@ -588,17 +629,20 @@ class NemoLite2D:
 def build(gnx: int = 256, gny: int = 256, ndomains=None,
           params: Params = Params(), depth: float = 100.0,
           open_north: bool = True, dtype=None,
-          halo_width: int = 1, pallas: bool = False) -> NemoLite2D:
+          halo_width: int = 1, pallas: bool = False,
+          steps_per_sweep: int = 1) -> NemoLite2D:
     """Convenience constructor: grid + tmask + model.
 
     ``halo_width=2`` selects the deep-halo fast path: one exchange per
     step, no mid-step communication (redundant ring compute instead).
     ``pallas=True`` additionally swaps the step for the fused Pallas
     kernel (implies halo_width=2 and TPU-tile-aligned shards).
+    ``steps_per_sweep=K`` adds temporal blocking on top: K steps per
+    HBM pass and per (depth-2K) halo exchange.
     """
     align = align_y = 1
     if pallas:
-        halo_width = max(halo_width, 2)
+        halo_width = max(halo_width, 2 * steps_per_sweep)
         align, align_y = 128, 8   # f32 TPU tiling (sublane 8, lane 128)
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
@@ -608,5 +652,5 @@ def build(gnx: int = 256, gny: int = 256, ndomains=None,
     dl.grid_init(grid, 1000.0, 1000.0, default_tmask(gnx, gny, open_north))
     model = NemoLite2D(grid, params, depth)
     if pallas:
-        model.enable_pallas()
+        model.enable_pallas(steps_per_sweep=steps_per_sweep)
     return model

@@ -49,10 +49,23 @@ def _cdiv(a, b):
 @functools.lru_cache(maxsize=None)
 def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                     dy: float, fcor: float, depth: float,
-                    tile_rows: int | None = None, interpret: bool = False):
+                    tile_rows: int | None = None, interpret: bool = False,
+                    steps_per_sweep: int = 1):
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing)
 
-    -> (ssha, ua, va), all shaped (ly, lx) per shard block."""
+    -> (ssha, ua, va), all shaped (ly, lx) per shard block.
+
+    ``steps_per_sweep`` (K, 1..4) enables TEMPORAL BLOCKING: K whole
+    time steps are advanced per tile sweep, so each point costs one HBM
+    read+write per K steps instead of per step.  The step's stencil
+    reach is 2, so K steps reach 2K <= 8 cells — within the window's
+    8-row alignment ring, and within the shard halo provided the field
+    was decomposed with ``halo_width >= 2K`` (the deep-halo redundant-
+    compute argument; the caller must exchange at depth 2K every K
+    steps).  ``forcing`` becomes a length-K vector of per-sub-step
+    boundary values.  The kernel went HBM-bound once the VPU work per
+    step dropped below the DMA time (scripts/kbench.py); K=2 rebalances
+    it."""
     from ..models.nemolite2d import _recip_exact, _recip_fast, step_math
 
     dtype = jnp.dtype(dtype_str)
@@ -62,6 +75,9 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     # CPU-mesh tests can require bitwise agreement with the jnp path.
     recip = (_recip_fast if dtype == jnp.float32 and not interpret
              else _recip_exact)
+    K = int(steps_per_sweep)
+    if not 1 <= K <= 4:
+        raise ValueError(f"steps_per_sweep must be in [1, 4], got {K}")
     if ly % 8 != 0:
         raise ValueError(
             f"fused Pallas step needs 8-row-aligned shards (local_ny={ly}); "
@@ -119,10 +135,11 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
             for c in in_dmas(slot, i):
                 c.wait()
 
-            ssha, ua, va = step_math(
-                w_ssh[slot], w_un[slot], w_vn[slot], w_tm[slot], p, dx,
-                dy, fcor, depth, forcing=forcing_ref[0], exch_mid=None,
-                recip=recip)
+            ssha, ua, va = w_ssh[slot], w_un[slot], w_vn[slot]
+            for k in range(K):
+                ssha, ua, va = step_math(
+                    ssha, ua, va, w_tm[slot], p, dx, dy, fcor, depth,
+                    forcing=forcing_ref[k], exch_mid=None, recip=recip)
 
             # fence: tile i-2 used this out slot; its DMA must be done
             @pl.when(i >= 2)
@@ -175,7 +192,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     )
 
     def fused(sshn, un, vn, mask_codes_i8, forcing):
-        f = jnp.asarray(forcing, dtype).reshape((1,))
+        f = jnp.asarray(forcing, dtype).reshape((K,))
         return call(f, sshn, un, vn, mask_codes_i8)
 
     return fused

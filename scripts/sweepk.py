@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Temporal-blocking sweep: us/step for steps_per_sweep K in {1,2,4}."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dl_esm_inf_tpu.models import nemolite2d as nl
+from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+N = 1024
+
+
+def slope(m, n_lo=100, n_hi=600):
+    state0 = (m.sshn_t.data, m.un.data, m.vn.data)
+    ts = {}
+    for n in (n_lo, n_hi):
+        prog = m.step_program(n)
+
+        def run():
+            out = prog(jnp.int32(0), state0, m._mask_codes)
+            _ = float(out[0][16, 16])
+        run()
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter(); run()
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    return (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
+
+
+for K in (1, 2, 4, 2, 1):
+    m = nl.build(N, N, pallas=True, steps_per_sweep=K)
+    m.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
+    t = slope(m)
+    print(f"K={K}  {t*1e6:7.1f} us/step  {N*N/t/1e9:6.2f} Gpt/s", flush=True)

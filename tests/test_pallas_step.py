@@ -42,6 +42,32 @@ def test_fused_step_single_tile():
                                    rtol=1e-12, atol=1e-13, err_msg=k)
 
 
+@pytest.mark.parametrize("ndom", [1, 4])
+def test_temporal_blocking_matches_plain(ndom):
+    """K=2 temporal blocking (one depth-4 exchange per 2 steps) must
+    reproduce the per-step schedule exactly; 7 steps exercises the
+    sweep remainder."""
+    gnx, gny = 96, 64
+    ma = nl.build(gnx, gny, ndomains=ndom, open_north=True, pallas=True)
+    ma.enable_pallas(interpret=True)
+    mb = nl.build(gnx, gny, ndomains=ndom, open_north=True, pallas=True,
+                  steps_per_sweep=2)
+    mb.enable_pallas(interpret=True, steps_per_sweep=2)
+    for m in (ma, mb):
+        m.set_initial_ssh(gaussian_eta(gnx, gny, amp=0.5))
+    ma.run(7)
+    mb.run(7)
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(mb.gather()[k], ma.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_temporal_blocking_guards():
+    with pytest.raises(ValueError, match="halo_width >= 4"):
+        m = nl.build(32, 32, ndomains=1, pallas=True)  # halo 2
+        m.enable_pallas(steps_per_sweep=2)
+
+
 def test_fused_step_guards():
     m = _build(pallas=False, gnx=64, gny=32)  # halo 2 but no pallas align
     m.use_pallas = False
