@@ -80,7 +80,7 @@ def main():
 
     N = 1024
     m = nl.build(N, N, pallas=jax.default_backend() != "cpu",
-                 steps_per_sweep=2)
+                 steps_per_sweep=4)
     if not m.use_pallas:
         # CPU fallback (smoke): jnp path, tiny run
         m = nl.build(N, N, halo_width=2)
