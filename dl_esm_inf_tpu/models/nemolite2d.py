@@ -280,7 +280,7 @@ def _recip_fast(x):
 
 
 def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
-              forcing, exch_mid=None, recip=_recip_exact):
+              forcing, exch_mid=None, recip=_recip_exact, masks=None):
     """One complete NEMOLite2D step as a pure stencil chain.
 
     Shared by the jnp path (full shard blocks) and the Pallas fused
@@ -289,13 +289,14 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
     one byte per point of HBM traffic instead of six float mask arrays
     (roofline economics).  Total input reach is 2 cells, so with fresh
     depth-2 halos the chain needs no mid-step communication (pass
-    ``exch_mid=None``).
+    ``exch_mid=None``).  ``masks`` optionally supplies the decoded
+    6-tuple so multi-step (temporal-blocking) callers decode once.
     """
     dtype = sshn_t.dtype
     ht = hu = hv = jnp.asarray(depth, dtype)
 
     (t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v) = \
-        decode_masks(mask_codes, dtype)
+        masks if masks is not None else decode_masks(mask_codes, dtype)
     wet_b = t_wet > 0
 
     # U/V-face ssh derived from the freshly-exchanged T ssh (the

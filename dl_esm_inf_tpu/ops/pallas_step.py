@@ -50,7 +50,7 @@ def _cdiv(a, b):
 def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                     dy: float, fcor: float, depth: float,
                     tile_rows: int | None = None, interpret: bool = False,
-                    steps_per_sweep: int = 1):
+                    steps_per_sweep: int = 1, hoist_masks: bool = True):
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing)
 
     -> (ssha, ua, va), all shaped (ly, lx) per shard block.
@@ -66,7 +66,8 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     boundary values.  The kernel went HBM-bound once the VPU work per
     step dropped below the DMA time (scripts/kbench.py); K=2 rebalances
     it."""
-    from ..models.nemolite2d import _recip_exact, _recip_fast, step_math
+    from ..models.nemolite2d import (_recip_exact, _recip_fast, decode_masks,
+                                     step_math)
 
     dtype = jnp.dtype(dtype_str)
     # The step's two 1/dep divides are ~10-35% of its VPU time (measured,
@@ -136,10 +137,15 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                 c.wait()
 
             ssha, ua, va = w_ssh[slot], w_un[slot], w_vn[slot]
+            # decode once per tile (vs per sub-step) trades ~19 VPU ops
+            # per extra sub-step against 6 window arrays of VMEM
+            # residency across the chain
+            masks = decode_masks(w_tm[slot], dtype) if hoist_masks else None
             for k in range(K):
                 ssha, ua, va = step_math(
                     ssha, ua, va, w_tm[slot], p, dx, dy, fcor, depth,
-                    forcing=forcing_ref[k], exch_mid=None, recip=recip)
+                    forcing=forcing_ref[k], exch_mid=None, recip=recip,
+                    masks=masks)
 
             # fence: tile i-2 used this out slot; its DMA must be done
             @pl.when(i >= 2)
