@@ -34,6 +34,21 @@ def test_allclose_vs_golden(ndom):
                                    err_msg=k)
 
 
+def test_long_run_1024_steps_allclose_vs_golden():
+    """BASELINE north star: fp64 allclose vs the independent golden
+    after 1024 steps (domain scaled down from 512^2 for CI; the
+    per-step numerics are size-independent)."""
+    gnx, gny, nsteps = 128, 96, 1024
+    model, eta0, tmask = build(gnx, gny, 4)
+    model.run(nsteps)
+    got = model.gather()
+    want = golden_reference(eta0, tmask, 1.0, 1.0, model.dt, nsteps,
+                            depth=10.0)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-11, atol=1e-11,
+                                   err_msg=k)
+
+
 def test_serial_equals_distributed():
     """Decomposition must not change the answer (same global stencil)."""
     m1, eta0, _ = build(32, 32, 1)

@@ -67,6 +67,24 @@ def test_chunked_equals_monolithic():
                                    rtol=1e-12, atol=1e-13)
 
 
+def test_long_run_1024_steps_stable_and_invariant():
+    """1024 steps (BASELINE horizon): finite state, closed-basin mass
+    conserved, and 1-shard == 4-shard to fp64 roundoff."""
+    m1 = build(ndom=1, open_north=False)
+    m4 = build(ndom=4, open_north=False)
+    wet = m1.sshn_t.internal_mask_np() & (np.asarray(m1.grid.tmask) == 1)
+    vol0 = float(np.asarray(m1.sshn_t.data)[wet].sum())
+    m1.run(1024)
+    m4.run(1024)
+    g1, g4 = m1.gather(), m4.gather()
+    for k in ("sshn", "un", "vn"):
+        assert np.all(np.isfinite(g1[k])), k
+        np.testing.assert_allclose(g4[k], g1[k], rtol=1e-10, atol=1e-11,
+                                   err_msg=k)
+    vol = float(np.asarray(m1.sshn_t.data)[wet].sum())
+    assert abs(vol - vol0) < 1e-7 * max(1.0, abs(vol0))
+
+
 def test_open_boundary_forcing_pumps_water():
     """With the north boundary open and tidal forcing, the basin volume
     oscillates — the bc_ssh/Flather path is actually live."""
