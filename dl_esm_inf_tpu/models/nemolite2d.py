@@ -417,6 +417,8 @@ class NemoLite2D:
         the reference cannot express (its depth is hardwired to 1,
         parallel_comms_mod.f90:48)."""
         K = int(steps_per_sweep)
+        if not 1 <= K <= 4:
+            raise ValueError(f"steps_per_sweep must be in [1, 4], got {K}")
         if self.grid.halo_spec.halo < 2 * K:
             raise ValueError(
                 f"the fused Pallas step with steps_per_sweep={K} needs "
@@ -562,6 +564,11 @@ class NemoLite2D:
                 raise ValueError("overlap mode needs halo_width >= 2")
             if spec.tile_nx < 8 or spec.tile_ny < 8:
                 raise ValueError("overlap mode needs tiles >= 8x8")
+        if overlap and self.use_pallas and self._sweep_K > 1:
+            raise ValueError(
+                "overlap mode runs one step at a time; rebuild with "
+                "steps_per_sweep=1 (temporal blocking already amortises "
+                "the exchange it would overlap)")
         key = (nsteps, overlap)
         if key not in self._step_cache:
             h = grid.halo_spec.halo
@@ -602,8 +609,8 @@ class NemoLite2D:
                 body, mesh=grid.mesh,
                 in_specs=(P(), (blk,) * 3, blk),
                 out_specs=(blk,) * 3, check_vma=False)
-            self._step_cache[nsteps] = jax.jit(smapped)
-        return self._step_cache[nsteps]
+            self._step_cache[key] = jax.jit(smapped)
+        return self._step_cache[key]
 
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)

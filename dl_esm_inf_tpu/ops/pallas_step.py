@@ -168,7 +168,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
 
         jax.lax.fori_loop(0, n_tiles // 2, pair, 0)
         if n_tiles % 2:
-            tile((n_tiles - 1) % 2, n_tiles - 1)
+            tile(0, n_tiles - 1)   # odd tail: n_tiles-1 is even -> slot 0
         for i in (n_tiles - 2, n_tiles - 1):
             if i >= 0:
                 for c in out_dmas(i % 2, i):

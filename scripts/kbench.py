@@ -1,10 +1,20 @@
 #!/usr/bin/env python
-"""Kernel-variant microbench: where do the fused step's 95us go?
+"""Kernel-variant microbench for the fused step (slope method, real chip).
 
-Times (slope method, in-jit chains) on the real chip:
-  full    — the production fused step
-  dma     — same double-buffered DMA structure, compute = copy
-  compute — step_math on a resident VMEM window, no DMA
+Variants (--modes, comma list; --tys picks tile sizes):
+  prod         — the production make_fused_step kernel
+  full         — local copy of the dynamic-slot pipeline (historical)
+  unroll       — local copy of the static-slot pipeline (historical)
+  dma          — same DMA structure, compute = copy (DMA floor)
+  compute      — step_math on a resident VMEM window, no DMA (VPU floor)
+  compute_fast — same with the approx-reciprocal step
+  tight        — unaligned (TY+4)-row windows; Mosaic rejects them
+                 (kept as the record of why the ring is 8 rows)
+
+The chip is time-shared: only adjacent, interleaved runs are
+comparable (see memory: axon-tpu-quirks).  The local make_variant copy
+of the kernel is a measurement mule and may drift from
+ops/pallas_step.py — `prod` is always the real thing.
 """
 from __future__ import annotations
 
@@ -224,6 +234,16 @@ def make_variant(ly, lx, dtype, p, dx, dy, fcor, depth, TY, mode):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--modes", default="prod,compute",
+                    help="comma list of: full,dma,compute,compute_fast,"
+                         "unroll,tight,prod")
+    ap.add_argument("--tys", default="64,128")
+    args_cli = ap.parse_args()
+    modes = args_cli.modes.split(",")
+    tys = [int(t) for t in args_cli.tys.split(",")]
+
     N = 1024
     m = nl.build(N, N, pallas=True)
     m.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
@@ -239,14 +259,23 @@ def main():
     tm = m._mask_codes
     f = jnp.ones((1,), dtype)
 
-    for TY in (64,):
-        for mode in ("compute", "compute_fast", "compute", "compute_fast"):
+    from dl_esm_inf_tpu.ops.pallas_step import make_fused_step
+
+    def build_call(TY, mode):
+        if mode == "prod":     # the production kernel itself
+            fused = make_fused_step(ly, lx, "float32", p, dx, dy, fcor,
+                                    depth, tile_rows=TY)
+            return lambda f_, s, u, v, tm_: fused(s, u, v, tm_, 1.0)
+        var = make_variant(ly, lx, dtype, p, dx, dy, fcor, depth, TY, mode)
+        return lambda f_, s, u, v, tm_: var(f_, s, u, v, tm_)
+
+    for TY in tys:
+        for mode in modes:
             Hbytes = 2 * (TY + 16) * lx * (6 * 4 + 1)
             if Hbytes > 100 * 1024 * 1024:
                 continue
             try:
-                call = make_variant(ly, lx, dtype, p, dx, dy, fcor, depth,
-                                    TY, mode)
+                call = build_call(TY, mode)
             except Exception as e:
                 print(f"TY={TY:4d} {mode:8s} BUILD FAIL: {e}")
                 continue
@@ -266,7 +295,8 @@ def main():
                 t = slope_time(chain)
                 print(f"TY={TY:4d} {mode:8s} {t*1e6:8.1f} us/step")
             except Exception as e:
-                print(f"TY={TY:4d} {mode:8s} RUN FAIL: {type(e).__name__} {str(e)[:120]}")
+                print(f"TY={TY:4d} {mode:8s} RUN FAIL: "
+                      f"{type(e).__name__} {str(e)[:120]}")
 
 
 if __name__ == "__main__":

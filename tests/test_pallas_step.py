@@ -69,8 +69,19 @@ def test_temporal_blocking_guards():
 
 
 def test_fused_step_guards():
-    m = _build(pallas=False, gnx=64, gny=32)  # halo 2 but no pallas align
-    m.use_pallas = False
     with pytest.raises(ValueError, match="halo_width"):
         bad = nl.build(32, 32, ndomains=1, halo_width=1)
         bad.enable_pallas()
+    with pytest.raises(ValueError, match="steps_per_sweep"):
+        nl.build(32, 32, ndomains=1, pallas=True, steps_per_sweep=0)
+    with pytest.raises(ValueError, match="steps_per_sweep"):
+        nl.build(32, 32, ndomains=1, pallas=True, steps_per_sweep=5)
+    m = nl.build(32, 32, ndomains=1, pallas=True, steps_per_sweep=2)
+    with pytest.raises(ValueError, match="overlap"):
+        m.step_program(4, overlap=True)
+
+
+def test_step_program_cache_hits():
+    m = _build(pallas=False, gnx=64, gny=32)
+    assert m.step_program(10) is m.step_program(10)
+    assert m.step_program(10) is not m.step_program(10, overlap=True)
