@@ -293,7 +293,12 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
     6-tuple so multi-step (temporal-blocking) callers decode once.
     """
     dtype = sshn_t.dtype
-    ht = hu = hv = jnp.asarray(depth, dtype)
+    if jnp.ndim(depth) == 0:        # flat bathymetry: trace-time scalars
+        ht = hu = hv = jnp.asarray(depth, dtype)
+    else:                           # T-point depth array (same layout as
+        ht = depth                  # sshn_t); face depths are centred
+        hu = 0.5 * (ht + st.xp(ht))   # means — time-invariant, so its
+        hv = 0.5 * (ht + st.yp(ht))   # halo never goes stale
 
     (t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v) = \
         masks if masks is not None else decode_masks(mask_codes, dtype)
@@ -347,7 +352,7 @@ class NemoLite2D:
     """Nonlinear SW solver bound to a grid; the framework's flagship."""
 
     def __init__(self, grid: dl.Grid, params: Params = Params(),
-                 depth: float = 100.0):
+                 depth: "float | np.ndarray" = 100.0):
         self.grid = grid
         self.p = params
         dtype = grid.dtype
@@ -358,9 +363,24 @@ class NemoLite2D:
         self.sshn_v = dl.Field(grid, dl.V_POINTS)
         self.un = dl.Field(grid, dl.U_POINTS)
         self.vn = dl.Field(grid, dl.V_POINTS)
-        # flat bathymetry: scalar depths (HBM-frugal fast path; variable
-        # bathymetry would promote these to Fields)
-        self.depth = float(depth)
+        # Bathymetry: a scalar is the HBM-frugal fast path (depths fold
+        # to trace-time constants); a global (gny, gnx) T-point array is
+        # streamed per point, with U/V-face depths derived in-step.
+        # Edge-replicated scatter: halo cells hold the true neighbour
+        # values (ht is time-invariant, so they never go stale) and
+        # beyond-domain padding stays positive so 1/dep is bounded
+        # (those cells are mask-inert anyway).
+        if np.ndim(depth) == 0:
+            self.depth = float(depth)
+            self._ht = None
+        else:
+            self.depth = None
+            arr = np.asarray(depth, dtype=np.dtype(dtype))
+            if arr.min() <= 0:
+                raise ValueError("bathymetry must be positive everywhere")
+            stacked = layout.stack_global(grid.decomp, arr, mode="edge",
+                                          dtype=np.dtype(dtype))
+            self._ht = jax.device_put(jnp.asarray(stacked), grid.sharding)
 
         # One int8 mask array is the only per-point constant the step
         # reads: wet/dry/outside classification with the uniform-shard
@@ -441,11 +461,14 @@ class NemoLite2D:
         self.sshn_v.data = next_sshv(self.sshn_t.data, t_wet)
 
     # ------------------------------------------------------------------
-    def _block_step(self, exch, istep, sshn_t, un, vn, mask_codes):
+    def _block_step(self, exch, istep, sshn_t, un, vn, mask_codes,
+                    dep=None):
         p = self.p
         dx, dy = self.grid.dx, self.grid.dy
         spec = self.grid.halo_spec
         h = spec.halo
+        if dep is None:
+            dep = self.depth
 
         # one coalesced exchange for the whole state (4 collectives)
         sshn_t, un, vn = exch((sshn_t, un, vn))
@@ -454,13 +477,9 @@ class NemoLite2D:
         forcing = tidal_forcing(rtime, p)
 
         if self.use_pallas:
-            from ..ops.pallas_step import make_fused_step
-            fused = make_fused_step(
-                spec.local_ny, spec.local_nx, str(sshn_t.dtype), p, dx, dy,
-                self._fcor, self.depth,
-                tile_rows=getattr(self, "_pallas_tile_rows", None),
-                interpret=self._pallas_interpret)
-            return fused(sshn_t, un, vn, mask_codes, forcing)
+            fused = self._make_fused(1)
+            return fused(sshn_t, un, vn, mask_codes, forcing,
+                         ht=dep if self._ht is not None else None)
 
         # With halo width 1 the new surface must cross shard seams
         # between continuity and momentum (the reference's
@@ -471,10 +490,11 @@ class NemoLite2D:
         # fast path.
         exch_mid = (lambda a: exch((a,))[0]) if h < 2 else None
         return step_math(sshn_t, un, vn, mask_codes, p, dx, dy, self._fcor,
-                         self.depth, forcing, exch_mid=exch_mid)
+                         dep, forcing, exch_mid=exch_mid)
 
     # ------------------------------------------------------------------
-    def _block_step_overlap(self, exch, istep, sshn_t, un, vn, mask_codes):
+    def _block_step_overlap(self, exch, istep, sshn_t, un, vn, mask_codes,
+                            dep=None):
         """Comms/compute-overlapped step (SURVEY §2: 'split interior/
 
         boundary stencil, overlap ppermute with interior compute').
@@ -511,12 +531,7 @@ class NemoLite2D:
         # collectives — and, independently, the stale-interior compute
         fresh = exch((sshn_t, un, vn))
         if self.use_pallas:
-            from ..ops.pallas_step import make_fused_step
-            fused = make_fused_step(
-                ly, lx, str(sshn_t.dtype), p, dx, dy, self._fcor,
-                self.depth, tile_rows=getattr(self, "_pallas_tile_rows",
-                                              None),
-                interpret=self._pallas_interpret)
+            fused = self._make_fused(1)
             stale = fused(sshn_t, un, vn, mask_codes, forcing)
         else:
             stale = run(sshn_t, un, vn, mask_codes)
@@ -548,13 +563,26 @@ class NemoLite2D:
         paste_cols(h + w - (B - 2))
         return tuple(out)
 
+    def _make_fused(self, K: int):
+        """The fused kernel for this model's static configuration."""
+        from ..ops.pallas_step import make_fused_step
+        spec = self.grid.halo_spec
+        return make_fused_step(
+            spec.local_ny, spec.local_nx, str(self.grid.dtype), self.p,
+            self.grid.dx, self.grid.dy, self._fcor,
+            self.depth if self._ht is None else 0.0,
+            tile_rows=self._pallas_tile_rows,
+            interpret=self._pallas_interpret, steps_per_sweep=K,
+            variable_bathy=self._ht is not None)
+
     def _block_sweep(self, exch, fused, K, istep0, sshn_t, un, vn,
-                     mask_codes):
+                     mask_codes, dep=None):
         """K fused steps after ONE depth-2K exchange (temporal blocking)."""
         p = self.p
         sshn_t, un, vn = exch((sshn_t, un, vn))
         rtimes = (istep0 + 1 + jnp.arange(K)).astype(sshn_t.dtype) * p.rdt
-        return fused(sshn_t, un, vn, mask_codes, tidal_forcing(rtimes, p))
+        return fused(sshn_t, un, vn, mask_codes, tidal_forcing(rtimes, p),
+                     ht=dep if self._ht is not None else None)
 
     def step_program(self, nsteps: int, overlap: bool = False):
         grid = self.grid
@@ -564,6 +592,9 @@ class NemoLite2D:
                 raise ValueError("overlap mode needs halo_width >= 2")
             if spec.tile_nx < 8 or spec.tile_ny < 8:
                 raise ValueError("overlap mode needs tiles >= 8x8")
+            if self._ht is not None:
+                raise ValueError(
+                    "overlap mode supports flat bathymetry only")
         if overlap and self.use_pallas and self._sweep_K > 1:
             raise ValueError(
                 "overlap mode runs one step at a time; rebuild with "
@@ -577,29 +608,26 @@ class NemoLite2D:
                        else self._block_step)
             K = self._sweep_K if (self.use_pallas and not overlap) else 1
             if K > 1:
-                from ..ops.pallas_step import make_fused_step
-                spec = grid.halo_spec
-                fusedK = make_fused_step(
-                    spec.local_ny, spec.local_nx, str(grid.dtype), self.p,
-                    grid.dx, grid.dy, self._fcor, self.depth,
-                    tile_rows=self._pallas_tile_rows,
-                    interpret=self._pallas_interpret, steps_per_sweep=K)
+                fusedK = self._make_fused(K)
                 exchK = exchange_multi_fn(grid.halo_spec, depth=2 * K)
+            have_ht = self._ht is not None
 
-            def body(istep0, state, mask_codes):
+            def body(istep0, state, mask_codes, *bathy):
+                dep = bathy[0] if have_ht else None
                 base = 0
                 if K > 1 and nsteps >= K:
                     def sweep(j, s):
                         return self._block_sweep(exchK, fusedK, K,
                                                  istep0 + j * K, *s,
-                                                 mask_codes)
+                                                 mask_codes, dep=dep)
                     state = lax.fori_loop(0, nsteps // K, sweep, state)
                     base = (nsteps // K) * K
                 if nsteps - base == 0:
                     return state
 
                 def one(i, s):
-                    return stepper(exch, istep0 + base + i, *s, mask_codes)
+                    return stepper(exch, istep0 + base + i, *s, mask_codes,
+                                   dep=dep)
                 return lax.fori_loop(0, nsteps - base, one, state)
 
             blk = P("y", "x")
@@ -607,7 +635,7 @@ class NemoLite2D:
             # mesh-axis metadata; the specs are explicit anyway.
             smapped = jax.shard_map(
                 body, mesh=grid.mesh,
-                in_specs=(P(), (blk,) * 3, blk),
+                in_specs=(P(), (blk,) * 3, blk) + ((blk,) if have_ht else ()),
                 out_specs=(blk,) * 3, check_vma=False)
             self._step_cache[key] = jax.jit(smapped)
         return self._step_cache[key]
@@ -615,7 +643,8 @@ class NemoLite2D:
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)
         state = (self.sshn_t.data, self.un.data, self.vn.data)
-        out = prog(jnp.int32(self._istep0), state, self._mask_codes)
+        bathy = (self._ht,) if self._ht is not None else ()
+        out = prog(jnp.int32(self._istep0), state, self._mask_codes, *bathy)
         self.sshn_t.data, self.un.data, self.vn.data = out
         self._istep0 += nsteps
         # keep the derived U/V-face ssh fields in sync for API users
@@ -647,6 +676,9 @@ def build(gnx: int = 256, gny: int = 256, ndomains=None,
     kernel (implies halo_width=2 and TPU-tile-aligned shards).
     ``steps_per_sweep=K`` adds temporal blocking on top: K steps per
     HBM pass and per (depth-2K) halo exchange.
+    ``depth`` is a scalar (flat bathymetry, trace-time constant) or a
+    global (gny, gnx) T-point depth array (variable bathymetry,
+    streamed per point on both the jnp and Pallas paths).
     """
     align = align_y = 1
     if pallas:

@@ -50,7 +50,8 @@ def _cdiv(a, b):
 def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                     dy: float, fcor: float, depth: float,
                     tile_rows: int | None = None, interpret: bool = False,
-                    steps_per_sweep: int = 1, hoist_masks: bool = True):
+                    steps_per_sweep: int = 1, hoist_masks: bool = True,
+                    variable_bathy: bool = False):
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing)
 
     -> (ssha, ua, va), all shaped (ly, lx) per shard block.
@@ -65,7 +66,13 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     steps).  ``forcing`` becomes a length-K vector of per-sub-step
     boundary values.  The kernel went HBM-bound once the VPU work per
     step dropped below the DMA time (scripts/kbench.py); K=2 rebalances
-    it."""
+    it.
+
+    ``variable_bathy``: the T-point depth is a per-point array streamed
+    as a 4th field window (``fused(..., ht=...)``); U/V-face depths are
+    derived in-VMEM.  ``depth`` is then ignored.  The array is
+    time-invariant, so its halo is always fresh and temporal blocking
+    needs no extra ring."""
     from ..models.nemolite2d import (_recip_exact, _recip_fast, decode_masks,
                                      step_math)
 
@@ -105,12 +112,21 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
         off = pl.multiple_of(ry - wy, 8)
         return ry, wy, off
 
-    def kernel(forcing_ref, sshn_hbm, un_hbm, vn_hbm, tm_hbm,
-               ssha_hbm, ua_hbm, va_hbm,
-               w_ssh, w_un, w_vn, w_tm, o_ssh, o_ua, o_va,
-               in_sems, out_sems):
-        ins_of = [sshn_hbm, un_hbm, vn_hbm, tm_hbm]
-        wins = [w_ssh, w_un, w_vn, w_tm]
+    def kernel(forcing_ref, *refs):
+        if variable_bathy:
+            (sshn_hbm, un_hbm, vn_hbm, tm_hbm, ht_hbm,
+             ssha_hbm, ua_hbm, va_hbm,
+             w_ssh, w_un, w_vn, w_tm, w_ht, o_ssh, o_ua, o_va,
+             in_sems, out_sems) = refs
+            ins_of = [sshn_hbm, un_hbm, vn_hbm, tm_hbm, ht_hbm]
+            wins = [w_ssh, w_un, w_vn, w_tm, w_ht]
+        else:
+            (sshn_hbm, un_hbm, vn_hbm, tm_hbm,
+             ssha_hbm, ua_hbm, va_hbm,
+             w_ssh, w_un, w_vn, w_tm, o_ssh, o_ua, o_va,
+             in_sems, out_sems) = refs
+            ins_of = [sshn_hbm, un_hbm, vn_hbm, tm_hbm]
+            wins = [w_ssh, w_un, w_vn, w_tm]
         outs_of = [ssha_hbm, ua_hbm, va_hbm]
         obufs = [o_ssh, o_ua, o_va]
 
@@ -137,13 +153,14 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                 c.wait()
 
             ssha, ua, va = w_ssh[slot], w_un[slot], w_vn[slot]
+            dep = w_ht[slot] if variable_bathy else depth
             # decode once per tile (vs per sub-step) trades ~19 VPU ops
             # per extra sub-step against 6 window arrays of VMEM
             # residency across the chain
             masks = decode_masks(w_tm[slot], dtype) if hoist_masks else None
             for k in range(K):
                 ssha, ua, va = step_math(
-                    ssha, ua, va, w_tm[slot], p, dx, dy, fcor, depth,
+                    ssha, ua, va, w_tm[slot], p, dx, dy, fcor, dep,
                     forcing=forcing_ref[k], exch_mid=None, recip=recip,
                     masks=masks)
 
@@ -175,30 +192,38 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                     c.wait()
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    n_in = 5 if variable_bathy else 4
+    scratch = [
+        pltpu.VMEM((2, H, lx), dtype),      # sshn windows
+        pltpu.VMEM((2, H, lx), dtype),      # un windows
+        pltpu.VMEM((2, H, lx), dtype),      # vn windows
+        pltpu.VMEM((2, H, lx), jnp.int8),   # tmask windows
+    ]
+    if variable_bathy:
+        scratch.append(pltpu.VMEM((2, H, lx), dtype))   # ht windows
+    scratch += [
+        pltpu.VMEM((2, H, lx), dtype),      # ssha out buffers
+        pltpu.VMEM((2, H, lx), dtype),      # ua out buffers
+        pltpu.VMEM((2, H, lx), dtype),      # va out buffers
+        pltpu.SemaphoreType.DMA((n_in, 2)),
+        pltpu.SemaphoreType.DMA((3, 2)),
+    ]
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  any_spec, any_spec, any_spec, any_spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [any_spec] * n_in,
         out_specs=(any_spec, any_spec, any_spec),
         out_shape=(jax.ShapeDtypeStruct((ly, lx), dtype),) * 3,
-        scratch_shapes=[
-            pltpu.VMEM((2, H, lx), dtype),      # sshn windows
-            pltpu.VMEM((2, H, lx), dtype),      # un windows
-            pltpu.VMEM((2, H, lx), dtype),      # vn windows
-            pltpu.VMEM((2, H, lx), jnp.int8),   # tmask windows
-            pltpu.VMEM((2, H, lx), dtype),      # ssha out buffers
-            pltpu.VMEM((2, H, lx), dtype),      # ua out buffers
-            pltpu.VMEM((2, H, lx), dtype),      # va out buffers
-            pltpu.SemaphoreType.DMA((4, 2)),
-            pltpu.SemaphoreType.DMA((3, 2)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def fused(sshn, un, vn, mask_codes_i8, forcing):
+    def fused(sshn, un, vn, mask_codes_i8, forcing, ht=None):
         f = jnp.asarray(forcing, dtype).reshape((K,))
+        if variable_bathy:
+            return call(f, sshn, un, vn, mask_codes_i8, ht)
         return call(f, sshn, un, vn, mask_codes_i8)
 
     return fused
