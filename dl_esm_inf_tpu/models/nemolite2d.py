@@ -694,3 +694,42 @@ def build(gnx: int = 256, gny: int = 256, ndomains=None,
     if pallas:
         model.enable_pallas(steps_per_sweep=steps_per_sweep)
     return model
+
+
+def main(argv=None):
+    """CLI demo: the canonical NEMOLite2D-style run (258^2 domain by
+    default, like the GOcean benchmark namelist), printing per-field
+    checksums every report interval — drive with
+    ``python -m dl_esm_inf_tpu.models.nemolite2d [N] [steps]``."""
+    import sys
+    import time as _time
+
+    import jax as _jax
+
+    from .gravity_wave import gaussian_eta
+
+    args = list(argv if argv is not None else sys.argv[1:])
+    n = int(args[0]) if args else 258
+    nsteps = int(args[1]) if len(args) > 1 else 100
+    use_pallas = _jax.default_backend() == "tpu"
+    m = build(n, n, pallas=use_pallas,
+              steps_per_sweep=4 if use_pallas else 1)
+    m.set_initial_ssh(gaussian_eta(n, n, amp=0.2))
+    report = max(1, nsteps // 5)
+    done = 0
+    t0 = _time.perf_counter()
+    while done < nsteps:
+        todo = min(report, nsteps - done)
+        m.run(todo)
+        done += todo
+        cs = m.checksums()
+        print(f"step {done:6d}  " +
+              "  ".join(f"{k}={v:.10E}" for k, v in cs.items()), flush=True)
+    dt = _time.perf_counter() - t0
+    print(f"{nsteps} steps of {n}x{n} in {dt:.3f}s "
+          f"({n * n * nsteps / dt / 1e6:.1f} Mpt/s) "
+          f"[backend={_jax.default_backend()}, pallas={m.use_pallas}]")
+
+
+if __name__ == "__main__":
+    main()
