@@ -70,12 +70,28 @@ class GravityWaveModel:
         dtype = self.eta.dtype
         tm = grid.tmask
         wet_t = (tm == 1)
-        # geometric in-domain internal masks keep padding inert
-        geo = grid.region_mask(0, 0, dtype=jnp.bool_)
+        # geometric mask: cells representing a real global cell.  Must
+        # include in-domain shard-HALO cells (not just the internal
+        # region): the deep-halo sweep path recomputes halo cells
+        # locally each sub-step, which requires them to evolve exactly
+        # like their interior twins on the neighbouring shard.
+        d = grid.decomp
+        gx = layout.global_x_index(d)
+        gy = layout.global_y_index(d)
+        geo = jnp.asarray(((gy >= 0) & (gy < d.global_ny))[:, None]
+                          & ((gx >= 0) & (gx < d.global_nx))[None, :])
         self._t_upd = (wet_t & geo).astype(dtype)
         self._u_wet = (wet_t & (st.xp(tm) == 1)).astype(dtype)
         self._v_wet = (wet_t & (st.yp(tm) == 1)).astype(dtype)
+        # 3-bit code for the Pallas path: 1 B/pt instead of three arrays
+        self._mask_codes = jax.device_put(
+            (self._t_upd + 2 * self._u_wet + 4 * self._v_wet
+             ).astype(jnp.int8), grid.sharding)
         self._step_cache = {}
+        self.use_pallas = False
+        self._pallas_interpret = False
+        self._pallas_tile_rows = None
+        self._sweep_K = 1
 
     # ------------------------------------------------------------------
     def set_initial_eta(self, eta_global: np.ndarray) -> None:
@@ -87,16 +103,60 @@ class GravityWaveModel:
         self.eta.halo_exchange(1)
 
     # ------------------------------------------------------------------
-    def _block_step(self, exch, eta, u, v, t_upd, u_wet, v_wet):
-        """One forward-backward step on a local block (inside shard_map)."""
+    def _step_math(self, eta, u, v, t_upd, u_wet, v_wet):
+        """One forward-backward step on a block/window (total reach 1)."""
         g, H, dt = self.g, self.depth, self.dt
         dx, dy = self.grid.dx, self.grid.dy
-        eta, u, v = exch((eta, u, v))
         u_new = (u - g * dt * st.ddx(eta, dx)) * u_wet
         v_new = (v - g * dt * st.ddy(eta, dy)) * v_wet
         div = st.ddx_back(u_new, dx) + st.ddy_back(v_new, dy)
         eta_new = jnp.where(t_upd > 0, eta - H * dt * div, eta)
         return eta_new, u_new, v_new
+
+    def _block_step(self, exch, eta, u, v, t_upd, u_wet, v_wet):
+        """One step on a local block (inside shard_map)."""
+        eta, u, v = exch((eta, u, v))
+        return self._step_math(eta, u, v, t_upd, u_wet, v_wet)
+
+    # ------------------------------------------------------------------
+    def enable_pallas(self, interpret: bool = False,
+                      tile_rows: int | None = None,
+                      steps_per_sweep: int = 1) -> None:
+        """Fused stencil-sweep fast path (ops/sweep.py engine).
+
+        The step's total stencil reach is 1, so up to 8 steps fit one
+        sweep (temporal blocking); needs ``halo_width >= steps_per_sweep``
+        and TPU-tile-aligned shards (``build(pallas=True)`` sets both)."""
+        K = int(steps_per_sweep)
+        if not 1 <= K <= 8:
+            raise ValueError(f"steps_per_sweep must be in [1, 8], got {K}")
+        if self.grid.halo_spec.halo < K:
+            raise ValueError(
+                f"steps_per_sweep={K} needs halo_width >= {K}")
+        self.use_pallas = True
+        self._pallas_interpret = interpret
+        self._pallas_tile_rows = tile_rows
+        self._sweep_K = K
+        self._step_cache.clear()
+
+    def _make_sweep(self, K: int):
+        from ..ops.sweep import make_stencil_sweep
+        spec = self.grid.halo_spec
+        dtype = jnp.dtype(self.eta.dtype)
+
+        def prepare(aux):
+            c = aux[0].astype(jnp.int32)
+            return tuple(((c >> k) & 1).astype(dtype) for k in range(3))
+
+        def stepf(state, prepared, scalars):
+            return self._step_math(*state, *prepared)
+
+        return make_stencil_sweep(
+            stepf, ly=spec.local_ny, lx=spec.local_nx,
+            state_dtypes=(dtype,) * 3, aux_dtypes=(jnp.int8,),
+            n_scalars=0, steps_per_sweep=K, reach=1, prepare_fn=prepare,
+            tile_rows=self._pallas_tile_rows,
+            interpret=self._pallas_interpret)
 
     def step_program(self, nsteps: int = 1):
         """Compiled program advancing (eta, u, v) by ``nsteps``."""
@@ -104,23 +164,41 @@ class GravityWaveModel:
         if key not in self._step_cache:
             grid = self.grid
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
+            K = self._sweep_K if self.use_pallas else 1
+            if self.use_pallas:
+                sweepK = self._make_sweep(K)
+                exchK = exchange_multi_fn(grid.halo_spec, depth=K)
+                zeros = jnp.zeros((K, 1), self.eta.dtype)
 
-            def body(eta, u, v, t_upd, u_wet, v_wet):
+            def body(eta, u, v, t_upd, u_wet, v_wet, codes):
+                state = (eta, u, v)
+                base = 0
+                if self.use_pallas and nsteps >= K:
+                    def sweep(_, s):
+                        return sweepK(*exchK(s), codes, zeros)
+                    state = lax.fori_loop(0, nsteps // K, sweep, state)
+                    base = (nsteps // K) * K
+
                 def one(_, s):
                     return self._block_step(exch, *s, t_upd, u_wet, v_wet)
-                return lax.fori_loop(0, nsteps, one, (eta, u, v))
+                if nsteps - base:
+                    state = lax.fori_loop(0, nsteps - base, one, state)
+                return state
 
+            # check_vma=False: pallas_call outputs don't carry varying-
+            # mesh-axis metadata; the specs are explicit anyway.
             smapped = jax.shard_map(
                 body, mesh=grid.mesh,
-                in_specs=(P("y", "x"),) * 6,
-                out_specs=(P("y", "x"),) * 3)
+                in_specs=(P("y", "x"),) * 7,
+                out_specs=(P("y", "x"),) * 3, check_vma=False)
             self._step_cache[key] = jax.jit(smapped)
         return self._step_cache[key]
 
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)
         eta, u, v = prog(self.eta.data, self.u.data, self.v.data,
-                         self._t_upd, self._u_wet, self._v_wet)
+                         self._t_upd, self._u_wet, self._v_wet,
+                         self._mask_codes)
         self.eta.data, self.u.data, self.v.data = eta, u, v
 
     # ------------------------------------------------------------------
@@ -132,6 +210,32 @@ class GravityWaveModel:
         return {"eta": self.eta.gather_inner_data(),
                 "u": self.u.gather_inner_data(),
                 "v": self.v.gather_inner_data()}
+
+
+def build(gnx: int = 256, gny: int = 256, ndomains=None, dt: float = 0.05,
+          g: float = 9.81, depth: float = 10.0, dx: float = 1.0,
+          dy: float = 1.0, tmask=None, dtype=None, halo_width: int = 1,
+          pallas: bool = False,
+          steps_per_sweep: int = 1) -> GravityWaveModel:
+    """Convenience constructor: grid + land-ring tmask + model.
+
+    ``pallas=True`` selects the fused stencil-sweep fast path
+    (TPU-tile-aligned shards, ``halo_width >= steps_per_sweep``)."""
+    align = align_y = 1
+    if pallas:
+        halo_width = max(halo_width, steps_per_sweep)
+        align, align_y = 128, 8
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE, dtype=dtype)
+    grid.decompose(gnx, gny, ndomains=ndomains, halo_width=halo_width,
+                   align=align, align_y=align_y)
+    dl.grid_init(grid, dx, dy, default_tmask(gnx, gny)
+                 if tmask is None else tmask)
+    model = GravityWaveModel(grid, dt=dt, g=g, depth=depth)
+    if pallas:
+        model.enable_pallas(steps_per_sweep=steps_per_sweep)
+    return model
 
 
 def golden_reference(eta0: np.ndarray, tmask: np.ndarray, dx: float,

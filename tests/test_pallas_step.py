@@ -68,6 +68,41 @@ def test_temporal_blocking_guards():
         m.enable_pallas(steps_per_sweep=2)
 
 
+@pytest.mark.parametrize("sweep,nsteps", [(1, 5), (3, 7)])
+def test_gravity_wave_sweep_matches_jnp(sweep, nsteps):
+    """Second client on the generic sweep engine (reach-1 physics,
+    K up to 8); K=3 with 7 steps exercises sweeps + remainder."""
+    from dl_esm_inf_tpu.models import gravity_wave as gw
+    gnx, gny = 96, 64
+    ma = gw.build(gnx, gny, ndomains=4)
+    mb = gw.build(gnx, gny, ndomains=4, pallas=True,
+                  steps_per_sweep=sweep)
+    mb.enable_pallas(interpret=True, steps_per_sweep=sweep)
+    for m in (ma, mb):
+        m.set_initial_eta(gaussian_eta(gnx, gny, amp=0.5))
+    ma.run(nsteps)
+    mb.run(nsteps)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(mb.gather()[k], ma.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_gravity_wave_sweep_vs_golden():
+    from dl_esm_inf_tpu.models import gravity_wave as gw
+    gnx, gny = 96, 64
+    m = gw.build(gnx, gny, ndomains=4, pallas=True, steps_per_sweep=4)
+    m.enable_pallas(interpret=True, steps_per_sweep=4)
+    eta0 = gaussian_eta(gnx, gny, amp=0.5)
+    m.set_initial_eta(eta0)
+    m.run(40)
+    want = gw.golden_reference(eta0, gw.default_tmask(gnx, gny), 1.0, 1.0,
+                               m.dt, 40, depth=m.depth)
+    got = m.gather()
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-12, atol=1e-12,
+                                   err_msg=k)
+
+
 def test_fused_step_guards():
     with pytest.raises(ValueError, match="halo_width"):
         bad = nl.build(32, 32, ndomains=1, halo_width=1)
