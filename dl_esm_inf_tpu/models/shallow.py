@@ -48,6 +48,10 @@ class ShallowModel:
         self.u = dl.Field(grid, dl.U_POINTS)
         self.v = dl.Field(grid, dl.V_POINTS)
         self._step_cache = {}
+        self.use_pallas = False
+        self._pallas_interpret = False
+        self._pallas_tile_rows = None
+        self._sweep_K = 1
 
     def set_initial_eta(self, eta_global: np.ndarray) -> None:
         stacked = layout.stack_global(self.grid.decomp,
@@ -56,10 +60,12 @@ class ShallowModel:
         self.eta.set_data(stacked)
         self.eta.halo_exchange(1)
 
-    def _block_step(self, exch, eta, u, v):
+    def _step_math(self, eta, u, v):
+        """One step on a block/window (total reach 1; no masks — the
+        domain is all-wet periodic, so even halo cells evolve exactly
+        like their interior twins: the deep-halo sweep needs no mask)."""
         g, H, dt, f = self.g, self.depth, self.dt, self.f0
         dx, dy = self.grid.dx, self.grid.dy
-        eta, u, v = exch((eta, u, v))
         # SW offset: U_i sits between T_{i-1} and T_i; V_j between
         # T_{j-1} and T_j.
         # Coriolis velocities interpolated to the opposite points:
@@ -71,19 +77,69 @@ class ShallowModel:
         eta_new = eta - H * dt * (st.ddx(u_new, dx) + st.ddy(v_new, dy))
         return eta_new, u_new, v_new
 
+    def _block_step(self, exch, eta, u, v):
+        eta, u, v = exch((eta, u, v))
+        return self._step_math(eta, u, v)
+
+    # ------------------------------------------------------------------
+    def enable_pallas(self, interpret: bool = False,
+                      tile_rows: int | None = None,
+                      steps_per_sweep: int = 1) -> None:
+        """Fused stencil-sweep fast path (ops/sweep.py engine); the
+        periodic wrap rides the (depth-K) exchange between sweeps."""
+        K = int(steps_per_sweep)
+        if not 1 <= K <= 8:
+            raise ValueError(f"steps_per_sweep must be in [1, 8], got {K}")
+        if self.grid.halo_spec.halo < K:
+            raise ValueError(f"steps_per_sweep={K} needs halo_width >= {K}")
+        self.use_pallas = True
+        self._pallas_interpret = interpret
+        self._pallas_tile_rows = tile_rows
+        self._sweep_K = K
+        self._step_cache.clear()
+
+    def _make_sweep(self, K: int):
+        from ..ops.sweep import make_stencil_sweep
+        spec = self.grid.halo_spec
+        dtype = jnp.dtype(self.eta.dtype)
+
+        def stepf(state, prepared, scalars):
+            return self._step_math(*state)
+
+        return make_stencil_sweep(
+            stepf, ly=spec.local_ny, lx=spec.local_nx,
+            state_dtypes=(dtype,) * 3, aux_dtypes=(), n_scalars=0,
+            steps_per_sweep=K, reach=1,
+            tile_rows=self._pallas_tile_rows,
+            interpret=self._pallas_interpret)
+
     def step_program(self, nsteps: int):
         if nsteps not in self._step_cache:
             grid = self.grid
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
+            K = self._sweep_K if self.use_pallas else 1
+            if self.use_pallas:
+                sweepK = self._make_sweep(K)
+                exchK = exchange_multi_fn(grid.halo_spec, depth=K)
+                zeros = jnp.zeros((K, 1), self.eta.dtype)
 
             def body(eta, u, v):
-                return lax.fori_loop(
-                    0, nsteps, lambda i, s: self._block_step(exch, *s),
-                    (eta, u, v))
+                state = (eta, u, v)
+                base = 0
+                if self.use_pallas and nsteps >= K:
+                    state = lax.fori_loop(
+                        0, nsteps // K,
+                        lambda i, s: sweepK(*exchK(s), zeros), state)
+                    base = (nsteps // K) * K
+                if nsteps - base:
+                    state = lax.fori_loop(
+                        0, nsteps - base,
+                        lambda i, s: self._block_step(exch, *s), state)
+                return state
 
             self._step_cache[nsteps] = jax.jit(jax.shard_map(
                 body, mesh=grid.mesh, in_specs=(P("y", "x"),) * 3,
-                out_specs=(P("y", "x"),) * 3))
+                out_specs=(P("y", "x"),) * 3, check_vma=False))
         return self._step_cache[nsteps]
 
     def run(self, nsteps: int) -> None:
@@ -102,13 +158,22 @@ class ShallowModel:
 
 
 def build(gnx: int = 64, gny: int = 64, ndomains=None, dt: float = 0.01,
-          **kw) -> ShallowModel:
+          halo_width: int = 1, pallas: bool = False,
+          steps_per_sweep: int = 1, **kw) -> ShallowModel:
+    align = align_y = 1
+    if pallas:
+        halo_width = max(halo_width, steps_per_sweep)
+        align, align_y = 128, 8
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
                    dl.OFFSET_SW)
-    grid.decompose(gnx, gny, ndomains=ndomains)
+    grid.decompose(gnx, gny, ndomains=ndomains, halo_width=halo_width,
+                   align=align, align_y=align_y)
     dl.grid_init(grid, 1.0, 1.0)          # all-wet periodic domain
-    return ShallowModel(grid, dt=dt, **kw)
+    model = ShallowModel(grid, dt=dt, **kw)
+    if pallas:
+        model.enable_pallas(steps_per_sweep=steps_per_sweep)
+    return model
 
 
 def golden_reference(eta0: np.ndarray, dt: float, nsteps: int,

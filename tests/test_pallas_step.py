@@ -103,6 +103,26 @@ def test_gravity_wave_sweep_vs_golden():
                                    err_msg=k)
 
 
+@pytest.mark.parametrize("sweep,nsteps", [(1, 5), (4, 10)])
+def test_shallow_sweep_matches_jnp(sweep, nsteps):
+    """Third client on the engine: SW offset + doubly-periodic wrap
+    riding the depth-K exchange between sweeps (no masks at all)."""
+    from dl_esm_inf_tpu.models import shallow as sh
+    gnx, gny = 96, 64
+    ma = sh.build(gnx, gny, ndomains=4, dt=0.01)
+    mb = sh.build(gnx, gny, ndomains=4, dt=0.01, pallas=True,
+                  steps_per_sweep=sweep)
+    mb.enable_pallas(interpret=True, steps_per_sweep=sweep)
+    eta0 = np.random.default_rng(0).normal(size=(gny, gnx)) * 0.1
+    for m in (ma, mb):
+        m.set_initial_eta(eta0)
+    ma.run(nsteps)
+    mb.run(nsteps)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(mb.gather()[k], ma.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
 def test_fused_step_guards():
     with pytest.raises(ValueError, match="halo_width"):
         bad = nl.build(32, 32, ndomains=1, halo_width=1)
