@@ -29,8 +29,17 @@ def slope(m, n_lo=100, n_hi=600):
     return (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
 
 
-for K in (1, 2, 4, 2, 1):
+import sys
+
+configs = [(4, 64), (4, 96), (4, 128), (4, 64), (4, 96), (4, 128)]
+if len(sys.argv) > 1 and sys.argv[1] == "--ks":
+    configs = [(1, None), (2, None), (4, None), (2, None), (1, None)]
+
+for K, ty in configs:
     m = nl.build(N, N, pallas=True, steps_per_sweep=K)
+    if ty:
+        m.enable_pallas(steps_per_sweep=K, tile_rows=ty)
     m.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
     t = slope(m)
-    print(f"K={K}  {t*1e6:7.1f} us/step  {N*N/t/1e9:6.2f} Gpt/s", flush=True)
+    print(f"K={K} TY={ty or 64:4}  {t*1e6:7.1f} us/step  "
+          f"{N*N/t/1e9:6.2f} Gpt/s", flush=True)
