@@ -85,8 +85,8 @@ class GravityWaveModel:
         self._v_wet = (wet_t & (st.yp(tm) == 1)).astype(dtype)
         # 3-bit code for the Pallas path: 1 B/pt instead of three arrays
         self._mask_codes = jax.device_put(
-            (self._t_upd + 2 * self._u_wet + 4 * self._v_wet
-             ).astype(jnp.int8), grid.sharding)
+            st.pack_mask_bits((self._t_upd, self._u_wet, self._v_wet)),
+            grid.sharding)
         self._step_cache = {}
         self.use_pallas = False
         self._pallas_interpret = False
@@ -127,17 +127,10 @@ class GravityWaveModel:
         The step's total stencil reach is 1, so up to 8 steps fit one
         sweep (temporal blocking); needs ``halo_width >= steps_per_sweep``
         and TPU-tile-aligned shards (``build(pallas=True)`` sets both)."""
-        K = int(steps_per_sweep)
-        if not 1 <= K <= 8:
-            raise ValueError(f"steps_per_sweep must be in [1, 8], got {K}")
-        if self.grid.halo_spec.halo < K:
-            raise ValueError(
-                f"steps_per_sweep={K} needs halo_width >= {K}")
-        self.use_pallas = True
-        self._pallas_interpret = interpret
-        self._pallas_tile_rows = tile_rows
-        self._sweep_K = K
-        self._step_cache.clear()
+        from ..ops.fastpath import enable_fast_path
+        enable_fast_path(self, reach=1, interpret=interpret,
+                         tile_rows=tile_rows,
+                         steps_per_sweep=steps_per_sweep)
 
     def _make_sweep(self, K: int):
         from ..ops.sweep import make_stencil_sweep
@@ -145,8 +138,7 @@ class GravityWaveModel:
         dtype = jnp.dtype(self.eta.dtype)
 
         def prepare(aux):
-            c = aux[0].astype(jnp.int32)
-            return tuple(((c >> k) & 1).astype(dtype) for k in range(3))
+            return st.unpack_mask_bits(aux[0], 3, dtype)
 
         def stepf(state, prepared, scalars):
             return self._step_math(*state, *prepared)
@@ -168,14 +160,13 @@ class GravityWaveModel:
             if self.use_pallas:
                 sweepK = self._make_sweep(K)
                 exchK = exchange_multi_fn(grid.halo_spec, depth=K)
-                zeros = jnp.zeros((K, 1), self.eta.dtype)
 
             def body(eta, u, v, t_upd, u_wet, v_wet, codes):
                 state = (eta, u, v)
                 base = 0
                 if self.use_pallas and nsteps >= K:
                     def sweep(_, s):
-                        return sweepK(*exchK(s), codes, zeros)
+                        return sweepK(*exchK(s), codes)
                     state = lax.fori_loop(0, nsteps // K, sweep, state)
                     base = (nsteps // K) * K
 
@@ -221,10 +212,9 @@ def build(gnx: int = 256, gny: int = 256, ndomains=None, dt: float = 0.05,
 
     ``pallas=True`` selects the fused stencil-sweep fast path
     (TPU-tile-aligned shards, ``halo_width >= steps_per_sweep``)."""
-    align = align_y = 1
-    if pallas:
-        halo_width = max(halo_width, steps_per_sweep)
-        align, align_y = 128, 8
+    from ..ops.fastpath import fast_path_grid_args
+    halo_width, align, align_y = fast_path_grid_args(
+        pallas, steps_per_sweep, 1, halo_width)
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
                    dl.OFFSET_NE, dtype=dtype)

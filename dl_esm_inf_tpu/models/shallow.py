@@ -87,16 +87,10 @@ class ShallowModel:
                       steps_per_sweep: int = 1) -> None:
         """Fused stencil-sweep fast path (ops/sweep.py engine); the
         periodic wrap rides the (depth-K) exchange between sweeps."""
-        K = int(steps_per_sweep)
-        if not 1 <= K <= 8:
-            raise ValueError(f"steps_per_sweep must be in [1, 8], got {K}")
-        if self.grid.halo_spec.halo < K:
-            raise ValueError(f"steps_per_sweep={K} needs halo_width >= {K}")
-        self.use_pallas = True
-        self._pallas_interpret = interpret
-        self._pallas_tile_rows = tile_rows
-        self._sweep_K = K
-        self._step_cache.clear()
+        from ..ops.fastpath import enable_fast_path
+        enable_fast_path(self, reach=1, interpret=interpret,
+                         tile_rows=tile_rows,
+                         steps_per_sweep=steps_per_sweep)
 
     def _make_sweep(self, K: int):
         from ..ops.sweep import make_stencil_sweep
@@ -121,7 +115,6 @@ class ShallowModel:
             if self.use_pallas:
                 sweepK = self._make_sweep(K)
                 exchK = exchange_multi_fn(grid.halo_spec, depth=K)
-                zeros = jnp.zeros((K, 1), self.eta.dtype)
 
             def body(eta, u, v):
                 state = (eta, u, v)
@@ -129,7 +122,7 @@ class ShallowModel:
                 if self.use_pallas and nsteps >= K:
                     state = lax.fori_loop(
                         0, nsteps // K,
-                        lambda i, s: sweepK(*exchK(s), zeros), state)
+                        lambda i, s: sweepK(*exchK(s)), state)
                     base = (nsteps // K) * K
                 if nsteps - base:
                     state = lax.fori_loop(
@@ -160,10 +153,9 @@ class ShallowModel:
 def build(gnx: int = 64, gny: int = 64, ndomains=None, dt: float = 0.01,
           halo_width: int = 1, pallas: bool = False,
           steps_per_sweep: int = 1, **kw) -> ShallowModel:
-    align = align_y = 1
-    if pallas:
-        halo_width = max(halo_width, steps_per_sweep)
-        align, align_y = 128, 8
+    from ..ops.fastpath import fast_path_grid_args
+    halo_width, align, align_y = fast_path_grid_args(
+        pallas, steps_per_sweep, 1, halo_width)
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
                    dl.OFFSET_SW)

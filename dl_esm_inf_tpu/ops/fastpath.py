@@ -1,0 +1,39 @@
+"""Light (pallas-free) helpers shared by sweep-engine client models."""
+from __future__ import annotations
+
+RING = 8          # window ring rows per side (Mosaic f32 sublane tile)
+
+
+def enable_fast_path(model, *, reach: int, interpret: bool = False,
+                     tile_rows: int | None = None,
+                     steps_per_sweep: int = 1) -> None:
+    """Shared fast-path switch for sweep-engine client models.
+
+    Validates that K sub-steps of the given stencil ``reach`` fit the
+    window ring and the shard halo, then flips the model's fast-path
+    attributes (``use_pallas``, ``_sweep_K``, ...) and clears its
+    program cache."""
+    K = int(steps_per_sweep)
+    kmax = RING // reach
+    if not 1 <= K <= kmax:
+        raise ValueError(
+            f"steps_per_sweep must be in [1, {kmax}], got {K}")
+    need = max(K * reach, reach)
+    if model.grid.halo_spec.halo < need:
+        raise ValueError(
+            f"the fused sweep with steps_per_sweep={K} needs "
+            f"halo_width >= {need} (build(..., halo_width={need}))")
+    model.use_pallas = True
+    model._pallas_interpret = interpret
+    model._pallas_tile_rows = tile_rows
+    model._sweep_K = K
+    model._step_cache.clear()
+
+
+def fast_path_grid_args(pallas: bool, steps_per_sweep: int, reach: int,
+                        halo_width: int) -> tuple[int, int, int]:
+    """(halo_width, align, align_y) for a model ``build()``: TPU lane/
+    sublane alignment and a halo deep enough for the K-step sweep."""
+    if not pallas:
+        return halo_width, 1, 1
+    return max(halo_width, steps_per_sweep * reach, reach), 128, 8

@@ -59,6 +59,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     scripts/abmask.py)."""
     from ..models.nemolite2d import (_recip_exact, _recip_fast, decode_masks,
                                      step_math)
+    from . import stencils as st
     from .sweep import make_stencil_sweep
 
     dtype = jnp.dtype(dtype_str)
@@ -75,12 +76,15 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     def prepare(aux):
         tm = aux[0]
         masks = decode_masks(tm, dtype) if hoist_masks else None
-        ht = aux[1] if variable_bathy else None
-        return tm, masks, ht
+        if variable_bathy:   # derive face depths once per tile (ht is
+            ht = aux[1]      # time-invariant; K sub-steps reuse them)
+            dep = (ht, 0.5 * (ht + st.xp(ht)), 0.5 * (ht + st.yp(ht)))
+        else:
+            dep = depth
+        return tm, masks, dep
 
     def stepf(state, prepared, scalars):
-        tm, masks, ht = prepared
-        dep = ht if variable_bathy else depth
+        tm, masks, dep = prepared
         return step_math(*state, tm, p, dx, dy, fcor, dep,
                          forcing=scalars[0], exch_mid=None, recip=recip,
                          masks=masks)

@@ -91,3 +91,18 @@ def wet_u(tmask):
 def wet_v(tmask):
     t = tmask != 0
     return (t & (jnp.roll(tmask, -1, axis=-2) != 0))
+
+
+def pack_mask_bits(masks) -> jnp.ndarray:
+    """Pack 0/1 masks (constant in time) into one int8 bitfield: one
+    byte per point of HBM traffic instead of one float array per mask
+    (roofline economics); decoded roll-free on the VPU."""
+    code = sum((jnp.asarray(m).astype(jnp.int32) << k)
+               for k, m in enumerate(masks))
+    return code.astype(jnp.int8)
+
+
+def unpack_mask_bits(codes, n: int, dtype):
+    """Inverse of :func:`pack_mask_bits` — shifts and ands only."""
+    c = codes.astype(jnp.int32)
+    return tuple(((c >> k) & 1).astype(dtype) for k in range(n))

@@ -29,11 +29,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from .fastpath import RING  # noqa: E402  (single source of the ring size)
+
+
 def _cdiv(a, b):
     return -(-a // b)
-
-
-RING = 8          # window ring rows per side (Mosaic f32 sublane tile)
 
 
 def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
@@ -167,7 +167,10 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
     )
 
     def sweep(*arrays_and_scalars):
-        *arrays, scalars = arrays_and_scalars
+        if n_scalars == 0 and len(arrays_and_scalars) == n_in:
+            arrays, scalars = arrays_and_scalars, jnp.zeros((K, 1))
+        else:
+            *arrays, scalars = arrays_and_scalars
         if len(arrays) != n_in:
             raise ValueError(f"expected {n_in} arrays, got {len(arrays)}")
         sc = jnp.asarray(scalars).reshape((K, max(n_scalars, 1)))

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
 """Temporal-blocking sweep: us/step for steps_per_sweep K in {1,2,4}."""
+import sys
 import time
 
 import jax
@@ -28,8 +29,6 @@ def slope(m, n_lo=100, n_hi=600):
         ts[n] = best
     return (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
 
-
-import sys
 
 configs = [(4, 64), (4, 96), (4, 128), (4, 64), (4, 96), (4, 128)]
 if len(sys.argv) > 1 and sys.argv[1] == "--ks":
