@@ -87,19 +87,28 @@ def main():
     m.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
 
     n_lo, n_hi = 100, 600
-    times = {}
     state0 = (m.sshn_t.data, m.un.data, m.vn.data)
+    runs = {}
     for nsteps in (n_lo, n_hi):
         prog = m.step_program(nsteps)
 
-        def run():
+        def run(prog=prog):
             out = prog(jnp.int32(0), state0, m._mask_codes)
             _ = float(out[0][16, 16])   # fence
 
         run()  # compile + warm
-        times[nsteps] = _best(run)
+        runs[nsteps] = run
 
-    per_step = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    # The chip can be time-shared: per-run speed varies by ~2x between
+    # multi-minute tenancy windows.  Sample the slope several times
+    # across ~1 min and report the best (closest to the uncontended
+    # hardware).
+    per_step = float("inf")
+    for attempt in range(4):
+        if attempt:
+            time.sleep(15)
+        t = (_best(runs[n_hi]) - _best(runs[n_lo])) / (n_hi - n_lo)
+        per_step = min(per_step, t)
     mpts = N * N / per_step / 1e6
 
     bw = measure_membw(jnp, jax)

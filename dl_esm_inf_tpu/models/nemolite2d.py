@@ -438,6 +438,34 @@ class NemoLite2D:
                          tile_rows=tile_rows,
                          steps_per_sweep=steps_per_sweep)
 
+    def set_steps_per_exchange(self, steps_per_sweep: int) -> None:
+        """Communication avoidance on the PLAIN jnp path: K chained
+        ``step_math`` calls per depth-2K exchange — the same schedule
+        the fused kernel uses, without Pallas.  Halves-or-better the
+        collective count on pod-scale meshes where exchange latency
+        (DCN hops) dominates.  Needs ``halo_width >= 2K``."""
+        K = int(steps_per_sweep)
+        if not 1 <= K <= 4:
+            raise ValueError(f"steps_per_sweep must be in [1, 4], got {K}")
+        if self.grid.halo_spec.halo < 2 * K:
+            raise ValueError(
+                f"steps_per_sweep={K} needs halo_width >= {2 * K}")
+        self._sweep_K = K
+        self._step_cache.clear()
+
+    def _make_jnp_sweep(self, K: int):
+        """K-step chained jnp sweep with the fused kernel's signature."""
+        p, dx, dy = self.p, self.grid.dx, self.grid.dy
+
+        def sweep(sshn, un, vn, mask_codes, forcing, ht=None):
+            dep = ht if ht is not None else self.depth
+            s = (sshn, un, vn)
+            for k in range(K):
+                s = step_math(*s, mask_codes, p, dx, dy, self._fcor, dep,
+                              forcing=forcing[k], exch_mid=None)
+            return s
+        return sweep
+
     # ------------------------------------------------------------------
     def set_initial_ssh(self, ssh_global: np.ndarray) -> None:
         stacked = layout.stack_global(self.grid.decomp,
@@ -584,7 +612,7 @@ class NemoLite2D:
             if self._ht is not None:
                 raise ValueError(
                     "overlap mode supports flat bathymetry only")
-        if overlap and self.use_pallas and self._sweep_K > 1:
+        if overlap and self._sweep_K > 1:
             raise ValueError(
                 "overlap mode runs one step at a time; rebuild with "
                 "steps_per_sweep=1 (temporal blocking already amortises "
@@ -595,9 +623,10 @@ class NemoLite2D:
             exch = exchange_multi_fn(grid.halo_spec, depth=min(h, 2) or 1)
             stepper = (self._block_step_overlap if overlap
                        else self._block_step)
-            K = self._sweep_K if (self.use_pallas and not overlap) else 1
+            K = self._sweep_K if not overlap else 1
             if K > 1:
-                fusedK = self._make_fused(K)
+                fusedK = (self._make_fused(K) if self.use_pallas
+                          else self._make_jnp_sweep(K))
                 exchK = exchange_multi_fn(grid.halo_spec, depth=2 * K)
             have_ht = self._ht is not None
 

@@ -67,6 +67,29 @@ def test_chunked_equals_monolithic():
                                    rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.parametrize("ndom", [1, 4])
+def test_jnp_comm_avoidance_matches_per_step(ndom):
+    """K chained jnp steps per depth-2K exchange (no Pallas) must equal
+    the per-step schedule; 7 steps exercises the sweep remainder."""
+    ma = nl.build(48, 40, ndomains=ndom, halo_width=4, open_north=True)
+    mb = nl.build(48, 40, ndomains=ndom, halo_width=4, open_north=True)
+    mb.set_steps_per_exchange(2)
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta as ge
+    for m in (ma, mb):
+        m.set_initial_ssh(ge(48, 40, amp=0.5))
+    ma.run(7)
+    mb.run(7)
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(mb.gather()[k], ma.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_jnp_comm_avoidance_guards():
+    m = nl.build(32, 32, ndomains=1, halo_width=2)
+    with pytest.raises(ValueError, match="halo_width"):
+        m.set_steps_per_exchange(2)
+
+
 def test_long_run_1024_steps_stable_and_invariant():
     """1024 steps (BASELINE horizon): finite state, closed-basin mass
     conserved, and 1-shard == 4-shard to fp64 roundoff."""
