@@ -1,0 +1,187 @@
+"""Halo exchange as a Pallas remote-DMA kernel (ICI-native path).
+
+The ppermute exchange (:mod:`.halo`) asks XLA to build collectives; this
+module instead programs the interconnect directly, the way the MPI
+reference programs NICs (parallel_comms_mod.f90) — but with zero pack
+buffers: each shard's edge strips are DMA'd straight into the
+neighbour's halo storage with :func:`pltpu.make_async_remote_copy`.
+Phase 1 moves edge COLUMNS east/west; phase 2 moves full-width edge ROWS
+north/south after waiting for phase 1, so corner values propagate by
+sequencing exactly as in the ppermute exchange (and in the reference's
+corner folding).
+
+Design rule: **every device always sends in every direction**
+(wrap-indexed peers), and receivers RESTORE their pre-exchange halo
+values where the sender is not a real neighbour (non-periodic edges).
+Unconditional remote DMAs keep the program SPMD-symmetric — no device
+can hang waiting for a send that never starts (the Pallas guide's SPMD
+caveat), and the edge case costs one wrapped strip per border device.
+
+All sends start before any wait; the hardware overlaps the four
+directions.  Semantics match :func:`.halo._exchange_block` exactly
+(tested).  This is the building block for fusing communication INTO
+compute kernels (start edge DMAs, compute interior, wait, compute
+boundary) — the reference's unreached TODO #58 (field_mod.f90:1230).
+
+Testing note: jax 0.9's interpret mode emulates remote DMA only under a
+single named mesh axis, so the CPU-mesh tests drive each phase under a
+1D mesh (x-split and y-split decompositions); the two-phase corner
+sequencing is shared with (and pinned by) the ppermute exchange.  On
+hardware the same kernel runs under the full ('y','x') mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .halo import HaloSpec
+
+
+def make_block_exchange(spec: HaloSpec, depth: int = 1,
+                        interpret: bool = False, collective_id: int = 1,
+                        logical_ids: bool = False):
+    """Per-block exchange fn, for use INSIDE a shard_map whose mesh axes
+    are named 'y'/'x' (either may be absent if that side is unsplit).
+
+    ``logical_ids``: address peers by scalar LOGICAL id instead of mesh
+    coordinates — required under a single-axis mesh in interpret mode
+    (jax 0.9's emulation supports only that form there)."""
+    if depth < 1 or depth > spec.halo:
+        raise ValueError(
+            f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
+    h, d = spec.halo, depth
+    w, hgt = spec.tile_nx, spec.tile_ny
+    px, py = spec.nprocx, spec.nprocy
+    ly, lx = spec.local_ny, spec.local_nx
+    do_x = px > 1 or spec.wrap_x
+    do_y = py > 1 or spec.wrap_y
+
+    def kernel(in_hbm, out_hbm, copy_sem, send_sems, recv_sems):
+        # whole-block local copy: the exchange is functional like the
+        # ppermute path (halo strips are then overwritten remotely)
+        cp = pltpu.make_async_copy(in_hbm, out_hbm, copy_sem)
+        cp.start()
+        cp.wait()
+
+        ix = lax.axis_index("x") if px > 1 else jnp.int32(0)
+        iy = lax.axis_index("y") if py > 1 else jnp.int32(0)
+        pxc, pyc, one = jnp.int32(px), jnp.int32(py), jnp.int32(1)
+        has_e = (ix < px - 1) | spec.wrap_x
+        has_w = (ix > 0) | spec.wrap_x
+        has_n = (iy < py - 1) | spec.wrap_y
+        has_s = (iy > 0) | spec.wrap_y
+
+        id_type = (pltpu.DeviceIdType.LOGICAL if logical_ids
+                   else pltpu.DeviceIdType.MESH)
+
+        def rdma(src_slice, dst_slice, sem_idx, peer):
+            if logical_ids:        # single-axis mesh: the coordinate on
+                peer = next(iter(peer.values()))   # that axis IS the id
+            return pltpu.make_async_remote_copy(
+                src_ref=out_hbm.at[src_slice],
+                dst_ref=out_hbm.at[dst_slice],
+                send_sem=send_sems.at[sem_idx],
+                recv_sem=recv_sems.at[sem_idx],
+                device_id=peer,
+                device_id_type=id_type)
+
+        def restore(dst_slice, sem_idx):
+            """Un-receive: put the pre-exchange values back in a halo
+            strip that got a wrapped (non-neighbour) delivery."""
+            cpb = pltpu.make_async_copy(in_hbm.at[dst_slice],
+                                        out_hbm.at[dst_slice],
+                                        copy_sem)
+            cpb.start()
+            cpb.wait()
+
+        if do_x:
+            east = {"x": lax.rem(ix + one, pxc)}
+            west = {"x": lax.rem(ix + pxc - one, pxc)}
+            # eastward: my east interior cols -> east peer's west halo
+            r_e = rdma((slice(None), pl.ds(h + w - d, d)),
+                       (slice(None), pl.ds(h - d, d)), 0, east)
+            # westward: my west interior cols -> west peer's east halo
+            r_w = rdma((slice(None), pl.ds(h, d)),
+                       (slice(None), pl.ds(h + w, d)), 1, west)
+            r_e.start()
+            r_w.start()
+            r_e.wait()   # my east send done + eastward delivery from west
+            r_w.wait()   # my west send done + westward delivery from east
+
+            @pl.when(jnp.logical_not(has_w))
+            def _():     # wrapped delivery into my west halo: restore
+                restore((slice(None), pl.ds(h - d, d)), 0)
+
+            @pl.when(jnp.logical_not(has_e))
+            def _():
+                restore((slice(None), pl.ds(h + w, d)), 1)
+
+        if do_y:
+            north = {"y": lax.rem(iy + one, pyc)}
+            south = {"y": lax.rem(iy + pyc - one, pyc)}
+            # full-width rows AFTER the x phase: corners propagate
+            r_n = rdma((pl.ds(h + hgt - d, d), slice(None)),
+                       (pl.ds(h - d, d), slice(None)), 2, north)
+            r_s = rdma((pl.ds(h, d), slice(None)),
+                       (pl.ds(h + hgt, d), slice(None)), 3, south)
+            r_n.start()
+            r_s.start()
+            r_n.wait()
+            r_s.wait()
+
+            @pl.when(jnp.logical_not(has_s))
+            def _():
+                restore((pl.ds(h - d, d), slice(None)), 2)
+
+            @pl.when(jnp.logical_not(has_n))
+            def _():
+                restore((pl.ds(h + hgt, d), slice(None)), 3)
+
+    def build(dtype):
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[any_spec],
+            out_specs=any_spec,
+            out_shape=jax.ShapeDtypeStruct((ly, lx), dtype),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=collective_id),
+            interpret=interpret,
+        )
+
+    calls = {}
+
+    def fn(blk):
+        dt = jnp.dtype(blk.dtype)
+        if dt not in calls:
+            calls[dt] = build(dt)
+        return calls[dt](blk)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _build_exchange(mesh, spec: HaloSpec, depth: int, interpret: bool):
+    from jax.sharding import PartitionSpec as P
+    body = make_block_exchange(spec, depth, interpret=interpret)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=P("y", "x"),
+                       out_specs=P("y", "x"), check_vma=False)
+    return jax.jit(fn)
+
+
+def exchange_pallas(data, mesh, spec: HaloSpec, depth: int = 1,
+                    interpret: bool = False):
+    """Standalone remote-DMA halo refresh of one stacked-layout array
+    (drop-in for :func:`.halo.exchange`; hardware path — see the module
+    docstring for the interpret-mode testing strategy)."""
+    return _build_exchange(mesh, spec, depth, interpret)(data)

@@ -1,0 +1,103 @@
+"""Remote-DMA (Pallas) halo exchange vs the ppermute exchange.
+
+Same semantics, different transport: edge strips DMA'd straight into
+the neighbour's halo storage.  jax's interpret mode emulates remote DMA
+only under a single named mesh axis, so each phase is driven under a 1D
+mesh (x-split / y-split decompositions) and compared against the
+ppermute exchange on the same data; the two-phase corner sequencing is
+the same argument as the ppermute path's (pinned by test_halo_exchange).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.parallel.halo import exchange
+from dl_esm_inf_tpu.parallel.halo_pallas import (exchange_pallas,
+                                                 make_block_exchange)
+
+
+def make_grid(gnx, gny, nx, ny, wrap=False, halo=1):
+    """Wrap (if requested) only the SPLIT axis: interpret mode drives
+    one phase at a time under a 1D mesh, so the unsplit axis must stay
+    non-periodic (its self-wrap would need the other mesh axis)."""
+    wx = dl.BC_PERIODIC if (wrap and nx > 1) else dl.BC_EXTERNAL
+    wy = dl.BC_PERIODIC if (wrap and ny > 1) else dl.BC_EXTERNAL
+    grid = dl.Grid(dl.ARAKAWA_C, (wx, wy, dl.BC_NONE), dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomainx=nx, ndomainy=ny, halo_width=halo)
+    dl.grid_init(grid, 1.0, 1.0)
+    return grid
+
+
+def unique_field(grid, dtype=jnp.float64):
+    shape = grid.array_shape
+    vals = np.arange(shape[0] * shape[1], dtype=np.float64).reshape(shape)
+    return jax.device_put(jnp.asarray(vals, dtype), grid.sharding)
+
+
+def run_1d(grid, a, depth=1):
+    """Drive the kernel under a 1D mesh (interpret-mode restriction)."""
+    spec = grid.halo_spec
+    body = make_block_exchange(spec, depth, interpret=True,
+                               logical_ids=True)
+    devs = grid.mesh.devices.reshape(-1)
+    if spec.nprocx > 1 or spec.nprocy == 1:
+        mesh = Mesh(devs, ("x",))
+        pspec = P(None, "x")
+    else:
+        mesh = Mesh(devs, ("y",))
+        pspec = P("y", None)
+    a1 = jax.device_put(np.asarray(a), NamedSharding(mesh, pspec))
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=pspec,
+                               out_specs=pspec, check_vma=False))
+    return np.asarray(fn(a1))
+
+
+@pytest.mark.parametrize("split", ["x", "y"])
+@pytest.mark.parametrize("wrap", [False, True])
+def test_matches_ppermute_exchange(split, wrap):
+    nx, ny = (8, 1) if split == "x" else (1, 8)
+    grid = make_grid(24, 24, nx, ny, wrap=wrap)
+    a = unique_field(grid)
+    want = np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=1))
+    got = run_1d(grid, a, depth=1)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("wrap", [False, True])
+def test_depth2_and_int_dtype(wrap):
+    grid = make_grid(24, 16, 8, 1, wrap=wrap, halo=2)
+    for dtype in (jnp.float64, jnp.int32):
+        a = unique_field(grid, dtype)
+        want = np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=2))
+        got = run_1d(grid, a, depth=2)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_single_device_wrap():
+    """px=1 + periodic x: the wrap is a remote copy to self."""
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_PERIODIC, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(16, 16, ndomainx=1, ndomainy=1, halo_width=1)
+    dl.grid_init(grid, 1.0, 1.0)
+    a = unique_field(grid)
+    want = np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=1))
+    spec = grid.halo_spec
+    body = make_block_exchange(spec, 1, interpret=True, logical_ids=True)
+    mesh = Mesh(grid.mesh.devices.reshape(-1), ("x",))
+    a1 = jax.device_put(np.asarray(a), NamedSharding(mesh, P(None, "x")))
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, "x"),
+                               out_specs=P(None, "x"), check_vma=False))
+    np.testing.assert_array_equal(np.asarray(fn(a1)), want)
+
+
+def test_depth_guard():
+    grid = make_grid(16, 16, 4, 1)
+    a = unique_field(grid)
+    with pytest.raises(ValueError, match="depth"):
+        exchange_pallas(a, grid.mesh, grid.halo_spec, depth=2,
+                        interpret=True)
