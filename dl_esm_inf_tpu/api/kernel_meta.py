@@ -20,7 +20,7 @@ i.e. the generated-code layer of PSyclone becomes a ~100-line runtime.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from enum import IntEnum
 
 import jax

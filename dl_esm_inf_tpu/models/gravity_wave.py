@@ -21,7 +21,6 @@ and schedules the ppermutes.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 

@@ -38,9 +38,9 @@ from jax.sharding import PartitionSpec as P
 import dl_esm_inf_tpu as dl
 from ..core import layout
 from ..ops import stencils as st
-from ..parallel.halo import exchange_fn, exchange_multi_fn
-from ..api.kernel_meta import (Arg, GO_CT, GO_CU, GO_CV, GO_POINTWISE,
-                               GO_READ, GO_READWRITE, GO_WRITE, Stencil,
+from ..parallel.halo import exchange_multi_fn
+from ..api.kernel_meta import (Arg, GO_CT, GO_CU, GO_CV,
+                               GO_READ, GO_WRITE, Stencil,
                                kernel)
 
 _FULL = Stencil(111, 111, 111)

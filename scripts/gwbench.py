@@ -2,12 +2,9 @@
 """Gravity-wave sweep-engine throughput on one chip (K in {1,4,8})."""
 import time
 
-import jax.numpy as jnp
-
 from dl_esm_inf_tpu.models import gravity_wave as gw
 
 N = 1024
-
 
 def slope(m, n_lo=100, n_hi=600):
     s0 = (m.eta.data, m.u.data, m.v.data,
@@ -26,7 +23,6 @@ def slope(m, n_lo=100, n_hi=600):
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
     return (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
-
 
 for K in (1, 4, 8):
     m = gw.build(N, N, dt=0.005, pallas=True, steps_per_sweep=K)

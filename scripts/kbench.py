@@ -18,7 +18,6 @@ ops/pallas_step.py — `prod` is always the real thing.
 """
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

@@ -3,7 +3,6 @@
 import sys
 import time
 
-import jax
 import jax.numpy as jnp
 
 from dl_esm_inf_tpu.models import nemolite2d as nl
