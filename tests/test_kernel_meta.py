@@ -5,8 +5,8 @@ import pytest
 import dl_esm_inf_tpu as dl
 from dl_esm_inf_tpu.api.kernel_meta import (
     Arg, GO_ALL_PTS, GO_INTERNAL_PTS, GO_POINTWISE, GO_READ, GO_READWRITE,
-    GO_SUM, GO_WRITE, GridProp, GO_CT, GO_CU, GO_R_SCALAR, Stencil, go_arg,
-    go_stencil, invoke, kernel)
+    GO_SUM, GO_WRITE, GridProp, GO_CT, GO_CU, GO_CV, GO_R_SCALAR, Stencil,
+    go_arg, go_stencil, invoke, kernel)
 from dl_esm_inf_tpu.ops import stencils as st
 
 
@@ -110,6 +110,50 @@ def test_scalar_and_array_order_preserved():
     invoke(affine, out, 10.0, x, 5.0)
     m = out.internal_mask_np()
     assert np.all(out.get_data()[m] == 25.0)
+
+
+def test_invoke_drives_real_physics_kernel():
+    """The PSyclone layer runs the flagship model's continuity kernel
+    and matches the production (step_math-path) computation at internal
+    points."""
+    import jax.numpy as jnp
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+
+    _FULL = Stencil(111, 111, 111)
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GO_CU, _FULL),
+                  go_arg(GO_READ, GO_CV, _FULL),
+                  go_arg(GO_READ, GO_CU, _FULL),
+                  go_arg(GO_READ, GO_CV, _FULL),
+                  go_arg(GO_R_SCALAR, GO_R_SCALAR),
+                  go_arg(GO_READ, GridProp.GRID_DX_CONST),
+                  go_arg(GO_READ, GridProp.GRID_DY_CONST)])
+    def continuity_psy(ssha, sshn, un, vn, depu, depv, rdt, dx, dy):
+        return nl.continuity(sshn, un, vn, depu, depv,
+                             rdt=rdt, dx=dx, dy=dy)
+
+    grid = make_grid(12, 10, ndom=4)
+    rng = np.random.default_rng(3)
+    f = {}
+    for name, pts in (("sshn", dl.T_POINTS), ("un", dl.U_POINTS),
+                      ("vn", dl.V_POINTS), ("depu", dl.U_POINTS),
+                      ("depv", dl.V_POINTS)):
+        f[name] = dl.Field(grid, pts,
+                           init_global_data=rng.normal(size=(10, 12)) + 5)
+    ssha = dl.Field(grid, dl.T_POINTS)
+    for fld in f.values():
+        fld.halo_exchange(1)
+    invoke(continuity_psy, ssha, f["sshn"], f["un"], f["vn"], f["depu"],
+           f["depv"], 20.0)
+
+    want = np.asarray(nl.continuity(
+        jnp.asarray(f["sshn"].data), jnp.asarray(f["un"].data),
+        jnp.asarray(f["vn"].data), jnp.asarray(f["depu"].data),
+        jnp.asarray(f["depv"].data), rdt=20.0, dx=grid.dx, dy=grid.dy))
+    m = ssha.internal_mask_np()
+    np.testing.assert_allclose(ssha.get_data()[m], want[m], rtol=1e-12)
 
 
 def test_all_pts_iteration():
