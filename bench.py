@@ -104,7 +104,7 @@ def main():
     # across ~1 min and report the best (closest to the uncontended
     # hardware).
     per_step = float("inf")
-    for attempt in range(4):
+    for attempt in range(6):
         if attempt:
             time.sleep(15)
         t = (_best(runs[n_hi]) - _best(runs[n_lo])) / (n_hi - n_lo)
