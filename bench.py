@@ -36,40 +36,34 @@ def _best(f, n=4):
 
 
 def measure_membw(jnp, jax) -> float:
-    """Measured HBM copy-out+in bandwidth (GB/s) via an in-jit loop."""
-    a = jnp.zeros((4096, 8192), jnp.float32)  # 128 MB
+    """Measured HBM copy-out+in bandwidth (GB/s) via an in-jit loop.
+
+    Each timed call feeds the previous output back in, so no two
+    requests are identical (the tunnel may deduplicate repeats)."""
     n = 40
 
-    @jax.jit
-    def chain(x):
-        def body(i, v):
-            return v * 1.0000001 + 0.5
-        return jax.lax.fori_loop(0, n, body, x)
+    def make_chain(k):
+        @jax.jit
+        def chain(x):
+            def body(i, v):
+                return v * 1.0000001 + 0.5   # fixpoint ~5e6: stays finite
+            return jax.lax.fori_loop(0, k, body, x)
+        return chain
 
-    out = chain(a)
-    _ = float(out[0, 0])
+    state = [jnp.zeros((4096, 8192), jnp.float32)]  # 128 MB
+    nbytes = state[0].nbytes
 
-    def run():
-        _ = float(chain(a)[0, 0])
+    def timer(chain):
+        def run():
+            state[0] = chain(state[0])
+            _ = float(state[0][0, 0])
+        run()   # compile + warm
+        return _best(run)
 
-    run()
-    t_n = _best(run)
-
-    @jax.jit
-    def chain4(x):
-        def body(i, v):
-            return v * 1.0000001 + 0.5
-        return jax.lax.fori_loop(0, 4 * n, body, x)
-
-    _ = float(chain4(a)[0, 0])
-
-    def run4():
-        _ = float(chain4(a)[0, 0])
-
-    run4()
-    t_4n = _best(run4)
+    t_n = timer(make_chain(n))
+    t_4n = timer(make_chain(4 * n))
     per_pass = (t_4n - t_n) / (3 * n)
-    return 2 * a.nbytes / per_pass / 1e9
+    return 2 * nbytes / per_pass / 1e9
 
 
 def main():
@@ -89,29 +83,39 @@ def main():
     n_lo, n_hi = 100, 600
     state0 = (m.sshn_t.data, m.un.data, m.vn.data)
     runs = {}
+    seq = iter(range(10 ** 6))
     for nsteps in (n_lo, n_hi):
         prog = m.step_program(nsteps)
 
         def run(prog=prog):
-            out = prog(jnp.int32(0), state0, m._mask_codes)
+            # unique istep0 per call: the tunnel may deduplicate
+            # IDENTICAL repeated requests, which would fake the timing
+            out = prog(jnp.int32(next(seq)), state0, m._mask_codes)
             _ = float(out[0][16, 16])   # fence
 
         run()  # compile + warm
         runs[nsteps] = run
 
     # The chip can be time-shared: per-run speed varies by ~2x between
-    # multi-minute tenancy windows.  Sample the slope several times
-    # across ~1 min and report the best (closest to the uncontended
-    # hardware).
+    # multi-minute tenancy windows.  Sample both the step slope AND the
+    # HBM bandwidth several times across ~1.5 min and take each at its
+    # best, so numerator and denominator both reflect the uncontended
+    # hardware.
+    # Physical floor: a K-step sweep moves ~26.6/K B/pt; even at a
+    # generous 1 TB/s a slope sample below this is a measurement
+    # artifact (tenancy window shifted between the lo and hi timings).
+    floor = N * N * (26.6 / m._sweep_K) / 1e12
     per_step = float("inf")
+    bw = 0.0
     for attempt in range(6):
         if attempt:
-            time.sleep(15)
+            time.sleep(10)
         t = (_best(runs[n_hi]) - _best(runs[n_lo])) / (n_hi - n_lo)
-        per_step = min(per_step, t)
+        if t >= floor:
+            per_step = min(per_step, t)
+        if attempt % 2 == 0:
+            bw = max(bw, measure_membw(jnp, jax))
     mpts = N * N / per_step / 1e6
-
-    bw = measure_membw(jnp, jax)
     bytes_per_point = 3 * 4 + 3 * 4 + 1      # read ssh,u,v; write 3; mask
     roofline_mpts = bw * 1e9 / bytes_per_point / 1e6
     vs = mpts / roofline_mpts

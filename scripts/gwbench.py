@@ -7,15 +7,17 @@ from dl_esm_inf_tpu.models import gravity_wave as gw
 N = 1024
 
 def slope(m, n_lo=100, n_hi=600):
-    s0 = (m.eta.data, m.u.data, m.v.data,
-          m._t_upd, m._u_wet, m._v_wet, m._mask_codes)
+    # feed state forward between calls: no two requests identical
+    # (the tunnel may deduplicate repeats)
+    state = [(m.eta.data, m.u.data, m.v.data)]
+    aux = (m._t_upd, m._u_wet, m._v_wet, m._mask_codes)
     ts = {}
     for n in (n_lo, n_hi):
         prog = m.step_program(n)
 
         def run():
-            out = prog(*s0)
-            _ = float(out[0][16, 16])
+            state[0] = prog(*state[0], *aux)
+            _ = float(state[0][0][16, 16])
         run()
         best = float("inf")
         for _ in range(4):
