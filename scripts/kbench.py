@@ -279,7 +279,9 @@ def main():
                 print(f"TY={TY:4d} {mode:8s} BUILD FAIL: {e}")
                 continue
 
-            def chain(n, call=call):
+            state = [(sshn, un, vn)]
+
+            def chain(n, call=call, state=state):
                 @jax.jit
                 def prog(s, u, v):
                     def body(i, st):
@@ -287,8 +289,10 @@ def main():
                     return jax.lax.fori_loop(0, n, body, (s, u, v))
 
                 def run():
-                    out = prog(sshn, un, vn)
-                    _ = float(out[0][16, 16])
+                    # feed state forward: identical repeated requests
+                    # may be deduplicated by the tunnel
+                    state[0] = prog(*state[0])
+                    _ = float(state[0][0][16, 16])
                 return run
             try:
                 t = slope_time(chain)
