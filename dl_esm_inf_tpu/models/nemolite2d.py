@@ -458,11 +458,18 @@ class NemoLite2D:
         p, dx, dy = self.p, self.grid.dx, self.grid.dy
 
         def sweep(sshn, un, vn, mask_codes, forcing, ht=None):
-            dep = ht if ht is not None else self.depth
+            # hoist the loop invariants (masks, face depths) out of the
+            # K sub-steps, like the fused kernel's per-tile prepare()
+            masks = decode_masks(mask_codes, sshn.dtype)
+            if ht is not None:
+                dep = (ht, 0.5 * (ht + st.xp(ht)), 0.5 * (ht + st.yp(ht)))
+            else:
+                dep = self.depth
             s = (sshn, un, vn)
             for k in range(K):
                 s = step_math(*s, mask_codes, p, dx, dy, self._fcor, dep,
-                              forcing=forcing[k], exch_mid=None)
+                              forcing=forcing[k], exch_mid=None,
+                              masks=masks)
             return s
         return sweep
 

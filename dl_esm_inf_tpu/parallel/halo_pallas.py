@@ -90,7 +90,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                 device_id=peer,
                 device_id_type=id_type)
 
-        def restore(dst_slice, sem_idx):
+        def restore(dst_slice):
             """Un-receive: put the pre-exchange values back in a halo
             strip that got a wrapped (non-neighbour) delivery."""
             cpb = pltpu.make_async_copy(in_hbm.at[dst_slice],
@@ -99,9 +99,31 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             cpb.start()
             cpb.wait()
 
+        def phase_fence(peers):
+            """Signal both peers of the coming phase that THIS device is
+            ready to be written (previous phase fully landed, local
+            copies/restores done), and wait for the same from them —
+            without this, a fast neighbour's delivery could land before
+            the receiver's whole-block copy (or x-phase corner writes)
+            and be silently overwritten.  Interpret mode executes
+            devices in lock-step with synchronous delivery (and cannot
+            lower the barrier semaphore), so the fence is compiled-mode
+            only."""
+            if interpret:
+                return
+            barrier = pltpu.get_barrier_semaphore()
+            for peer in peers:
+                if logical_ids:
+                    peer = next(iter(peer.values()))
+                pltpu.semaphore_signal(barrier, inc=1, device_id=peer,
+                                       device_id_type=id_type)
+            pltpu.semaphore_wait(barrier, 2)
+
         if do_x:
             east = {"x": lax.rem(ix + one, pxc)}
             west = {"x": lax.rem(ix + pxc - one, pxc)}
+            # my out buffer must be fully copied before a peer writes it
+            phase_fence((east, west))
             # eastward: my east interior cols -> east peer's west halo
             r_e = rdma((slice(None), pl.ds(h + w - d, d)),
                        (slice(None), pl.ds(h - d, d)), 0, east)
@@ -115,15 +137,18 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
 
             @pl.when(jnp.logical_not(has_w))
             def _():     # wrapped delivery into my west halo: restore
-                restore((slice(None), pl.ds(h - d, d)), 0)
+                restore((slice(None), pl.ds(h - d, d)))
 
             @pl.when(jnp.logical_not(has_e))
             def _():
-                restore((slice(None), pl.ds(h + w, d)), 1)
+                restore((slice(None), pl.ds(h + w, d)))
 
         if do_y:
             north = {"y": lax.rem(iy + one, pyc)}
             south = {"y": lax.rem(iy + pyc - one, pyc)}
+            # my x-phase corner writes/restores must land before a
+            # y-peer's full-width row delivery overlaps them
+            phase_fence((north, south))
             # full-width rows AFTER the x phase: corners propagate
             r_n = rdma((pl.ds(h + hgt - d, d), slice(None)),
                        (pl.ds(h - d, d), slice(None)), 2, north)
@@ -136,11 +161,11 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
 
             @pl.when(jnp.logical_not(has_s))
             def _():
-                restore((pl.ds(h - d, d), slice(None)), 2)
+                restore((pl.ds(h - d, d), slice(None)))
 
             @pl.when(jnp.logical_not(has_n))
             def _():
-                restore((pl.ds(h + hgt, d), slice(None)), 3)
+                restore((pl.ds(h + hgt, d), slice(None)))
 
     def build(dtype):
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
