@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Temporal-blocking sweep: us/step for steps_per_sweep K in {1,2,4}."""
+"""Temporal-blocking / tile-size sweep for the fused NEMOLite2D step.
+
+Usage: sweepk.py [--ks]      (default: K x TY matrix, interleaved twice)
+
+Timing feeds state forward and varies istep0 so no two requests are
+identical (the tunnel may deduplicate repeats); only adjacent rows are
+comparable (time-shared chip — see memory: axon-tpu-quirks).
+"""
 import sys
 import time
 
@@ -12,14 +19,15 @@ N = 1024
 
 
 def slope(m, n_lo=100, n_hi=600):
-    state0 = (m.sshn_t.data, m.un.data, m.vn.data)
+    state = [(m.sshn_t.data, m.un.data, m.vn.data)]
+    seq = iter(range(10 ** 6))
     ts = {}
     for n in (n_lo, n_hi):
         prog = m.step_program(n)
 
         def run():
-            out = prog(jnp.int32(0), state0, m._mask_codes)
-            _ = float(out[0][16, 16])
+            state[0] = prog(jnp.int32(next(seq)), state[0], m._mask_codes)
+            _ = float(state[0][0][16, 16])
         run()
         best = float("inf")
         for _ in range(4):
@@ -29,7 +37,7 @@ def slope(m, n_lo=100, n_hi=600):
     return (ts[n_hi] - ts[n_lo]) / (n_hi - n_lo)
 
 
-configs = [(4, 64), (4, 96), (4, 128), (4, 64), (4, 96), (4, 128)]
+configs = [(4, 64), (4, 80), (4, 64), (4, 80)]
 if len(sys.argv) > 1 and sys.argv[1] == "--ks":
     configs = [(1, None), (2, None), (4, None), (2, None), (1, None)]
 
