@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Reference functional oracles on the REAL chip (BASELINE.md row
+'functional parity ... and on TPU').
+
+Single-chip versions of the reference test programs (SURVEY §4): the
+checksum oracle (test_gsum), the scatter/gather round trip
+(test_reduction), device sub-region sync (test_device_io) and the
+example model — run on the default (TPU) backend at its native f32.
+The multi-device halo oracles run in the pytest suite on the forced
+CPU mesh; on a real slice this script runs unchanged per host.
+
+Exit code 0 = all oracles pass.
+"""
+import numpy as np
+
+import dl_esm_inf_tpu as dl
+
+
+def main():
+    import jax
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    gnx, gny = 40, 30
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=1)
+    dl.grid_init(grid, 1.0, 1.0)
+
+    # --- checksum oracle (test_gsum.f90): internal=1 -> sum == nx*ny --
+    for pts in (dl.U_POINTS, dl.V_POINTS, dl.T_POINTS, dl.F_POINTS):
+        fld = dl.Field(grid, pts, init_global_data=np.ones((gny, gnx)))
+        cs = dl.field_checksum(fld)
+        assert abs(cs - gnx * gny) < 1e-3, (pts, cs)
+    print("checksum oracle        OK (U/V/T/F == %d)" % (gnx * gny))
+
+    # --- scatter/gather round trip (test_reduction.f90) ---------------
+    vals = (np.arange(gnx * gny, dtype=np.float64)
+            .reshape(gny, gnx))
+    fld = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    fld.data = fld.data + 1.0
+    got = fld.gather_inner_data()
+    np.testing.assert_allclose(got, vals + 1.0, rtol=1e-6)
+    print("scatter/gather oracle  OK (unique values + 1)")
+
+    # --- device sub-region sync (test_device_io.f90) ------------------
+    fld2 = dl.Field(grid, dl.T_POINTS)
+    fld2.write_to_device(dl.Region(2, 7, 2, 7), np.ones((5, 5)))
+    quad = fld2.read_from_device(dl.Region(5, 9, 5, 9))
+    want = np.zeros((4, 4))
+    want[:2, :2] = 1.0
+    np.testing.assert_allclose(np.asarray(quad), want)
+    print("device-sync oracle     OK (mixed written/zero quadrant)")
+
+    # --- the reference example model ----------------------------------
+    from dl_esm_inf_tpu.models import example_model
+    sums = example_model.run(4, 10)
+    assert all(abs(v - 40.0) < 1e-3 for v in sums.values()), sums
+    print("example-model oracle   OK (4 checksums == 40)")
+    print("ALL TPU ORACLES PASS")
+
+
+if __name__ == "__main__":
+    main()
