@@ -57,6 +57,12 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
     """
     state_dtypes = tuple(jnp.dtype(d) for d in state_dtypes)
     aux_dtypes = tuple(jnp.dtype(d) for d in aux_dtypes)
+    if not interpret and any(d.itemsize == 8
+                             for d in state_dtypes + aux_dtypes):
+        raise ValueError(
+            "Mosaic TPU kernels do not support 64-bit dtypes (measured: "
+            "NotImplementedError on v5e); run float64 on the jnp path, "
+            "or the sweep in interpret mode")
     n_state, n_aux = len(state_dtypes), len(aux_dtypes)
     n_in = n_state + n_aux
     K = int(steps_per_sweep)

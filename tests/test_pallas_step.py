@@ -136,6 +136,15 @@ def test_fused_step_guards():
         m.step_program(4, overlap=True)
 
 
+def test_compiled_sweep_rejects_f64():
+    """Mosaic has no 64-bit support; the engine must say so up front."""
+    import jax.numpy as jnp
+    from dl_esm_inf_tpu.ops.sweep import make_stencil_sweep
+    with pytest.raises(ValueError, match="64-bit"):
+        make_stencil_sweep(lambda s, p, c: s, ly=64, lx=128,
+                           state_dtypes=(jnp.float64,))
+
+
 def test_step_program_cache_hits():
     m = _build(pallas=False, gnx=64, gny=32)
     assert m.step_program(10) is m.step_program(10)
