@@ -441,17 +441,10 @@ class NemoLite2D:
     def set_steps_per_exchange(self, steps_per_sweep: int) -> None:
         """Communication avoidance on the PLAIN jnp path: K chained
         ``step_math`` calls per depth-2K exchange — the same schedule
-        the fused kernel uses, without Pallas.  Halves-or-better the
-        collective count on pod-scale meshes where exchange latency
-        (DCN hops) dominates.  Needs ``halo_width >= 2K``."""
-        K = int(steps_per_sweep)
-        if not 1 <= K <= 4:
-            raise ValueError(f"steps_per_sweep must be in [1, 4], got {K}")
-        if self.grid.halo_spec.halo < 2 * K:
-            raise ValueError(
-                f"steps_per_sweep={K} needs halo_width >= {2 * K}")
-        self._sweep_K = K
-        self._step_cache.clear()
+        the fused kernel uses, without Pallas (ops/fastpath.py)."""
+        from ..ops.fastpath import set_steps_per_exchange
+        set_steps_per_exchange(self, reach=2,
+                               steps_per_sweep=steps_per_sweep)
 
     def _make_jnp_sweep(self, K: int):
         """K-step chained jnp sweep with the fused kernel's signature."""

@@ -92,6 +92,13 @@ class ShallowModel:
                          tile_rows=tile_rows,
                          steps_per_sweep=steps_per_sweep)
 
+    def set_steps_per_exchange(self, steps_per_sweep: int) -> None:
+        """Comm avoidance on the jnp path: K chained steps per depth-K
+        exchange (no Pallas; ops/fastpath.py)."""
+        from ..ops.fastpath import set_steps_per_exchange
+        set_steps_per_exchange(self, reach=1,
+                               steps_per_sweep=steps_per_sweep)
+
     def _make_sweep(self, K: int):
         from ..ops.sweep import make_stencil_sweep
         spec = self.grid.halo_spec
@@ -111,18 +118,26 @@ class ShallowModel:
         if nsteps not in self._step_cache:
             grid = self.grid
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
-            K = self._sweep_K if self.use_pallas else 1
+            K = self._sweep_K
+            if K > 1 or self.use_pallas:
+                exchK = exchange_multi_fn(grid.halo_spec, depth=max(K, 1))
             if self.use_pallas:
                 sweepK = self._make_sweep(K)
-                exchK = exchange_multi_fn(grid.halo_spec, depth=K)
 
             def body(eta, u, v):
                 state = (eta, u, v)
                 base = 0
-                if self.use_pallas and nsteps >= K:
-                    state = lax.fori_loop(
-                        0, nsteps // K,
-                        lambda i, s: sweepK(*exchK(s)), state)
+                if (K > 1 or self.use_pallas) and nsteps >= K:
+                    if self.use_pallas:
+                        def sweep(_, s):
+                            return sweepK(*exchK(s))
+                    else:
+                        def sweep(_, s):   # jnp comm avoidance
+                            s = exchK(s)
+                            for _k in range(K):
+                                s = self._step_math(*s)
+                            return tuple(s)
+                    state = lax.fori_loop(0, nsteps // K, sweep, state)
                     base = (nsteps // K) * K
                 if nsteps - base:
                     state = lax.fori_loop(

@@ -30,6 +30,25 @@ def enable_fast_path(model, *, reach: int, interpret: bool = False,
     model._step_cache.clear()
 
 
+def set_steps_per_exchange(model, *, reach: int,
+                           steps_per_sweep: int) -> None:
+    """Communication avoidance on the PLAIN jnp path: K chained steps
+    per depth-K*reach exchange — the fused engine's schedule without
+    Pallas.  Divides the collective count by K on meshes where exchange
+    latency (DCN hops) dominates.  Needs ``halo_width >= K*reach``."""
+    K = int(steps_per_sweep)
+    kmax = RING // reach
+    if not 1 <= K <= kmax:
+        raise ValueError(
+            f"steps_per_sweep must be in [1, {kmax}], got {K}")
+    need = max(K * reach, reach)
+    if model.grid.halo_spec.halo < need:
+        raise ValueError(
+            f"steps_per_sweep={K} needs halo_width >= {need}")
+    model._sweep_K = K
+    model._step_cache.clear()
+
+
 def fast_path_grid_args(pallas: bool, steps_per_sweep: int, reach: int,
                         halo_width: int) -> tuple[int, int, int]:
     """(halo_width, align, align_y) for a model ``build()``: TPU lane/

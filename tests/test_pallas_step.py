@@ -136,6 +136,36 @@ def test_fused_step_guards():
         m.step_program(4, overlap=True)
 
 
+@pytest.mark.parametrize("model", ["gravity_wave", "shallow", "twolayer"])
+def test_jnp_comm_avoidance_reach1_models(model):
+    """set_steps_per_exchange (K jnp steps per depth-K exchange) must
+    equal the per-step schedule on every reach-1 client; 7 steps
+    exercises the remainder."""
+    import importlib
+    mod = importlib.import_module(f"dl_esm_inf_tpu.models.{model}")
+    gnx, gny = 96, 64
+
+    def init(m):
+        if model == "twolayer":
+            m.set_initial(eta1_global=gaussian_eta(gnx, gny, amp=0.5))
+        elif model == "shallow":
+            m.set_initial_eta(gaussian_eta(gnx, gny, amp=0.3))
+        else:
+            m.set_initial_eta(gaussian_eta(gnx, gny, amp=0.5))
+        return m
+
+    dt = {"gravity_wave": 0.05, "shallow": 0.01, "twolayer": 0.01}[model]
+    ma = init(mod.build(gnx, gny, ndomains=4, dt=dt))
+    mb = init(mod.build(gnx, gny, ndomains=4, dt=dt, halo_width=3))
+    mb.set_steps_per_exchange(3)
+    ma.run(7)
+    mb.run(7)
+    ga, gb = ma.gather(), mb.gather()
+    for k in ga:
+        np.testing.assert_allclose(gb[k], ga[k], rtol=1e-12, atol=1e-13,
+                                   err_msg=f"{model} {k}")
+
+
 def test_compiled_sweep_rejects_f64():
     """Mosaic has no 64-bit support; the engine must say so up front."""
     import jax.numpy as jnp
