@@ -215,6 +215,14 @@ def decompose(global_nx: int,
     h = halo_width
     tile_nx = _cdiv(global_nx, px)
     tile_ny = _cdiv(global_ny, py)
+    # Every shard must own at least one row and column (the reference
+    # guarantees this, parallel_mod.f90:244-317): with ceil tiling the
+    # LAST shard owns global - (n-1)*tile, which can hit zero.
+    if (px - 1) * tile_nx >= global_nx or (py - 1) * tile_ny >= global_ny:
+        raise ValueError(
+            f"process grid {px}x{py} leaves at least one shard empty for "
+            f"domain {global_nx}x{global_ny} under uniform {tile_nx}x"
+            f"{tile_ny} tiles; use fewer domains or a different grid")
     local_nx = _cdiv(tile_nx + 2 * h, align) * align
     # align_y pads the sublane dimension (TPU f32 tiling is (8, 128);
     # the fused Pallas kernels need 8-row-aligned shards)

@@ -269,12 +269,17 @@ def _periodic_bc_halos(fld: Field) -> tuple[Halo, ...]:
     """Wrap-copy descriptors for periodic BCs on a single shard
 
     (reference init_periodic_bc_halos, field_mod.f90:1394-1464).  Pure
-    metadata; multi-shard wraps ride the halo exchange instead."""
+    metadata; descriptors exist ONLY along wrapped axes that are
+    unsplit — when an axis is decomposed, its wrap rides the halo
+    exchange permutation, and a local rank-0 copy would overwrite seam
+    halos with the wrong shard's data."""
     halos: list[Halo] = []
     r = fld.internal_region(0)
     if fld.defined_on == ALL_POINTS:
         return tuple(halos)
-    if fld.grid.boundary_conditions[0] == BC_PERIODIC:
+    d = fld.grid.decomp
+    if (fld.grid.boundary_conditions[0] == BC_PERIODIC
+            and d.nprocx == 1):
         # E-most column <- W-most internal column, W-most <- E-most
         halos.append(Halo(
             source=Region(r.xstart, r.xstart + 1, r.ystart, r.ystop),
@@ -282,7 +287,8 @@ def _periodic_bc_halos(fld: Field) -> tuple[Halo, ...]:
         halos.append(Halo(
             source=Region(r.xstop - 1, r.xstop, r.ystart, r.ystop),
             dest=Region(r.xstart - 1, r.xstart, r.ystart, r.ystop)))
-    if fld.grid.boundary_conditions[1] == BC_PERIODIC:
+    if (fld.grid.boundary_conditions[1] == BC_PERIODIC
+            and d.nprocy == 1):
         halos.append(Halo(
             source=Region(r.xstart - 1, r.xstop + 1, r.ystart, r.ystart + 1),
             dest=Region(r.xstart - 1, r.xstop + 1, r.ystop, r.ystop + 1)))

@@ -42,10 +42,6 @@ from .region import Subdomain
 from ..parallel import environment as env
 from ..parallel.halo import HaloSpec
 
-#: Halo width used for implementing PBCs (reference grid_mod.f90:72-73).
-HALO_WIDTH_X = 1
-HALO_WIDTH_Y = 1
-
 
 def _make_mesh(px: int, py: int, devices=None) -> Mesh:
     devs = list(devices) if devices is not None else env.devices()
@@ -158,6 +154,12 @@ class Grid:
                                  align_y=align_y)
         self.global_nx = domainx
         self.global_ny = domainy
+        # a re-decomposition invalidates everything built on the old one
+        self._initialised = False
+        self.tmask = None
+        self._tmask_np = None
+        self._lazy.clear()
+        self._region_masks.clear()
 
         # Validate the domain decomposition itself before requiring devices,
         # so configuration errors surface with the most specific message.
@@ -207,10 +209,22 @@ class Grid:
         # Boundary strips / halos replicate the nearest edge value
         # (grid_mod.f90:415-431); padding cells likewise.
         stacked = layout.stack_global(self.decomp, tmask, mode="edge")
-        self._tmask_np = stacked
-        self.tmask = jax.device_put(stacked, self.sharding)
+        if self.wrap_x or self.wrap_y:
+            # Periodic axes: seam/wrap halo cells must hold the WRAP
+            # partner's values, not edge replication — stencil masks
+            # (e.g. wet_u) read neighbour tmask across the seam.  One
+            # halo exchange on the device fills them (int path).
+            from ..parallel import halo as halo_mod
+            self.tmask = halo_mod.exchange(
+                jax.device_put(stacked, self.sharding), self.mesh,
+                self.halo_spec, depth=self.decomp.halo)
+            self._tmask_np = np.asarray(self.tmask)
+        else:
+            self._tmask_np = stacked
+            self.tmask = jax.device_put(stacked, self.sharding)
         self._initialised = True
         self._lazy.clear()
+        self._region_masks.clear()
 
     def get_tmask(self):
         """Reference grid%get_tmask (grid_mod.f90:169-177)."""

@@ -57,6 +57,10 @@ def set_working_precision(dtype) -> None:
     """Set the working precision (``go_wp`` analogue) for new grids/fields."""
     global _working_dtype
     if isinstance(dtype, str):
+        if dtype.lower() not in _DTYPE_NAMES:
+            raise ValueError(
+                f"working precision {dtype!r} not understood; expected "
+                f"one of {sorted(_DTYPE_NAMES)}")
         dtype = _DTYPE_NAMES[dtype.lower()]
     dtype = jnp.dtype(dtype)
     if dtype == jnp.dtype(jnp.float64) and not jax.config.jax_enable_x64:

@@ -48,16 +48,23 @@ def global_max(data) -> float:
     return float(_reduce_fn("max", str(kinds.sum_dtype()))(data))
 
 
-def masked_sum(data, mask) -> float:
-    """Sum of ``data`` where ``mask`` is nonzero, accumulated in the
-
-    checksum dtype.  The building block of field_checksum."""
-    acc = kinds.sum_dtype()
+@functools.lru_cache(maxsize=None)
+def _masked_sum_fn(acc_dtype_str: str):
+    acc = jnp.dtype(acc_dtype_str)
 
     @jax.jit
     def f(d, m):
         return jnp.sum(d.astype(acc) * m.astype(acc))
-    return float(f(data, mask))
+    return f
+
+
+def masked_sum(data, mask) -> float:
+    """Sum of ``data`` where ``mask`` is nonzero, accumulated in the
+
+    checksum dtype.  The building block of field_checksum.  The jitted
+    reducer is cached per accumulation dtype (a fresh closure per call
+    would retrace and recompile every time)."""
+    return float(_masked_sum_fn(str(kinds.sum_dtype()))(data, mask))
 
 
 def gather_to_host(data):

@@ -92,28 +92,40 @@ def _exchange_block(blk, spec: HaloSpec, depth: int):
 def _exchange_blocks(blks, spec: HaloSpec, depth: int):
     """Exchange several same-layout blocks with ONE ppermute per
 
-    direction: the fields' edge strips are batched into a single
-    message, so a model exchanging its whole state pays 4 collectives
-    per step instead of 4 per field.  Mixed dtypes are upcast for the
-    shared message and cast back."""
+    direction and per DTYPE GROUP: same-dtype fields' edge strips are
+    batched into a single message, so a model exchanging its whole
+    state pays 4 collectives per step instead of 4 per field.  Fields
+    of different dtypes travel in separate messages — upcasting to a
+    common type would silently corrupt values (e.g. int32 halos above
+    2^24 through a float32 message)."""
     h, d = spec.halo, depth
     w, hgt = spec.tile_nx, spec.tile_ny
     px, py = spec.nprocx, spec.nprocy
     blks = list(blks)
     dtypes = [b.dtype for b in blks]
-    same = all(dt == dtypes[0] for dt in dtypes)
+    groups = []                       # [(dtype, [field indices])]
+    for k, dt in enumerate(dtypes):
+        for gdt, idxs in groups:
+            if gdt == dt:
+                idxs.append(k)
+                break
+        else:
+            groups.append((dt, [k]))
 
     def batch(strips):
-        if len(strips) == 1:
-            return strips[0]
-        if same:
-            return jnp.stack(strips)
-        common = jnp.result_type(*dtypes)
-        return jnp.stack([s.astype(common) for s in strips])
+        """strips: per-field edge strips -> one message per group."""
+        return [strips[idxs[0]] if len(idxs) == 1
+                else jnp.stack([strips[k] for k in idxs])
+                for _, idxs in groups]
 
-    def unbatch(msg, k):
-        s = msg if len(blks) == 1 else msg[k]
-        return s.astype(dtypes[k])
+    def unbatch(msgs, k):
+        for msg, (gdt, idxs) in zip(msgs, groups):
+            if k in idxs:
+                return msg if len(idxs) == 1 else msg[idxs.index(k)]
+        raise AssertionError(k)
+
+    def permute(msgs, axis, perm):
+        return [lax.ppermute(m, axis, perm) for m in msgs]
 
     # ----- x phase: columns ------------------------------------------------
     if px > 1 or spec.wrap_x:
@@ -124,8 +136,8 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
             has_w = has_e = True
         else:
             fwd, bwd = _perms(px, spec.wrap_x)
-            from_west = lax.ppermute(east_src, "x", fwd)
-            from_east = lax.ppermute(west_src, "x", bwd)
+            from_west = permute(east_src, "x", fwd)
+            from_east = permute(west_src, "x", bwd)
             ix = lax.axis_index("x")
             has_w = (ix > 0) | spec.wrap_x
             has_e = (ix < px - 1) | spec.wrap_x
@@ -146,8 +158,8 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
             has_s = has_n = True
         else:
             fwd, bwd = _perms(py, spec.wrap_y)
-            from_south = lax.ppermute(north_src, "y", fwd)
-            from_north = lax.ppermute(south_src, "y", bwd)
+            from_south = permute(north_src, "y", fwd)
+            from_north = permute(south_src, "y", bwd)
             iy = lax.axis_index("y")
             has_s = (iy > 0) | spec.wrap_y
             has_n = (iy < py - 1) | spec.wrap_y
