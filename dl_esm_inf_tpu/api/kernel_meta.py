@@ -102,7 +102,9 @@ class Stencil:
 
     Each row is written as a 3-digit number whose digits are the access
     counts at (W, centre, E); rows ordered N, centre, S.  e.g.
-    ``Stencil(000, 011, 000)`` reads the point and its East neighbour.
+    ``Stencil(0, 11, 0)`` reads the point and its East neighbour
+    (Python rejects leading-zero literals, so the Fortran 000/011/000
+    rows are written 0/11/0).
     """
     first_row: int
     second_row: int
@@ -269,6 +271,20 @@ def invoke(kern, *args, exchange_halos: bool = True):
     masks = []
     written_fields = []
     grid = None
+
+    # Arity check BEFORE consuming: grid properties and reduction
+    # scalars are not caller-supplied, everything else is — a silent
+    # mismatch would shift every later binding (wrong physics, no
+    # diagnostic).
+    consumable = [a for a in meta.args
+                  if not isinstance(a.element, GridProp)
+                  and not (a.element in (Element.R_SCALAR, Element.I_SCALAR)
+                           and _is_reduction(a))]
+    if len(args) != len(consumable):
+        raise TypeError(
+            f"kernel {meta.name} declares {len(consumable)} caller "
+            f"arguments (after grid properties and reduction outputs), "
+            f"got {len(args)}")
     it = iter(args)
 
     # First pass: find the grid (needed to resolve grid properties).
@@ -276,6 +292,30 @@ def invoke(kern, *args, exchange_halos: bool = True):
     if not field_args:
         raise ValueError(f"kernel {meta.name} needs at least one Field arg")
     grid = field_args[0].grid
+
+    # Coalesce the halo refreshes of every off-point-read argument into
+    # ONE exchange (4 collectives total via exchange_multi, instead of
+    # 4 per field).  INC is read-modify-write: it reads too.
+    if exchange_halos:
+        need = []
+        depth = 0
+        pos = 0
+        for a in consumable:
+            val = args[pos]
+            pos += 1
+            if (isinstance(val, Field)
+                    and a.access in (Access.READ, Access.READWRITE,
+                                     Access.INC)
+                    and a.stencil.reaches_off_point()
+                    and all(val is not f for f in need)):
+                need.append(val)
+                depth = max(depth, a.stencil.depth())
+        if need:
+            from ..parallel.halo import exchange_multi
+            fresh = exchange_multi([f.data for f in need], grid.mesh,
+                                   grid.halo_spec, depth=depth)
+            for f, nd in zip(need, fresh):
+                f.data = nd
 
     for a in meta.args:
         if isinstance(a.element, GridProp):
@@ -296,17 +336,19 @@ def invoke(kern, *args, exchange_halos: bool = True):
                 # reduction scalars are outputs: returned by the kernel
                 # body, reduced over the mesh, handed back to the caller
                 continue
+            val = next(it)
+            if isinstance(val, Field):
+                raise TypeError(
+                    f"kernel {meta.name}: argument declared scalar "
+                    f"received a Field")
             order.append(("s", len(scalars)))
-            scalars.append(next(it))
+            scalars.append(val)
             continue
         f = next(it)
         if not isinstance(f, Field):
             raise TypeError(
                 f"kernel {meta.name}: argument declared {a.element!r} "
                 f"must be a Field, got {type(f)}")
-        if exchange_halos and a.access in (Access.READ, Access.READWRITE) \
-                and a.stencil.reaches_off_point():
-            f.halo_exchange(a.stencil.depth())
         order.append(("a", len(arrays)))
         arrays.append(f.data)
         if _is_written(a):

@@ -53,8 +53,16 @@ def initialise(devices=None, multihost: bool | None = None) -> None:
     import os
     if multihost is None:
         multihost = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if multihost and jax.process_count() == 1 and not _initialised:
-        jax.distributed.initialize()
+    if multihost and not _initialised:
+        # Must run BEFORE any backend initialisation — do not probe
+        # jax.process_count() first (it initialises the backend and
+        # dooms distributed.initialize()); let the no-op/raise behaviour
+        # of a second initialize() handle re-entry instead.
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     _devices = list(devices) if devices is not None else list(jax.devices())
     _initialised = True
 

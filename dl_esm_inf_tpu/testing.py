@@ -1,8 +1,8 @@
 """Test oracles, mirroring the reference's self-checking test programs.
 
-* :func:`hill` — the analytic halo oracle of
-  tests/dist_mem/test_halos.f90:153-189: a unique value per *global*
-  staggered position, ``10000*xpos + ypos``, offset-aware.
+* :func:`hill_stacked` / :func:`init_field_hill` — the analytic halo
+  oracle of tests/dist_mem/test_halos.f90:153-189: a unique value per
+  *global* staggered position, ``10000*xpos + ypos``, offset-aware.
 * :func:`unique_global_values` — the scatter/gather oracle of
   tests/dist_mem/test_reduction.f90:114-123: ``i + j*global_nx``
   (0-based here; identical values to the reference's 1-based formula).

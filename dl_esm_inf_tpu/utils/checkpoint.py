@@ -51,14 +51,22 @@ def load_fields(path: str, fields: dict) -> dict:
     Returns the metadata dict."""
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
+        loaded = {}
         for name, fld in fields.items():
             if name not in data:
                 raise KeyError(f"checkpoint {path} has no field {name!r}")
             g = data[name]
-            stacked = layout.stack_global(fld.grid.decomp, g, mode="zeros",
-                                          dtype=np.dtype(fld.dtype))
-            fld.set_data(stacked)
-            fld.halo_exchange(1)
+            if isinstance(fld, Field):
+                stacked = layout.stack_global(fld.grid.decomp, g,
+                                              mode="zeros",
+                                              dtype=np.dtype(fld.dtype))
+                fld.set_data(stacked)
+                fld.halo_exchange(1)
+            else:
+                # plain arrays round-trip symmetrically with save_fields
+                loaded[name] = g
+        if loaded:
+            meta = dict(meta, arrays=loaded)
     return meta
 
 

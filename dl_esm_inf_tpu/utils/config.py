@@ -39,9 +39,12 @@ def parse_grid_dims(value: str) -> tuple[int, int] | None:
         return None
     left, _, right = value.partition("x")
     try:
-        return int(left), int(right)
+        nx, ny = int(left), int(right)
     except ValueError:
         return None
+    if nx < 1 or ny < 1:
+        return None      # malformed, like non-numeric input
+    return nx, ny
 
 
 def _int_env(name: str) -> int | None:

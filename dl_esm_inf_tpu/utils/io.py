@@ -13,13 +13,15 @@ from ..core.field import Field
 
 def dump_field(field: Field, path: str, halo_depth: int = 0,
                fmt: str = "npz") -> None:
-    """Write one field's global internal data (optionally with a halo
+    """Write one field's global internal data (optionally with the
+    per-rank local block views, halo ring included, for halo debugging).
 
-    ring view per rank for debugging).
-
-    fmt='npz'  -> arrays x, y, data (global, internal points)
+    fmt='npz'  -> arrays x, y, data (global, internal points); with
+                  ``halo_depth > 0`` also ``local_views`` of shape
+                  (nranks, local_ny, local_nx) — each rank's raw block
+                  including its halo/padding cells
     fmt='dat'  -> gnuplot-style "x y value" triples, blank-line-separated
-                  rows (the reference's dump format)
+                  rows (the reference's dump format; internal points only)
     """
     g = field.gather_inner_data()
     d = field.grid.decomp
@@ -27,7 +29,12 @@ def dump_field(field: Field, path: str, halo_depth: int = 0,
     x = (np.arange(d.global_nx) + 1) * field.grid.dx
     y = (np.arange(d.global_ny) + 1) * field.grid.dy
     if fmt == "npz":
-        np.savez_compressed(path, x=x, y=y, data=g)
+        extra = {}
+        if halo_depth > 0:
+            extra["local_views"] = np.stack(
+                [np.asarray(field.local_view(r))
+                 for r in range(d.ndomains)])
+        np.savez_compressed(path, x=x, y=y, data=g, **extra)
     elif fmt == "dat":
         with open(path, "w") as f:
             for j in range(g.shape[0]):

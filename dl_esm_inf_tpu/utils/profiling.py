@@ -68,6 +68,10 @@ def comms_schedule(spec: HaloSpec, depth: int = 1) -> list[dict]:
     reference's per-message DEBUG_COMMS logs
     (parallel_comms_mod.f90:1613-1661), but available statically.
     """
+    if depth < 1 or depth > spec.halo:
+        raise ValueError(
+            f"halo-exchange depth {depth} outside [1, halo={spec.halo}] "
+            "— this schedule could never be executed")
     sched = []
     h, d = spec.halo, depth
     if spec.nprocx > 1 or spec.wrap_x:

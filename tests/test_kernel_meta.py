@@ -156,6 +156,49 @@ def test_invoke_drives_real_physics_kernel():
     np.testing.assert_allclose(ssha.get_data()[m], want[m], rtol=1e-12)
 
 
+def test_invoke_arity_and_type_errors():
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_R_SCALAR, GO_R_SCALAR),
+                  go_arg(GO_READ, GO_CT)])
+    def affine(out, a, x):
+        return a * x
+
+    grid = make_grid()
+    x = dl.Field(grid, dl.T_POINTS, init_global_data=np.ones((8, 10)))
+    out = dl.Field(grid, dl.T_POINTS)
+    with pytest.raises(TypeError, match="declares 3 caller"):
+        invoke(affine, out, 2.0)              # too few
+    with pytest.raises(TypeError, match="declares 3 caller"):
+        invoke(affine, out, 2.0, x, x)        # too many
+    with pytest.raises(TypeError, match="scalar"):
+        invoke(affine, out, x, x)             # Field in a scalar slot
+
+
+def test_invoke_inc_access_gets_fresh_halos():
+    """GO_INC is read-modify-write: its off-point reads must see fresh
+    halos (previously only READ/READWRITE were exchanged)."""
+    from dl_esm_inf_tpu.api.kernel_meta import GO_INC
+
+    @kernel(args=[go_arg(GO_INC, GO_CT, Stencil(0, 11, 0))])
+    def add_east(x):
+        return x + st.xp(x)
+
+    grid = make_grid(10, 8, ndom=2)       # x-split: seam halos matter
+    vals = np.arange(80, dtype=np.float64).reshape(8, 10)
+    f = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    # poison halos so stale reads are visible
+    f.data = f.data + 1000.0 * (1.0 - f.internal_mask)
+    invoke(add_east, f)
+    m = f.internal_mask_np()
+    want = vals + np.roll(vals, -1, axis=1)   # interior columns only
+    got = f.get_data()
+    # check a seam-adjacent internal column (reads across the shard cut)
+    gx_seam = grid.decomp.tile_nx - 1         # last col of shard 0
+    col = np.where(m.any(axis=0))[0]
+    assert np.allclose(got[m].reshape(8, 10)[:, gx_seam],
+                       want[:, gx_seam]), "stale seam halo used"
+
+
 def test_all_pts_iteration():
     @kernel(args=[go_arg(GO_WRITE, GO_CT)], iterates_over=GO_ALL_PTS)
     def fill7(out):
