@@ -154,14 +154,28 @@ class Field:
         return self.grid.region_mask_np(*self._off)
 
     # --- communication ------------------------------------------------------
-    def halo_exchange(self, depth: int = 1) -> None:
+    def halo_exchange(self, depth: int = 1,
+                      transport: str = "ppermute",
+                      interpret: bool = False) -> None:
         """Refresh this field's halo ring (field_mod.f90:1231-1256).
 
         ``depth`` is honoured up to the decomposition's halo width —
         unlike the reference, which ignores it (field_mod.f90:1226-1229).
-        """
-        self.data = halo_mod.exchange(self.data, self.grid.mesh,
-                                      self.grid.halo_spec, depth)
+
+        ``transport``: ``"ppermute"`` (XLA collectives, the default) or
+        ``"remote_dma"`` (Pallas remote copies over the ICI,
+        parallel/halo_pallas.py; hardware path — ``interpret=True``
+        only for single-axis CPU-mesh testing)."""
+        if transport == "ppermute":
+            self.data = halo_mod.exchange(self.data, self.grid.mesh,
+                                          self.grid.halo_spec, depth)
+        elif transport == "remote_dma":
+            from ..parallel.halo_pallas import exchange_pallas
+            self.data = exchange_pallas(self.data, self.grid.mesh,
+                                        self.grid.halo_spec, depth,
+                                        interpret=interpret)
+        else:
+            raise ValueError(f"unknown halo transport {transport!r}")
 
     def apply_periodic_bcs(self) -> None:
         """Apply single-shard periodic wrap copies from the halo

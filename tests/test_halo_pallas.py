@@ -95,6 +95,17 @@ def test_single_device_wrap():
     np.testing.assert_array_equal(np.asarray(fn(a1)), want)
 
 
+def test_field_transport_api():
+    grid = make_grid(16, 16, 4, 1)
+    import dl_esm_inf_tpu as dl2
+    fld = dl2.Field(grid, dl2.T_POINTS,
+                    init_global_data=np.arange(256.0).reshape(16, 16))
+    with pytest.raises(ValueError, match="transport"):
+        fld.halo_exchange(transport="smoke-signals")
+    # ppermute default still works
+    fld.halo_exchange(1)
+
+
 def test_depth_guard():
     grid = make_grid(16, 16, 4, 1)
     a = unique_field(grid)
