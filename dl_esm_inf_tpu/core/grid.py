@@ -212,7 +212,7 @@ class Grid:
         if self.wrap_x or self.wrap_y:
             # Periodic axes: seam/wrap halo cells must hold the WRAP
             # partner's values, not edge replication — stencil masks
-            # (e.g. wet_u) read neighbour tmask across the seam.  One
+            # (derived face wetness) read neighbour tmask across the seam.  One
             # halo exchange on the device fills them (int path).
             from ..parallel import halo as halo_mod
             self.tmask = halo_mod.exchange(

@@ -240,6 +240,8 @@ def build(gnx: int = 256, gny: int = 256, ndomains=None, dt: float = 0.05,
     model = GravityWaveModel(grid, dt=dt, g=g, depth=depth)
     if pallas:
         model.enable_pallas(steps_per_sweep=steps_per_sweep)
+    elif steps_per_sweep > 1:
+        model.set_steps_per_exchange(steps_per_sweep)
     return model
 
 

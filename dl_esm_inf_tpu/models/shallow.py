@@ -180,6 +180,8 @@ def build(gnx: int = 64, gny: int = 64, ndomains=None, dt: float = 0.01,
     model = ShallowModel(grid, dt=dt, **kw)
     if pallas:
         model.enable_pallas(steps_per_sweep=steps_per_sweep)
+    elif steps_per_sweep > 1:
+        model.set_steps_per_exchange(steps_per_sweep)
     return model
 
 

@@ -218,6 +218,8 @@ def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 0.02,
     model = TwoLayerModel(grid, dt=dt, **kw)
     if pallas:
         model.enable_pallas(steps_per_sweep=steps_per_sweep)
+    elif steps_per_sweep > 1:
+        model.set_steps_per_exchange(steps_per_sweep)
     return model
 
 

@@ -52,7 +52,11 @@ def set_steps_per_exchange(model, *, reach: int,
 def fast_path_grid_args(pallas: bool, steps_per_sweep: int, reach: int,
                         halo_width: int) -> tuple[int, int, int]:
     """(halo_width, align, align_y) for a model ``build()``: TPU lane/
-    sublane alignment and a halo deep enough for the K-step sweep."""
+    sublane alignment and a halo deep enough for the K-step sweep (the
+    jnp comm-avoidance schedule needs the same deep halo, minus the
+    tile alignment)."""
     if not pallas:
+        if steps_per_sweep > 1:
+            return max(halo_width, steps_per_sweep * reach), 1, 1
         return halo_width, 1, 1
     return max(halo_width, steps_per_sweep * reach, reach), 128, 8

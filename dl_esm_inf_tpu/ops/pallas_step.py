@@ -78,7 +78,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
         masks = decode_masks(tm, dtype) if hoist_masks else None
         if variable_bathy:   # derive face depths once per tile (ht is
             ht = aux[1]      # time-invariant; K sub-steps reuse them)
-            dep = (ht, 0.5 * (ht + st.xp(ht)), 0.5 * (ht + st.yp(ht)))
+            dep = (ht, st.avg_x(ht), st.avg_y(ht))
         else:
             dep = depth
         return tm, masks, dep

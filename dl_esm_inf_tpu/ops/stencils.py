@@ -77,22 +77,6 @@ def avg_y_back(a):
     return 0.5 * (a + ym(a))
 
 
-def wet(tmask):
-    """1.0 where the T point is wet (tmask==1 or -1), else 0 — float mask."""
-    return (tmask != 0).astype(jnp.float32)
-
-
-def wet_u(tmask):
-    """U-face wetness (NE offset): both adjacent T points wet."""
-    t = tmask != 0
-    return (t & (jnp.roll(tmask, -1, axis=-1) != 0))
-
-
-def wet_v(tmask):
-    t = tmask != 0
-    return (t & (jnp.roll(tmask, -1, axis=-2) != 0))
-
-
 def pack_mask_bits(masks) -> jnp.ndarray:
     """Pack 0/1 masks (constant in time) into one int8 bitfield: one
     byte per point of HBM traffic instead of one float array per mask

@@ -112,6 +112,32 @@ def test_scalar_and_array_order_preserved():
     assert np.all(out.get_data()[m] == 25.0)
 
 
+def test_module_provided_invokable_continuity():
+    """models.nemolite2d.continuity_psy is the shipped invoke-able
+    wrapper; it must match the fast-path continuity at internal pts."""
+    import jax.numpy as jnp
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+
+    grid = make_grid(12, 10, ndom=4)
+    rng = np.random.default_rng(5)
+    flds = {n: dl.Field(grid, p,
+                        init_global_data=rng.normal(size=(10, 12)) + 5)
+            for n, p in (("sshn", dl.T_POINTS), ("un", dl.U_POINTS),
+                         ("vn", dl.V_POINTS), ("depu", dl.U_POINTS),
+                         ("depv", dl.V_POINTS))}
+    ssha = dl.Field(grid, dl.T_POINTS)
+    for f in flds.values():
+        f.halo_exchange(1)
+    invoke(nl.continuity_psy, ssha, flds["sshn"], flds["un"], flds["vn"],
+           flds["depu"], flds["depv"], 20.0)
+    want = np.asarray(nl.continuity(
+        jnp.asarray(flds["sshn"].data), jnp.asarray(flds["un"].data),
+        jnp.asarray(flds["vn"].data), jnp.asarray(flds["depu"].data),
+        jnp.asarray(flds["depv"].data), rdt=20.0, dx=grid.dx, dy=grid.dy))
+    m = ssha.internal_mask_np()
+    np.testing.assert_allclose(ssha.get_data()[m], want[m], rtol=1e-12)
+
+
 def test_invoke_drives_real_physics_kernel():
     """The PSyclone layer runs the flagship model's continuity kernel
     and matches the production (step_math-path) computation at internal

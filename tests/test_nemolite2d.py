@@ -84,6 +84,14 @@ def test_jnp_comm_avoidance_matches_per_step(ndom):
                                    rtol=1e-12, atol=1e-13, err_msg=k)
 
 
+def test_build_steps_per_sweep_without_pallas():
+    """build(steps_per_sweep=K, pallas=False) must select the jnp
+    comm-avoiding schedule (previously silently ignored)."""
+    m = nl.build(32, 32, ndomains=1, steps_per_sweep=2)
+    assert m._sweep_K == 2 and not m.use_pallas
+    assert m.grid.halo_spec.halo >= 4
+
+
 def test_jnp_comm_avoidance_guards():
     m = nl.build(32, 32, ndomains=1, halo_width=2)
     with pytest.raises(ValueError, match="halo_width"):
