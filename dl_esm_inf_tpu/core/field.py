@@ -197,6 +197,17 @@ class Field:
         f = _checksum_fn(str(kinds.sum_dtype()))
         return float(f(self.data, self.internal_mask))
 
+    def integral(self) -> float:
+        """SIGNED sum of internal points over all shards (the building
+        block of volume/mass diagnostics; checksum() is the |.| form)."""
+        from ..parallel.collectives import masked_sum
+        return masked_sum(self.data, self.internal_mask)
+
+    def max_abs(self) -> float:
+        """max |internal points| over all shards (CFL monitoring)."""
+        import jax.numpy as _jnp
+        return float(_jnp.max(_jnp.abs(self.data) * self.internal_mask))
+
     def gather_inner_data(self) -> np.ndarray:
         """Assemble the global (global_ny, global_nx) array of internal
 
