@@ -58,6 +58,22 @@ def test_checkpoint_missing_field(tmp_path):
         checkpoint.load_fields(path, {"other": m.sshn_t})
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """Sharded orbax checkpoint (no host gather), same decomposition."""
+    m = build()
+    m.run(10)
+    want = {k: np.asarray(v) for k, v in
+            (("sshn_t", m.sshn_t.data), ("un", m.un.data),
+             ("vn", m.vn.data))}
+    fields = {"sshn_t": m.sshn_t, "un": m.un, "vn": m.vn}
+    checkpoint.save_fields_orbax(str(tmp_path / "ck"), fields, step=10)
+    m.run(7)    # diverge
+    step = checkpoint.load_fields_orbax(str(tmp_path / "ck"), fields)
+    assert step == 10
+    for k, fld in fields.items():
+        np.testing.assert_array_equal(np.asarray(fld.data), want[k])
+
+
 def test_comms_schedule():
     m = nl.build(32, 24, ndomains=6, open_north=False, halo_width=2)
     sched = profiling.comms_schedule(m.grid.halo_spec, depth=2)
