@@ -12,7 +12,7 @@ from ..core.field import Field
 
 
 def volume(eta: Field, dx: float, dy: float) -> float:
-    """∫ eta dA over wet internal points (mass anomaly per unit rho)."""
+    """∫ eta dA over internal points (mass anomaly per unit rho)."""
     return eta.integral() * dx * dy
 
 

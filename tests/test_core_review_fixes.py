@@ -20,23 +20,64 @@ def make_grid(gnx=16, gny=24, ndom=4, wrap=False, **kw):
     return grid
 
 
+def numpy_exchange(stacked, spec):
+    """Independent slicing transcription of the two-phase depth-1
+    exchange on the stacked layout (non-periodic)."""
+    h, d = spec.halo, 1
+    w, hgt = spec.tile_nx, spec.tile_ny
+    px, py = spec.nprocx, spec.nprocy
+    lx, ly = spec.local_nx, spec.local_ny
+    a = np.array(stacked)
+    for iy in range(py):            # x phase: interior edge columns
+        for ix in range(px):
+            r0, c0 = iy * ly, ix * lx
+            if ix > 0:
+                a[r0:r0 + ly, c0 + h - d:c0 + h] = \
+                    a[r0:r0 + ly, c0 - lx + h + w - d:c0 - lx + h + w]
+            if ix < px - 1:
+                a[r0:r0 + ly, c0 + h + w:c0 + h + w + d] = \
+                    a[r0:r0 + ly, c0 + lx + h:c0 + lx + h + d]
+    for iy in range(py):            # y phase: full-width rows (corners)
+        for ix in range(px):
+            r0, c0 = iy * ly, ix * lx
+            if iy > 0:
+                a[r0 + h - d:r0 + h, c0:c0 + lx] = \
+                    a[r0 - ly + h + hgt - d:r0 - ly + h + hgt, c0:c0 + lx]
+            if iy < py - 1:
+                a[r0 + h + hgt:r0 + h + hgt + d, c0:c0 + lx] = \
+                    a[r0 + ly + h:r0 + ly + h + d, c0:c0 + lx]
+    return a
+
+
 def test_mixed_dtype_exchange_exact():
-    """int32 halos above 2^24 must survive a coalesced exchange with a
-    float32 companion field (upcasting through f32 would round them)."""
+    """int32 halos above 2^24 must survive a coalesced exchange with
+    float32/bfloat16 companions (upcasting through a shared message
+    would round them) — checked against an INDEPENDENT NumPy
+    transcription, not the library's own single-field path."""
     grid = make_grid()
     shape = grid.array_shape
     big = 1 << 25
-    ints = jax.device_put(
-        (jnp.arange(shape[0] * shape[1], dtype=jnp.int32) + big
-         ).reshape(shape), grid.sharding)
-    flts = jax.device_put(jnp.ones(shape, jnp.float32), grid.sharding)
-    bf = jax.device_put(jnp.full(shape, 2.0, jnp.bfloat16), grid.sharding)
+    rng = np.random.default_rng(11)
+    ints_np = (np.arange(shape[0] * shape[1], dtype=np.int32) + big
+               ).reshape(shape)
+    flts_np = rng.normal(size=shape).astype(np.float32)
+    bf_np = np.full(shape, 2.0, np.float32)
+    ints = jax.device_put(jnp.asarray(ints_np), grid.sharding)
+    flts = jax.device_put(jnp.asarray(flts_np), grid.sharding)
+    bf = jax.device_put(jnp.asarray(bf_np, jnp.bfloat16), grid.sharding)
 
     got_i, got_f, got_b = exchange_multi([ints, flts, bf], grid.mesh,
                                          grid.halo_spec)
-    want_i = exchange(ints, grid.mesh, grid.halo_spec)
-    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    spec = grid.halo_spec
+    np.testing.assert_array_equal(np.asarray(got_i),
+                                  numpy_exchange(ints_np, spec))
+    np.testing.assert_array_equal(np.asarray(got_f),
+                                  numpy_exchange(flts_np, spec))
+    np.testing.assert_array_equal(
+        np.asarray(got_b.astype(jnp.float32)),
+        numpy_exchange(bf_np, spec))
     assert got_i.dtype == jnp.int32 and got_b.dtype == jnp.bfloat16
+    assert got_f.dtype == jnp.float32
 
 
 def test_apply_periodic_bcs_multishard_is_safe():
@@ -90,7 +131,7 @@ def test_periodic_tmask_seam_wraps():
     dl.grid_init(grid, 1.0, 1.0, tmask)
     tm = np.asarray(grid.tmask)
     spec = grid.halo_spec
-    h, lx = spec.halo, spec.local_nx
+    h = spec.halo
     # west halo column of the west-most shards must be LAND (the wrap
     # partner is the global east edge), not replicated ocean
     assert np.all(tm[:, h - 1] == 0)

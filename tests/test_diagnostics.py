@@ -12,11 +12,13 @@ def build(ndom=4, gnx=64, gny=48, dt=0.02):
 
 
 def test_volume_matches_gather():
-    m = build()
+    """volume() integrates ALL internal points times the cell area
+    (non-unit dx/dy so the scaling is actually exercised)."""
+    m = gw.build(64, 48, ndomains=4, dt=0.02, depth=10.0, dx=2.0, dy=3.0)
+    m.set_initial_eta(gw.gaussian_eta(64, 48, amp=0.5))
     vol = dg.volume(m.eta, m.grid.dx, m.grid.dy)
     g = m.gather()["eta"]
-    wet = gw.default_tmask(64, 48) >= 0       # internal pts incl. land
-    assert abs(vol - g.sum()) < 1e-9 * max(1.0, abs(g.sum()))
+    assert abs(vol - g.sum() * 2.0 * 3.0) < 1e-9 * max(1.0, abs(vol))
 
 
 def test_energy_roughly_conserved():

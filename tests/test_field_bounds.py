@@ -44,6 +44,16 @@ TRUTH = {
     (dl.OFFSET_SW, True, False, dl.U_POINTS): (0, 0),
     (dl.OFFSET_SW, True, False, dl.V_POINTS): (0, 1),
     (dl.OFFSET_SW, True, False, dl.F_POINTS): (0, 1),
+    # SW offset, periodic y only (the mirror): V loses its y shift,
+    # U/F keep the x shift — catches axis-asymmetry bugs the all- or
+    # x-only-periodic rows cannot
+    (dl.OFFSET_SW, False, True, dl.U_POINTS): (1, 0),
+    (dl.OFFSET_SW, False, True, dl.V_POINTS): (0, 0),
+    (dl.OFFSET_SW, False, True, dl.T_POINTS): (0, 0),
+    (dl.OFFSET_SW, False, True, dl.F_POINTS): (1, 0),
+    # NE offset with periodicity: bounds are offset-free regardless
+    (dl.OFFSET_NE, True, False, dl.U_POINTS): (0, 0),
+    (dl.OFFSET_NE, False, True, dl.V_POINTS): (0, 0),
 }
 
 

@@ -205,7 +205,6 @@ def test_exchange_3d_and_int():
         np.testing.assert_array_equal(
             out[k][sy, sx][r.ystart:r.ystop, r.xstop], want)
     # integer exchange
-    ints = dl.Field(grid, dl.T_POINTS)
     arr = (np.asarray(base.data)).astype(np.int32)
     iarr = jax.device_put(arr, grid.sharding)
     fn2 = jax.jit(jax.shard_map(exchange_fn(spec, 1), mesh=grid.mesh,

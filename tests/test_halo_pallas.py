@@ -86,13 +86,8 @@ def test_single_device_wrap():
     dl.grid_init(grid, 1.0, 1.0)
     a = unique_field(grid)
     want = np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=1))
-    spec = grid.halo_spec
-    body = make_block_exchange(spec, 1, interpret=True, logical_ids=True)
-    mesh = Mesh(grid.mesh.devices.reshape(-1), ("x",))
-    a1 = jax.device_put(np.asarray(a), NamedSharding(mesh, P(None, "x")))
-    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, "x"),
-                               out_specs=P(None, "x"), check_vma=False))
-    np.testing.assert_array_equal(np.asarray(fn(a1)), want)
+    got = run_1d(grid, a, depth=1)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_field_transport_api():

@@ -215,14 +215,13 @@ def test_invoke_inc_access_gets_fresh_halos():
     # poison halos so stale reads are visible
     f.data = f.data + 1000.0 * (1.0 - f.internal_mask)
     invoke(add_east, f)
-    m = f.internal_mask_np()
     want = vals + np.roll(vals, -1, axis=1)   # interior columns only
-    got = f.get_data()
-    # check a seam-adjacent internal column (reads across the shard cut)
+    got = f.gather_inner_data()               # global order, any layout
+    # the seam-adjacent column reads across the shard cut: stale halos
+    # would show exactly here
     gx_seam = grid.decomp.tile_nx - 1         # last col of shard 0
-    col = np.where(m.any(axis=0))[0]
-    assert np.allclose(got[m].reshape(8, 10)[:, gx_seam],
-                       want[:, gx_seam]), "stale seam halo used"
+    assert np.allclose(got[:, gx_seam], want[:, gx_seam]), \
+        "stale seam halo used"
 
 
 def test_all_pts_iteration():

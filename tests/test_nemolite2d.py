@@ -159,9 +159,6 @@ def test_overlap_step_matches_plain():
     exactly (jnp path, fp64): the split is pure restructuring."""
     import jax.numpy as jnp
     for ndom in (1, 4):
-        ma = build(gnx=48, gny=40, ndom=ndom)
-        mb = build(gnx=48, gny=40, ndom=ndom)
-        # rebuild with deep halos (overlap requires h>=2)
         ma = nl.build(48, 40, ndomains=ndom, halo_width=2, open_north=True)
         mb = nl.build(48, 40, ndomains=ndom, halo_width=2, open_north=True)
         from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta

@@ -67,6 +67,7 @@ def test_gather_shape_and_dtype():
     fld = dl.Field(grid, dl.T_POINTS)
     out = fld.gather_inner_data()
     assert out.shape == (5, 7)
+    assert out.dtype == np.dtype(grid.dtype)   # fp64 under the conftest
 
 
 def test_global_sum_collectives():

@@ -49,6 +49,9 @@ def test_baroclinic_mode_is_live():
     m.run(400)
     g = m.gather()
     assert not np.allclose(g["eta2"], g0["eta2"], atol=1e-6)
+    # the interlayer coupling must imprint the interface on the
+    # (initially flat) surface — decoupled layers would leave eta1 ~ 0
+    assert np.abs(g["eta1"][wet]).max() > 1e-4
     for k in ("eta1", "eta2"):
         assert np.all(np.isfinite(g[k])), k
         assert abs(g[k][wet].sum() - g0[k][wet].sum()) < 1e-8
