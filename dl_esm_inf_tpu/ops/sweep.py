@@ -63,6 +63,13 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
             "Mosaic TPU kernels do not support 64-bit dtypes (measured: "
             "NotImplementedError on v5e); run float64 on the jnp path, "
             "or the sweep in interpret mode")
+    if not interpret and any(d.itemsize < 4 for d in state_dtypes):
+        raise ValueError(
+            "compiled sweeps support 4-byte state dtypes only: the 8-row "
+            "window ring matches f32 sublane tiling, and bf16 state "
+            "measured a Mosaic compile failure on v5e (sub-4-byte AUX "
+            "planes like the int8 masks are fine); run bf16 on the jnp "
+            "path or in interpret mode")
     n_state, n_aux = len(state_dtypes), len(aux_dtypes)
     n_in = n_state + n_aux
     K = int(steps_per_sweep)

@@ -175,6 +175,19 @@ def test_compiled_sweep_rejects_f64():
                            state_dtypes=(jnp.float64,))
 
 
+def test_compiled_sweep_rejects_bf16_state():
+    """bf16 STATE measured a Mosaic compile failure on v5e (the window
+    ring is f32-sublane-aligned); int8 AUX planes remain supported."""
+    import jax.numpy as jnp
+    from dl_esm_inf_tpu.ops.sweep import make_stencil_sweep
+    with pytest.raises(ValueError, match="4-byte state"):
+        make_stencil_sweep(lambda s, p, c: s, ly=64, lx=128,
+                           state_dtypes=(jnp.bfloat16,))
+    # interpret mode (CPU tests) still allows it
+    make_stencil_sweep(lambda s, p, c: s, ly=64, lx=128,
+                       state_dtypes=(jnp.bfloat16,), interpret=True)
+
+
 def test_step_program_cache_hits():
     m = _build(pallas=False, gnx=64, gny=32)
     assert m.step_program(10) is m.step_program(10)
