@@ -130,6 +130,15 @@ class Arg:
     element: object  # Element | GridProp
     stencil: Stencil = GO_POINTWISE
 
+    def __post_init__(self):
+        # Access and Element are both IntEnums whose small values
+        # collide (e.g. Element.R_SCALAR == Access.READ == 0), so a
+        # swapped Arg(GO_R_SCALAR, ...) would silently "work" — reject
+        # anything that is not an actual Access member.
+        if not isinstance(self.access, Access):
+            raise TypeError(
+                f"Arg.access must be an Access enum, got {self.access!r}")
+
 
 go_arg = Arg
 
@@ -162,7 +171,17 @@ def kernel(args, iterates_over=GO_INTERNAL_PTS, index_offset=3,
     return deco
 
 
+def _get_time_step(g):
+    if g.time_step is None:
+        raise ValueError(
+            "kernel requests GO_TIME_STEP (argument_mod.f90:75) but the "
+            "grid's time step is unset; pass time_step= to grid.init() "
+            "or assign grid.time_step")
+    return g.time_step
+
+
 _GRID_PROP_GETTERS = {
+    GridProp.TIME_STEP: _get_time_step,
     GridProp.GRID_AREA_T: lambda g: g.area_t,
     GridProp.GRID_AREA_U: lambda g: g.area_u,
     GridProp.GRID_AREA_V: lambda g: g.area_v,

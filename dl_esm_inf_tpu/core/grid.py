@@ -90,6 +90,10 @@ class Grid:
         self.global_ny = 0
         self.dx = None
         self.dy = None
+        # Model time step; the reference declares the GO_TIME_STEP grid
+        # property (argument_mod.f90:75) for kernels to request.  Set it
+        # via init(time_step=...) or assign directly.
+        self.time_step = None
         self.tmask = None          # stacked int32 device array
         self._tmask_np = None      # host copy for mask derivation
         self._initialised = False
@@ -188,7 +192,8 @@ class Grid:
         return self.decomp
 
     # ------------------------------------------------------------------
-    def init(self, dx: float, dy: float, tmask=None) -> None:
+    def init(self, dx: float, dy: float, tmask=None,
+             time_step: float | None = None) -> None:
         """Flesh out the grid (reference grid_init, grid_mod.f90:330-570).
 
         ``tmask`` is the GLOBAL T-point mask, shape (global_ny, global_nx),
@@ -202,6 +207,8 @@ class Grid:
             raise RuntimeError("call decompose() before init()")
         self.dx = float(dx)
         self.dy = float(dy)
+        if time_step is not None:
+            self.time_step = float(time_step)
 
         if tmask is None:
             tmask = np.ones((self.global_ny, self.global_nx), dtype=np.int32)
@@ -322,6 +329,7 @@ class Grid:
         return layout.region_mask(self.decomp, off_x, off_y)
 
 
-def grid_init(grid: Grid, dx: float, dy: float, tmask=None) -> None:
+def grid_init(grid: Grid, dx: float, dy: float, tmask=None,
+              time_step: float | None = None) -> None:
     """Module-level spelling matching the reference API (grid_mod.f90:330)."""
-    grid.init(dx, dy, tmask)
+    grid.init(dx, dy, tmask, time_step=time_step)

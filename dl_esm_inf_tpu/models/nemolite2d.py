@@ -90,7 +90,7 @@ def continuity(sshn_t, un, vn, depu, depv, *, rdt, dx, dy):
               Arg(GO_READ, GO_CT),
               Arg(GO_READ, GO_CU, _FULL), Arg(GO_READ, GO_CV, _FULL),
               Arg(GO_READ, GO_CU, _FULL), Arg(GO_READ, GO_CV, _FULL),
-              Arg(GO_R_SCALAR, GO_R_SCALAR),
+              Arg(GO_READ, GO_R_SCALAR),
               Arg(GO_READ, GridProp.GRID_DX_CONST),
               Arg(GO_READ, GridProp.GRID_DY_CONST)],
         name="continuity_psy")

@@ -181,7 +181,10 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
 
     def sweep(*arrays_and_scalars):
         if n_scalars == 0 and len(arrays_and_scalars) == n_in:
-            arrays, scalars = arrays_and_scalars, jnp.zeros((K, 1))
+            # pinned 32-bit: under jax_enable_x64 a bare zeros() would be
+            # f64, handing Mosaic an unsupported SMEM operand
+            arrays, scalars = arrays_and_scalars, jnp.zeros((K, 1),
+                                                            jnp.float32)
         else:
             *arrays, scalars = arrays_and_scalars
         if len(arrays) != n_in:

@@ -61,7 +61,8 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
     do_x = px > 1 or spec.wrap_x
     do_y = py > 1 or spec.wrap_y
 
-    def kernel(in_hbm, out_hbm, copy_sem, send_sems, recv_sems):
+    def kernel(in_hbm, out_hbm, copy_sem, send_sems, recv_sems,
+               ready_sems):
         # whole-block local copy: the exchange is functional like the
         # ppermute path (halo strips are then overwritten remotely)
         cp = pltpu.make_async_copy(in_hbm, out_hbm, copy_sem)
@@ -99,31 +100,48 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             cpb.start()
             cpb.wait()
 
-        def phase_fence(peers):
+        def phase_fence(phase, plus_peer, minus_peer):
             """Signal both peers of the coming phase that THIS device is
             ready to be written (previous phase fully landed, local
             copies/restores done), and wait for the same from them —
             without this, a fast neighbour's delivery could land before
             the receiver's whole-block copy (or x-phase corner writes)
-            and be silently overwritten.  Interpret mode executes
-            devices in lock-step with synchronous delivery (and cannot
-            lower the barrier semaphore), so the fence is compiled-mode
-            only."""
+            and be silently overwritten.
+
+            Each (phase, direction) pair has its OWN counting semaphore
+            in ``ready_sems`` and each wait consumes exactly one signal,
+            so a wait can only ever be satisfied by a signal of its own
+            phase+direction: a skewed neighbour's y-phase (or next-call
+            x-phase) signal cannot release an x-phase wait early, and
+            counting semantics buffer arbitrary multi-call skew.  I will
+            write into my plus_peer's minus-side halo, so plus_peer must
+            tell ME it is ready: it signals my [phase, 0] slot; likewise
+            minus_peer signals [phase, 1].  Symmetrically I signal
+            plus_peer's [phase, 1] and minus_peer's [phase, 0].
+            Interpret mode executes devices in lock-step with
+            synchronous delivery (and cannot lower remote semaphore
+            signals), so the fence is compiled-mode only."""
             if interpret:
                 return
-            barrier = pltpu.get_barrier_semaphore()
-            for peer in peers:
-                if logical_ids:
-                    peer = next(iter(peer.values()))
-                pltpu.semaphore_signal(barrier, inc=1, device_id=peer,
-                                       device_id_type=id_type)
-            pltpu.semaphore_wait(barrier, 2)
+            if logical_ids:
+                plus_peer = next(iter(plus_peer.values()))
+                minus_peer = next(iter(minus_peer.values()))
+            # "I am your minus-side neighbour and I'm ready": plus slot 1
+            pltpu.semaphore_signal(ready_sems.at[phase, 1], inc=1,
+                                   device_id=plus_peer,
+                                   device_id_type=id_type)
+            # "I am your plus-side neighbour and I'm ready": minus slot 0
+            pltpu.semaphore_signal(ready_sems.at[phase, 0], inc=1,
+                                   device_id=minus_peer,
+                                   device_id_type=id_type)
+            pltpu.semaphore_wait(ready_sems.at[phase, 0], 1)
+            pltpu.semaphore_wait(ready_sems.at[phase, 1], 1)
 
         if do_x:
             east = {"x": lax.rem(ix + one, pxc)}
             west = {"x": lax.rem(ix + pxc - one, pxc)}
             # my out buffer must be fully copied before a peer writes it
-            phase_fence((east, west))
+            phase_fence(0, east, west)
             # eastward: my east interior cols -> east peer's west halo
             r_e = rdma((slice(None), pl.ds(h + w - d, d)),
                        (slice(None), pl.ds(h - d, d)), 0, east)
@@ -148,7 +166,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             south = {"y": lax.rem(iy + pyc - one, pyc)}
             # my x-phase corner writes/restores must land before a
             # y-peer's full-width row delivery overlaps them
-            phase_fence((north, south))
+            phase_fence(1, north, south)
             # full-width rows AFTER the x phase: corners propagate
             r_n = rdma((pl.ds(h + hgt - d, d), slice(None)),
                        (pl.ds(h - d, d), slice(None)), 2, north)
@@ -178,6 +196,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.REGULAR((2, 2)),  # [phase, direction]
             ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, collective_id=collective_id),

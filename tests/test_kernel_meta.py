@@ -98,9 +98,9 @@ def test_grid_property_args():
 
 def test_scalar_and_array_order_preserved():
     @kernel(args=[go_arg(GO_WRITE, GO_CT),
-                  go_arg(GO_R_SCALAR, GO_R_SCALAR),
+                  go_arg(GO_READ, GO_R_SCALAR),
                   go_arg(GO_READ, GO_CT),
-                  go_arg(GO_R_SCALAR, GO_R_SCALAR)])
+                  go_arg(GO_READ, GO_R_SCALAR)])
     def affine(out, a, x, b):
         return a * x + b
 
@@ -153,7 +153,7 @@ def test_invoke_drives_real_physics_kernel():
                   go_arg(GO_READ, GO_CV, _FULL),
                   go_arg(GO_READ, GO_CU, _FULL),
                   go_arg(GO_READ, GO_CV, _FULL),
-                  go_arg(GO_R_SCALAR, GO_R_SCALAR),
+                  go_arg(GO_READ, GO_R_SCALAR),
                   go_arg(GO_READ, GridProp.GRID_DX_CONST),
                   go_arg(GO_READ, GridProp.GRID_DY_CONST)])
     def continuity_psy(ssha, sshn, un, vn, depu, depv, rdt, dx, dy):
@@ -184,7 +184,7 @@ def test_invoke_drives_real_physics_kernel():
 
 def test_invoke_arity_and_type_errors():
     @kernel(args=[go_arg(GO_WRITE, GO_CT),
-                  go_arg(GO_R_SCALAR, GO_R_SCALAR),
+                  go_arg(GO_READ, GO_R_SCALAR),
                   go_arg(GO_READ, GO_CT)])
     def affine(out, a, x):
         return a * x
@@ -222,6 +222,49 @@ def test_invoke_inc_access_gets_fresh_halos():
     gx_seam = grid.decomp.tile_nx - 1         # last col of shard 0
     assert np.allclose(got[:, gx_seam], want[:, gx_seam]), \
         "stale seam halo used"
+
+
+def test_time_step_grid_property():
+    """GO_TIME_STEP (argument_mod.f90:75) is a live grid property: a
+    kernel requesting it receives grid.time_step as a scalar."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.TIME_STEP)])
+    def advance(out, x, dt):
+        return x + dt
+
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(10, 8, ndomains=4)
+    dl.grid_init(grid, 1.0, 1.0, time_step=2.5)
+    x = dl.Field(grid, dl.T_POINTS, init_global_data=np.full((8, 10), 1.0))
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(advance, out, x)
+    m = out.internal_mask_np()
+    assert np.all(out.get_data()[m] == 3.5)
+
+
+def test_time_step_unset_is_a_clear_error():
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GridProp.TIME_STEP)])
+    def needs_dt(out, dt):
+        return out + dt
+
+    grid = make_grid()          # grid_init without time_step
+    out = dl.Field(grid, dl.T_POINTS)
+    with pytest.raises(ValueError, match="GO_TIME_STEP"):
+        invoke(needs_dt, out)
+
+
+def test_arg_rejects_non_access_first_field():
+    """Element/Access enum values collide (both IntEnums from 0), so a
+    swapped Arg(GO_R_SCALAR, ...) must fail loudly, not silently act as
+    GO_READ."""
+    with pytest.raises(TypeError, match="Access"):
+        Arg(GO_R_SCALAR, GO_R_SCALAR)
+    with pytest.raises(TypeError, match="Access"):
+        Arg(GO_CT, GO_CT)
 
 
 def test_all_pts_iteration():
