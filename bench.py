@@ -107,12 +107,14 @@ def main():
     floor = N * N * (26.6 / m._sweep_K) / 1e12
     samples = []
     bw = 0.0
-    for attempt in range(6):
+    # ~2.5 min of sampling: tenancy windows last minutes, so a longer
+    # horizon raises the chance of catching the uncontended chip.
+    for attempt in range(12):
         if attempt:
-            time.sleep(10)
+            time.sleep(6)
         samples.append((_best(runs[n_hi]) - _best(runs[n_lo]))
                        / (n_hi - n_lo))
-        if attempt % 2 == 0:
+        if attempt % 4 == 0:
             bw = max(bw, measure_membw(jnp, jax))
     good = [t for t in samples if t >= floor]
     # fallbacks keep the one-JSON-line contract even if every sample or
@@ -138,6 +140,14 @@ def main():
             "us_per_step": round(per_step * 1e6, 1),
             "measured_hbm_gbps": round(bw, 1),
             "roofline_mpts": round(roofline_mpts, 1),
+            # achieved-traffic context: with temporal blocking the sweep
+            # actually moves ~26.6/K B/pt/step, so the kernel runs far
+            # below the HBM bound and the residual is VPU compute
+            # (doc/performance.md) — vs_baseline still scores against
+            # the K-independent 25 B/pt single-step roofline above.
+            "achieved_traffic_bpp": round(26.6 / m._sweep_K, 2),
+            "hbm_utilisation": round(
+                (26.6 / m._sweep_K) * N * N / per_step / 1e9 / bw, 3),
             "backend": jax.default_backend(),
             "pallas": bool(m.use_pallas),
             "steps_per_sweep": m._sweep_K,

@@ -27,6 +27,7 @@ multi-step runs go through ``lax.fori_loop`` under a single jit.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 
@@ -108,7 +109,7 @@ def continuity_psy(ssha, sshn, un, vn, depu, depv, rdt, dx, dy):
               Arg(GO_READ, GO_CV, _FULL)],
         name="momentum_u")
 def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
-               dx, dy, fcor, recip=None):
+               dx, dy, fcor, recip=None, dep_u=None, z=None):
     """ua at U faces: advection + viscosity + Coriolis + pressure
     gradient + semi-implicit bottom friction.
 
@@ -123,43 +124,50 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
     m_e = xp(m_w), u_de = xp(u_dw), gx_e = xp(gx_w), gy_s = ym(gy_n)
     are exact elementwise identities because roll is a permutation.
     The advection and viscosity divergences along each axis then share
-    a single roll of their rdt-folded sum."""
-    dep_u = hu + sshn_u                       # total depth at U
-    z = ht + sshn_t                           # total depth at (west) T
+    a single roll of their rdt-folded sum.  ``dep_u``/``z`` accept the
+    caller's precomputed totals (step_math shares them with continuity
+    and momentum_v; the kernel is VPU-bound so repeated adds count)."""
+    if dep_u is None:
+        dep_u = hu + sshn_u                   # total depth at U
+    if z is None:
+        z = ht + sshn_t                       # total depth at (west) T
 
-    # --- x direction: everything lives at the west T centre -------------
+    # --- x direction: everything lives at the west T centre.  The depth
+    # factor z is positive wherever results survive the masks, so it
+    # factors OUT of the advection+viscosity sum (one multiply instead
+    # of three) and the donor select keys on the velocity sum alone.
     umx = st.xm(un)
-    m_w2 = (un + umx) * z                     # 2*m_w (0.5 folded below)
-    u_dw = jnp.where(m_w2 > 0, umx, un)       # donor u (z > 0)
-    phi_x = m_w2 * u_dw                       # 2 * advective flux
-    g_x = (un - umx) * z                      # viscous flux * dx
-    w_x = (-0.5 * p.rdt / dx) * phi_x + (p.rdt * p.visc / (dx * dx)) * g_x
+    su = un + umx                             # 2*m_w / z (donor sign)
+    u_dw = jnp.where(su > 0, umx, un)         # donor u (z > 0 where wet)
+    w_x = ((-0.5 * p.rdt / dx) * (su * u_dw)
+           + (p.rdt * p.visc / (dx * dx)) * (un - umx)) * z
     term_x = st.xp(w_x) - w_x                 # rdt*(adv_x + vis_x)
 
-    # --- y direction: everything lives at the NE F corner ---------------
+    # --- y direction: everything lives at the NE F corner; the doubled
+    # corner depth factors out likewise (its 0.5 folds into the scalars)
     wv = vn + st.xp(vn)                       # 2 * corner-interp v
-    dep_f = st.avg_x(depv)                    # F-corner depth
-    m_n2 = wv * dep_f                         # 2*m_n (sign preserved)
+    dep_f2 = depv + st.xp(depv)               # 2 * F-corner depth
     upy = st.yp(un)
-    u_dn = jnp.where(m_n2 > 0, un, upy)
-    phi_y = m_n2 * u_dn                       # 2 * advective flux
-    g_y = (upy - un) * dep_f                  # viscous flux * dy
-    w_y = (-0.5 * p.rdt / dy) * phi_y + (p.rdt * p.visc / (dy * dy)) * g_y
+    u_dn = jnp.where(wv > 0, un, upy)         # donor u (dep_f > 0)
+    w_y = ((-0.25 * p.rdt / dy) * (wv * u_dn)
+           + (0.5 * p.rdt * p.visc / (dy * dy)) * (upy - un)) * dep_f2
     term_y = w_y - st.ym(w_y)                 # rdt*(adv_y + vis_y)
 
-    # --- Coriolis (f-plane from latitude) -------------------------------
-    v_u = 0.25 * (wv + st.ym(wv))             # 4-point average of v
-    cor = (p.rdt * fcor) * v_u * dep_u
+    # --- Coriolis (f-plane from latitude; 0.25 of the 4-point average
+    # folded into the scalar prefactor) -----------------------------------
+    cor = (0.25 * p.rdt * fcor) * (wv + st.ym(wv)) * dep_u
 
     # --- pressure gradient on the NEW ssh (forward-backward scheme:
     # continuity first, momentum sees the updated surface — gravity-wave
     # stable up to c*dt*sqrt(2)/dx ~ 1) -----------------------------------
     hpg = (-p.rdt * p.g / dx) * dep_u * (st.xp(ssha_t) - ssha_t)
 
-    # --- time update with semi-implicit linear bottom friction ----------
+    # --- time update with semi-implicit linear bottom friction.
+    # (un*dep + T)/dep is applied as un + T/dep: one fewer multiply and
+    # better conditioned (the dep*recip(dep) ulp never touches un) --------
     rd = recip(dep_u) if recip is not None else 1.0 / dep_u
-    ua = (un * dep_u + (term_x + term_y + cor + hpg)) \
-        * (1.0 / (1.0 + p.cbfr * p.rdt)) * rd
+    ua = (un + (term_x + term_y + cor + hpg) * rd) \
+        * (1.0 / (1.0 + p.cbfr * p.rdt))
     return ua
 
 
@@ -171,39 +179,38 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
               Arg(GO_READ, GO_CU, _FULL)],
         name="momentum_v")
 def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
-               dx, dy, fcor, recip=None):
+               dx, dy, fcor, recip=None, dep_v=None, z=None):
     """Mirror of :func:`momentum_u` in the same roll-minimal form."""
-    dep_v = hv + sshn_v
-    z = ht + sshn_t                           # total depth at (south) T
+    if dep_v is None:
+        dep_v = hv + sshn_v
+    if z is None:
+        z = ht + sshn_t                       # total depth at (south) T
 
-    # --- y direction: everything lives at the south T centre ------------
+    # --- y direction: everything lives at the south T centre (z factors
+    # out of the advection+viscosity sum, as in momentum_u) --------------
     vmy = st.ym(vn)
-    m_s2 = (vn + vmy) * z                     # 2*m_s (0.5 folded below)
-    v_ds = jnp.where(m_s2 > 0, vmy, vn)
-    phi_y = m_s2 * v_ds
-    g_y = (vn - vmy) * z
-    w_y = (-0.5 * p.rdt / dy) * phi_y + (p.rdt * p.visc / (dy * dy)) * g_y
+    sv = vn + vmy                             # 2*m_s / z (donor sign)
+    v_ds = jnp.where(sv > 0, vmy, vn)
+    w_y = ((-0.5 * p.rdt / dy) * (sv * v_ds)
+           + (p.rdt * p.visc / (dy * dy)) * (vn - vmy)) * z
     term_y = st.yp(w_y) - w_y
 
     # --- x direction: everything lives at the NE F corner ---------------
     wu = un + st.yp(un)                       # 2 * corner-interp u
-    dep_f = st.avg_y(depu)                    # F-corner depth
-    m_e2 = wu * dep_f                         # 2*m_e (sign preserved)
+    dep_f2 = depu + st.yp(depu)               # 2 * F-corner depth
     xpv = st.xp(vn)
-    v_de = jnp.where(m_e2 > 0, vn, xpv)
-    phi_x = m_e2 * v_de
-    g_x = (xpv - vn) * dep_f
-    w_x = (-0.5 * p.rdt / dx) * phi_x + (p.rdt * p.visc / (dx * dx)) * g_x
+    v_de = jnp.where(wu > 0, vn, xpv)         # donor v (dep_f > 0)
+    w_x = ((-0.25 * p.rdt / dx) * (wu * v_de)
+           + (0.5 * p.rdt * p.visc / (dx * dx)) * (xpv - vn)) * dep_f2
     term_x = w_x - st.xm(w_x)
 
-    u_v = 0.25 * (wu + st.xm(wu))             # 4-point average of u
-    cor = (-p.rdt * fcor) * u_v * dep_v
+    cor = (-0.25 * p.rdt * fcor) * (wu + st.xm(wu)) * dep_v
 
     hpg = (-p.rdt * p.g / dy) * dep_v * (st.yp(ssha_t) - ssha_t)
 
     rd = recip(dep_v) if recip is not None else 1.0 / dep_v
-    va = (vn * dep_v + (term_y + term_x + cor + hpg)) \
-        * (1.0 / (1.0 + p.cbfr * p.rdt)) * rd
+    va = (vn + (term_y + term_x + cor + hpg) * rd) \
+        * (1.0 / (1.0 + p.cbfr * p.rdt))
     return va
 
 
@@ -282,6 +289,53 @@ def decode_masks(codes, dtype):
     return st.unpack_mask_bits(codes, 6, dtype)
 
 
+class StepPrep(NamedTuple):
+    """Time-invariant per-window quantities hoisted out of the sub-step
+    loop: decoded masks, their derived booleans/weights, total-depth
+    faces and Flather coefficients.  The fused kernel computes one
+    StepPrep per VMEM tile (K sub-steps reuse it); the jnp K-sweep
+    computes one per sweep.  Hoisting these cut ~10% of the sub-step's
+    VPU ops (the kernel is compute-bound: doc/performance.md)."""
+    t_wet: object
+    u_wet: object
+    v_wet: object
+    wet_b: object       # t_wet > 0
+    bc_b: object        # bc_cells > 0
+    flu_b: object       # flather_u > 0
+    flv_b: object
+    wu: object          # 1 - u_wet/2: next_sshu wet-neighbour weight
+    wv: object          # 1 - v_wet/2
+    ht: object          # T/U/V total-depth bases (scalars or windows)
+    hu: object
+    hv: object
+    cu: object          # -sqrt(g / max(hu, 1e-3)): Flather coefficient
+    cv: object
+
+
+def make_prep(mask_codes, depth, p: Params, dtype, masks=None) -> StepPrep:
+    """Build the hoisted sub-step constants (see :class:`StepPrep`).
+
+    ``depth`` follows step_math's convention: scalar (flat bathymetry),
+    T-point array, or a pre-derived (ht, hu, hv) tuple."""
+    if masks is None:
+        masks = decode_masks(mask_codes, dtype)
+    t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v = masks
+    if isinstance(depth, tuple):
+        ht, hu, hv = depth
+    elif jnp.ndim(depth) == 0:
+        ht = hu = hv = jnp.asarray(depth, dtype)
+    else:
+        ht = depth
+        hu = st.avg_x(ht)
+        hv = st.avg_y(ht)
+    cu = -jnp.sqrt(p.g / jnp.maximum(hu, 1e-3))
+    cv = -jnp.sqrt(p.g / jnp.maximum(hv, 1e-3))
+    return StepPrep(t_wet, u_wet, v_wet,
+                    t_wet > 0, bc_cells > 0, flather_u > 0, flather_v > 0,
+                    1.0 - 0.5 * u_wet, 1.0 - 0.5 * v_wet,
+                    ht, hu, hv, cu, cv)
+
+
 def _recip_exact(x):
     return 1.0 / x
 
@@ -297,7 +351,8 @@ def _recip_fast(x):
 
 
 def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
-              forcing, exch_mid=None, recip=_recip_exact, masks=None):
+              forcing, exch_mid=None, recip=_recip_exact, masks=None,
+              prep: StepPrep | None = None):
     """One complete NEMOLite2D step as a pure stencil chain.
 
     Shared by the jnp path (full shard blocks) and the Pallas fused
@@ -306,47 +361,41 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
     one byte per point of HBM traffic instead of six float mask arrays
     (roofline economics).  Total input reach is 2 cells, so with fresh
     depth-2 halos the chain needs no mid-step communication (pass
-    ``exch_mid=None``).  ``masks`` optionally supplies the decoded
-    6-tuple so multi-step (temporal-blocking) callers decode once.
+    ``exch_mid=None``).  ``masks``/``prep`` optionally supply the
+    decoded masks / full hoisted constants (:func:`make_prep`) so
+    multi-step (temporal-blocking) callers pay for them once.
     """
     dtype = sshn_t.dtype
-    if isinstance(depth, tuple):    # pre-derived (ht, hu, hv) windows —
-        ht, hu, hv = depth          # the fused kernel hoists them per tile
-    elif jnp.ndim(depth) == 0:      # flat bathymetry: trace-time scalars
-        ht = hu = hv = jnp.asarray(depth, dtype)
-    else:                           # T-point depth array (same layout as
-        ht = depth                  # sshn_t); face depths are centred
-        hu = st.avg_x(ht)             # means — time-invariant, so its
-        hv = st.avg_y(ht)             # halo never goes stale
-
-    (t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v) = \
-        masks if masks is not None else decode_masks(mask_codes, dtype)
-    wet_b = t_wet > 0
+    pr = prep if prep is not None else make_prep(mask_codes, depth, p,
+                                                 dtype, masks=masks)
+    ht, hu, hv = pr.ht, pr.hu, pr.hv
 
     # U/V-face ssh derived from the freshly-exchanged T ssh (the
-    # NEMOLite2D next_sshu/next_sshv kernels), valid wherever sshn_t's
-    # halo is.
-    sshn_u = next_sshu(sshn_t, t_wet, u_wet)
-    sshn_v = next_sshv(sshn_t, t_wet, v_wet)
+    # NEMOLite2D next_sshu/next_sshv kernels, with the wet-neighbour
+    # weights hoisted), valid wherever sshn_t's halo is.
+    sw = sshn_t * pr.t_wet
+    sshn_u = (sw + st.xp(sw)) * pr.wu
+    sshn_v = (sw + st.yp(sw)) * pr.wv
 
     depu = hu + sshn_u
     depv = hv + sshn_v
+    z = ht + sshn_t
 
     ssha_t = continuity(sshn_t, un, vn, depu, depv, rdt=p.rdt, dx=dx, dy=dy)
-    ssha_t = jnp.where(wet_b, ssha_t, sshn_t)
-    ssha_t = bc_ssh(ssha_t, bc_cells, forcing)
+    ssha_t = jnp.where(pr.wet_b, ssha_t, sshn_t)
+    ssha_t = jnp.where(pr.bc_b, jnp.asarray(forcing, dtype), ssha_t)
 
     if exch_mid is not None:
         ssha_t = exch_mid(ssha_t)
 
     ua = momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv,
-                    p=p, dx=dx, dy=dy, fcor=fcor, recip=recip)
+                    p=p, dx=dx, dy=dy, fcor=fcor, recip=recip,
+                    dep_u=depu, z=z)
     va = momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu,
-                    p=p, dx=dx, dy=dy, fcor=fcor, recip=recip)
-    ua = ua * u_wet
-    va = va * v_wet
-    ua = bc_flather_u(ua, sshn_u, hu, flather_u, p)
-    va = bc_flather_v(va, sshn_v, hv, flather_v, p)
+                    p=p, dx=dx, dy=dy, fcor=fcor, recip=recip,
+                    dep_v=depv, z=z)
+    ua = jnp.where(pr.flu_b, pr.cu * sshn_u, ua * pr.u_wet)
+    va = jnp.where(pr.flv_b, pr.cv * sshn_v, va * pr.v_wet)
 
     return ssha_t, ua, va
 
@@ -473,18 +522,17 @@ class NemoLite2D:
         p, dx, dy = self.p, self.grid.dx, self.grid.dy
 
         def sweep(sshn, un, vn, mask_codes, forcing, ht=None):
-            # hoist the loop invariants (masks, face depths) out of the
-            # K sub-steps, like the fused kernel's per-tile prepare()
-            masks = decode_masks(mask_codes, sshn.dtype)
-            if ht is not None:
-                dep = (ht, st.avg_x(ht), st.avg_y(ht))
-            else:
-                dep = self.depth
+            # hoist the loop invariants (masks, weights, face depths)
+            # out of the K sub-steps, like the fused kernel's per-tile
+            # prepare()
+            dep = ((ht, st.avg_x(ht), st.avg_y(ht)) if ht is not None
+                   else self.depth)
+            prep = make_prep(mask_codes, dep, p, sshn.dtype)
             s = (sshn, un, vn)
             for k in range(K):
                 s = step_math(*s, mask_codes, p, dx, dy, self._fcor, dep,
                               forcing=forcing[k], exch_mid=None,
-                              masks=masks)
+                              prep=prep)
             return s
         return sweep
 

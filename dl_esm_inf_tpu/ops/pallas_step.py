@@ -32,7 +32,8 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                     dy: float, fcor: float, depth: float,
                     tile_rows: int | None = None, interpret: bool = False,
                     steps_per_sweep: int = 1, hoist_masks: bool = True,
-                    variable_bathy: bool = False):
+                    variable_bathy: bool = False,
+                    hardware_rolls: bool = True):
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing
     [, ht]) -> (ssha, ua, va), all shaped (ly, lx) per shard block.
 
@@ -57,7 +58,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
     ``hoist_masks``: decode the six masks once per tile window instead
     of once per sub-step (fewer VPU ops; A/B-neutral on VMEM pressure,
     scripts/abmask.py)."""
-    from ..models.nemolite2d import (_recip_exact, _recip_fast, decode_masks,
+    from ..models.nemolite2d import (_recip_exact, _recip_fast, make_prep,
                                      step_math)
     from . import stencils as st
     from .sweep import make_stencil_sweep
@@ -75,25 +76,28 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
 
     def prepare(aux):
         tm = aux[0]
-        masks = decode_masks(tm, dtype) if hoist_masks else None
         if variable_bathy:   # derive face depths once per tile (ht is
             ht = aux[1]      # time-invariant; K sub-steps reuse them)
             dep = (ht, st.avg_x(ht), st.avg_y(ht))
         else:
             dep = depth
-        return tm, masks, dep
+        # full hoisted constants (masks, weights, booleans, Flather
+        # coefficients) once per tile; K sub-steps reuse them
+        prep = make_prep(tm, dep, p, dtype) if hoist_masks else None
+        return tm, prep, dep
 
     def stepf(state, prepared, scalars):
-        tm, masks, dep = prepared
+        tm, prep, dep = prepared
         return step_math(*state, tm, p, dx, dy, fcor, dep,
                          forcing=scalars[0], exch_mid=None, recip=recip,
-                         masks=masks)
+                         prep=prep)
 
     sweep = make_stencil_sweep(
         stepf, ly=ly, lx=lx, state_dtypes=(dtype,) * 3,
         aux_dtypes=(jnp.int8,) + ((dtype,) if variable_bathy else ()),
         n_scalars=1, steps_per_sweep=K, reach=2, prepare_fn=prepare,
-        tile_rows=tile_rows, interpret=interpret)
+        tile_rows=tile_rows, interpret=interpret,
+        hardware_rolls=hardware_rolls)
 
     def fused(sshn, un, vn, mask_codes_i8, forcing, ht=None):
         f = jnp.asarray(forcing, dtype).reshape((K, 1))

@@ -13,32 +13,71 @@ results (the pad-and-mask contract).  All helpers work on any 2D array.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax.numpy as jnp
+
+# Roll implementation stack: jnp.roll by default; inside a Pallas TPU
+# kernel the sweep engine pushes the hardware vector rotate
+# (pltpu.roll), which lowers to a single Mosaic rotate instead of
+# jnp.roll's slice+slice+concatenate (the step is VPU-bound, so shift
+# cost is on the critical path — doc/performance.md).  Both are exact
+# permutations with identical semantics, so jnp/Pallas path-equality
+# tests stay bitwise.
+_ROLL = [jnp.roll]
+
+
+def _roll(a, shift_by: int, axis: int):
+    return _ROLL[-1](a, shift_by, axis)
+
+
+@contextlib.contextmanager
+def hw_rolls():
+    """While active, shifts use the TPU vector rotate (pltpu.roll).
+    Only valid while tracing inside a Pallas TPU kernel (compiled or
+    interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def roll(a, shift_by, axis):
+        axis = axis % a.ndim
+        # pltpu.roll requires a non-negative shift; roll is periodic
+        return pltpu.roll(a, shift_by % a.shape[axis], axis)
+
+    _ROLL.append(roll)
+    try:
+        yield
+    finally:
+        _ROLL.pop()
 
 
 def xp(a):
     """a[j, i+1] (east neighbour)."""
-    return jnp.roll(a, -1, axis=-1)
+    return _roll(a, -1, -1)
 
 
 def xm(a):
     """a[j, i-1] (west neighbour)."""
-    return jnp.roll(a, 1, axis=-1)
+    return _roll(a, 1, -1)
 
 
 def yp(a):
     """a[j+1, i] (north neighbour)."""
-    return jnp.roll(a, -1, axis=-2)
+    return _roll(a, -1, -2)
 
 
 def ym(a):
     """a[j-1, i] (south neighbour)."""
-    return jnp.roll(a, 1, axis=-2)
+    return _roll(a, 1, -2)
 
 
 def shift(a, dx: int = 0, dy: int = 0):
     """a[j+dy, i+dx]."""
-    return jnp.roll(a, (-dy, -dx), axis=(-2, -1))
+    out = a
+    if dy:
+        out = _roll(out, -dy, -2)
+    if dx:
+        out = _roll(out, -dx, -1)
+    return out
 
 
 def ddx(a, dx: float):

@@ -23,12 +23,14 @@ Used by ops/pallas_step.py (NEMOLite2D) and models/gravity_wave.py.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
+from . import stencils
 from .fastpath import RING  # noqa: E402  (single source of the ring size)
 
 
@@ -40,7 +42,7 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                        aux_dtypes=(), n_scalars: int = 0,
                        steps_per_sweep: int = 1, reach: int = 2,
                        prepare_fn=None, tile_rows: int | None = None,
-                       interpret: bool = False,
+                       interpret: bool = False, hardware_rolls: bool = True,
                        vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Build ``sweep(*state, *aux, scalars) -> state'`` for one shard block.
 
@@ -128,12 +130,18 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
             for c in in_dmas(slot, i):
                 c.wait()
 
-            state = tuple(wins[k][slot] for k in range(n_state))
-            prepared = prepare_fn(tuple(wins[n_state + k][slot]
-                                        for k in range(n_aux)))
-            for k in range(K):
-                sc = tuple(scalars_ref[k, j] for j in range(n_scalars))
-                state = step_fn(state, prepared, sc)
+            # hardware_rolls: stencil shifts in step_fn/prepare_fn lower
+            # to the TPU vector rotate instead of slice+slice+concat
+            # (exact permutation either way; the step is VPU-bound)
+            roll_ctx = (stencils.hw_rolls() if hardware_rolls
+                        else contextlib.nullcontext())
+            with roll_ctx:
+                state = tuple(wins[k][slot] for k in range(n_state))
+                prepared = prepare_fn(tuple(wins[n_state + k][slot]
+                                            for k in range(n_aux)))
+                for k in range(K):
+                    sc = tuple(scalars_ref[k, j] for j in range(n_scalars))
+                    state = step_fn(state, prepared, sc)
 
             @pl.when(i >= 2)
             def _():
