@@ -474,6 +474,11 @@ class NemoLite2D:
         self._pallas_interpret = False
         self._pallas_tile_rows = None
         self._sweep_K = 1
+        #: halo transport for the Pallas step: "ppermute" (XLA
+        #: collectives around the kernel) or "fused" (remote-DMA
+        #: exchange INSIDE the sweep kernel, y-phase overlapped with
+        #: interior tiles — the reference's TODO #58 done TPU-natively)
+        self._transport = "ppermute"
 
     def _valid_cell_mask(self):
         """Cells representing a real global cell (internal, or a halo cell
@@ -492,7 +497,8 @@ class NemoLite2D:
     # ------------------------------------------------------------------
     def enable_pallas(self, interpret: bool = False,
                       tile_rows: int | None = None,
-                      steps_per_sweep: int = 1) -> None:
+                      steps_per_sweep: int = 1,
+                      transport: str = "ppermute") -> None:
         """Switch the step to the fused Pallas kernel (the fast path).
 
         Needs a depth-2K halo: the kernel has no mid-step exchange, so
@@ -503,11 +509,21 @@ class NemoLite2D:
         one HBM pass (ops/pallas_step.py), and the halo exchange runs at
         depth 2K once per K steps — a communication-AVOIDING schedule
         the reference cannot express (its depth is hardwired to 1,
-        parallel_comms_mod.f90:48)."""
+        parallel_comms_mod.f90:48).
+
+        ``transport="fused"`` moves the halo exchange INSIDE the sweep
+        kernel (remote DMA; interior tiles stream under the in-flight
+        y-phase rows — ops/sweep.py).  Requires halo_width and tile_ny
+        to be multiples of 8 (build(halo_width=8, pallas=True))."""
+        if transport not in ("ppermute", "fused"):
+            raise ValueError(f"unknown transport {transport!r}")
         from ..ops.fastpath import enable_fast_path
         enable_fast_path(self, reach=2, interpret=interpret,
                          tile_rows=tile_rows,
                          steps_per_sweep=steps_per_sweep)
+        self._transport = transport
+        if transport == "fused":
+            self._make_fused(self._sweep_K)   # fail fast on bad configs
 
     def set_steps_per_exchange(self, steps_per_sweep: int) -> None:
         """Communication avoidance on the PLAIN jnp path: K chained
@@ -557,8 +573,10 @@ class NemoLite2D:
         if dep is None:
             dep = self.depth
 
-        # one coalesced exchange for the whole state (4 collectives)
-        sshn_t, un, vn = exch((sshn_t, un, vn))
+        # one coalesced exchange for the whole state (4 collectives);
+        # the fused transport exchanges inside the kernel instead
+        if not (self.use_pallas and self._transport == "fused"):
+            sshn_t, un, vn = exch((sshn_t, un, vn))
 
         rtime = (istep + 1).astype(sshn_t.dtype) * p.rdt
         forcing = tidal_forcing(rtime, p)
@@ -567,6 +585,7 @@ class NemoLite2D:
             fused = self._make_fused(1)
             return fused(sshn_t, un, vn, mask_codes, forcing,
                          ht=dep if self._ht is not None else None)
+        # (fused transport always goes through _block_sweep: K >= 1)
 
         # With halo width 1 the new surface must cross shard seams
         # between continuity and momentum (the reference's
@@ -659,13 +678,18 @@ class NemoLite2D:
             self.depth if self._ht is None else 0.0,
             tile_rows=self._pallas_tile_rows,
             interpret=self._pallas_interpret, steps_per_sweep=K,
-            variable_bathy=self._ht is not None)
+            variable_bathy=self._ht is not None,
+            exchange_spec=spec if self._transport == "fused" else None)
 
     def _block_sweep(self, exch, fused, K, istep0, sshn_t, un, vn,
                      mask_codes, dep=None):
-        """K fused steps after ONE depth-2K exchange (temporal blocking)."""
+        """K fused steps after ONE depth-2K exchange (temporal blocking).
+
+        With the fused transport the exchange happens inside the kernel
+        itself and ``exch`` is skipped."""
         p = self.p
-        sshn_t, un, vn = exch((sshn_t, un, vn))
+        if self._transport != "fused":
+            sshn_t, un, vn = exch((sshn_t, un, vn))
         rtimes = (istep0 + 1 + jnp.arange(K)).astype(sshn_t.dtype) * p.rdt
         return fused(sshn_t, un, vn, mask_codes, tidal_forcing(rtimes, p),
                      ht=dep if self._ht is not None else None)

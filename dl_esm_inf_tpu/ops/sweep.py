@@ -19,6 +19,16 @@ Mechanics (measured rules in ops/pallas_step.py's history):
   (deep) halo exchange per K steps.  Requires K*reach <= 8 (the ring)
   and a shard halo of width >= K*reach.
 
+Fused communication (``exchange_spec``): the remote-DMA halo exchange
+runs INSIDE the sweep kernel on the shard's input buffers — the
+reference's unreached TODO #58 (field_mod.f90:1230) done TPU-natively.
+The x phase (edge columns east/west) completes before the first tile's
+window loads; the y phase (full-width edge rows, which propagates
+corners by sequencing) is only *started* — interior tiles stream while
+those rows fly over ICI, and the two boundary tiles (the only ones that
+read y-halo rows) run after the wait.  The ppermute exchange
+(parallel/halo.py) remains the always-correct fallback transport.
+
 Used by ops/pallas_step.py (NEMOLite2D) and models/gravity_wave.py.
 """
 from __future__ import annotations
@@ -27,6 +37,7 @@ import contextlib
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -43,6 +54,8 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                        steps_per_sweep: int = 1, reach: int = 2,
                        prepare_fn=None, tile_rows: int | None = None,
                        interpret: bool = False, hardware_rolls: bool = True,
+                       exchange_spec=None, exchange_logical_ids: bool = False,
+                       collective_id: int = 1,
                        vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Build ``sweep(*state, *aux, scalars) -> state'`` for one shard block.
 
@@ -56,6 +69,15 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
     All state/aux arrays are (ly, lx); state dtypes stream in AND out,
     aux dtypes stream in only.  Total stencil reach per step must be
     <= ``reach``.
+
+    ``exchange_spec`` (a :class:`~..parallel.halo.HaloSpec`): fuse the
+    full-halo-depth remote-DMA exchange of the STATE fields into the
+    kernel (aux fields are time-invariant and keep pre-valid halos).
+    The sweep must then run inside a shard_map over the spec's mesh
+    axes; on a 1x1 non-periodic mesh the exchange compiles away.
+    ``exchange_logical_ids`` addresses peers by scalar logical id —
+    required under single-axis meshes in interpret mode (jax 0.9's
+    remote-DMA emulation limitation; see parallel/halo_pallas.py).
     """
     state_dtypes = tuple(jnp.dtype(d) for d in state_dtypes)
     aux_dtypes = tuple(jnp.dtype(d) for d in aux_dtypes)
@@ -89,12 +111,71 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         def prepare_fn(aux):
             return aux
 
+    ex = exchange_spec
+    if ex is not None:
+        if (ex.local_ny, ex.local_nx) != (ly, lx):
+            raise ValueError(
+                f"exchange_spec block {ex.local_ny}x{ex.local_nx} != "
+                f"sweep block {ly}x{lx}")
+        d = ex.halo        # exchange the FULL halo depth in one go
+        if K * reach > d:
+            raise ValueError(
+                f"fused exchange needs halo >= K*reach = {K * reach}, "
+                f"spec has {d}")
+        if d % 8 or ex.tile_ny % 8:
+            raise ValueError(
+                "fused exchange needs 8-row-aligned strips: halo and "
+                f"tile_ny must be multiples of 8 (got halo={d}, "
+                f"tile_ny={ex.tile_ny}); build with halo_width=8, "
+                "align_y=8")
+        if len(set(state_dtypes)) > 1:
+            raise ValueError(
+                "fused exchange requires uniform state dtypes (the halo "
+                "snapshot buffers are shared); use the ppermute "
+                "transport for mixed-dtype state")
+        do_x = ex.nprocx > 1 or ex.wrap_x
+        do_y = ex.nprocy > 1 or ex.wrap_y
+        need_yr = do_y and not ex.wrap_y     # border restores required
+        w_, hgt_ = ex.tile_nx, ex.tile_ny
+        # Mosaic rejects DMA slices whose lane width is not a multiple
+        # of the 128-lane tiling (measured on v5e), so narrow column
+        # strips cannot be DMA'd: the x phase ships full WB-lane column
+        # BLOCKS into peer VMEM landing buffers and merges the d halo
+        # columns in compute (conditional on a real neighbour — which
+        # also removes the need for x restores).
+        WB = min(128, lx)
+        cs_e = min((w_ // WB) * WB, lx - WB)     # east-send block
+        os_e = w_ - cs_e                          # strip offset within
+        cm_e = min(((d + w_) // WB) * WB, lx - WB)   # east-halo block
+        om_e = d + w_ - cm_e
+        if do_x and not interpret and lx > 128:
+            if lx % 128 or os_e + d > WB or om_e + d > WB:
+                raise ValueError(
+                    "fused x-exchange needs 128-lane-aligned column "
+                    f"blocks: local_nx={lx} must be a multiple of 128 "
+                    f"with the edge strips within one block (offsets "
+                    f"{os_e}/{om_e}, depth {d}); decompose with "
+                    "align=128")
+    else:
+        d = 0
+        do_x = do_y = need_yr = False
+
     TY = tile_rows or min(64, ly)
     TY = min(TY, ly)
     if TY % 8 != 0:
         raise ValueError(f"tile_rows must be a multiple of 8, got {TY}")
     H = min(TY + 2 * RING, ly)
     n_tiles = _cdiv(ly, TY)
+
+    # Overlap schedule: interior tiles may stream under the in-flight
+    # y-phase DMAs iff no interior window touches the y-written rows
+    # [0, d) and [d + tile_ny, 2d + tile_ny)  (halo == d).
+    overlap = False
+    if do_y and n_tiles >= 3:
+        south_ok = TY - RING >= d
+        top_max = min((n_tiles - 2) * TY - RING, ly - H) + H
+        north_ok = top_max <= d + hgt_
+        overlap = south_ok and north_ok
 
     def _rows(i):
         ry = pl.multiple_of(jnp.minimum(i * TY, ly - TY), 8)
@@ -103,17 +184,33 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         return ry, wy, off
 
     def kernel(scalars_ref, *refs):
-        ins_of = refs[:n_in]
-        outs_of = refs[n_in:n_in + n_state]
-        wins = refs[n_in + n_state:2 * n_in + n_state]
-        obufs = refs[2 * n_in + n_state:2 * n_in + 2 * n_state]
-        in_sems, out_sems = refs[-2], refs[-1]
+        pos = 0
+        ins_of = refs[pos:pos + n_in]; pos += n_in
+        outs_of = refs[pos:pos + n_state]; pos += n_state
+        if ex is not None:
+            xf = refs[pos:pos + n_state]; pos += n_state
+        wins = refs[pos:pos + n_in]; pos += n_in
+        obufs = refs[pos:pos + n_state]; pos += n_state
+        in_sems = refs[pos]; out_sems = refs[pos + 1]; pos += 2
+        if ex is not None and (do_x or do_y):
+            exch_send = refs[pos]; exch_recv = refs[pos + 1]; pos += 2
+            ready_sems = refs[pos]; bk_sem = refs[pos + 1]; pos += 2
+            if do_x:
+                land_w = refs[pos]; land_e = refs[pos + 1]
+                mbuf = refs[pos + 2]; pos += 3
+            if need_yr:
+                ybk = refs[pos]; pos += 1
+
+        # windows read the exchanged state (the aliased input buffer)
+        # plus the untouched aux inputs
+        srcs = (list(xf) + list(ins_of[n_state:]) if ex is not None
+                else list(ins_of))
 
         def in_dmas(slot, i):
             _, wy, _ = _rows(i)
             return [pltpu.make_async_copy(src.at[pl.ds(wy, H), :],
                                           w.at[slot], in_sems.at[k, slot])
-                    for k, (src, w) in enumerate(zip(ins_of, wins))]
+                    for k, (src, w) in enumerate(zip(srcs, wins))]
 
         def out_dmas(slot, i):
             ry, _, off = _rows(i)
@@ -122,17 +219,167 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                                           out_sems.at[k, slot])
                     for k, (o, dst) in enumerate(zip(obufs, outs_of))]
 
-        def tile(slot, i):
-            @pl.when(i + 1 < n_tiles)
-            def _():
-                for c in in_dmas(1 - slot, i + 1):
-                    c.start()
+        # ------------------------------------------------------------------
+        # Fused halo exchange on the aliased state buffers.
+        # ------------------------------------------------------------------
+        def run_exchange():
+            """x phase to completion; y phase STARTED.  Returns
+            finish_y() to call before any boundary tile loads."""
+            px_, py_ = ex.nprocx, ex.nprocy
+            ix = lax.axis_index("x") if px_ > 1 else jnp.int32(0)
+            iy = lax.axis_index("y") if py_ > 1 else jnp.int32(0)
+            pxc, pyc = jnp.int32(px_), jnp.int32(py_)
+            one = jnp.int32(1)
+            has_e = (ix < px_ - 1) | ex.wrap_x
+            has_w = (ix > 0) | ex.wrap_x
+            has_n = (iy < py_ - 1) | ex.wrap_y
+            has_s = (iy > 0) | ex.wrap_y
+            id_type = (pltpu.DeviceIdType.LOGICAL if exchange_logical_ids
+                       else pltpu.DeviceIdType.MESH)
+
+            def peer_id(p):
+                return (next(iter(p.values())) if exchange_logical_ids
+                        else p)
+
+            def fence(phase, plus_peer, minus_peer):
+                # per-(phase, direction) counting semaphores: a wait can
+                # only be satisfied by a signal of its own phase, and
+                # counting buffers multi-call skew (parallel/
+                # halo_pallas.py's fence, same argument)
+                if interpret:
+                    return
+                pltpu.semaphore_signal(ready_sems.at[phase, 1], inc=1,
+                                       device_id=peer_id(plus_peer),
+                                       device_id_type=id_type)
+                pltpu.semaphore_signal(ready_sems.at[phase, 0], inc=1,
+                                       device_id=peer_id(minus_peer),
+                                       device_id_type=id_type)
+                pltpu.semaphore_wait(ready_sems.at[phase, 0], 1)
+                pltpu.semaphore_wait(ready_sems.at[phase, 1], 1)
+
+            def rdma_ref(k, src_ref, dst_ref, dir_idx, peer):
+                return pltpu.make_async_remote_copy(
+                    src_ref=src_ref, dst_ref=dst_ref,
+                    send_sem=exch_send.at[k, dir_idx],
+                    recv_sem=exch_recv.at[k, dir_idx],
+                    device_id=peer_id(peer), device_id_type=id_type)
+
+            def rdma(k, src_sl, dst_ref, dst_sl, dir_idx, peer):
+                return rdma_ref(k, xf[k].at[src_sl], dst_ref.at[dst_sl],
+                                dir_idx, peer)
+
+            def colblk(ref, c0):
+                """A WB-lane column block as a ref: the un-sliced ref
+                when WB spans the whole width (Mosaic rejects a
+                full-width lane slice of a lane-padded buffer just like
+                a narrow one)."""
+                return ref if WB == lx else ref.at[:, pl.ds(c0, WB)]
+
+            def copy(src, dst):
+                c = pltpu.make_async_copy(src, dst, bk_sem)
+                c.start()
+                c.wait()
+
+            if do_x:
+                east = {"x": lax.rem(ix + one, pxc)}
+                west = {"x": lax.rem(ix + pxc - one, pxc)}
+                fence(0, east, west)
+                # ship full WB-lane column blocks into the peers' VMEM
+                # landing buffers (narrow column strips cannot be DMA'd
+                # — lane-tiling alignment, see the build-time guard)
+                rs = []
+                for k in range(n_state):
+                    # east-send: block holding my east interior strip
+                    # [w_, w_+d) -> east peer's west landing
+                    rs.append(rdma_ref(k, colblk(xf[k], cs_e),
+                                       land_w.at[k], 0, east))
+                    # west-send: block [0, WB) holds my west interior
+                    # strip [d, 2d) -> west peer's east landing
+                    rs.append(rdma_ref(k, colblk(xf[k], 0),
+                                       land_e.at[k], 1, west))
+                for r in rs:
+                    r.start()
+                for r in rs:
+                    r.wait()
+
+                # conditional merge (read-modify-write of one aligned
+                # column block): no real neighbour -> halo untouched,
+                # so no restores are needed at all
+                @pl.when(has_w)
+                def _():
+                    for k in range(n_state):
+                        copy(colblk(xf[k], 0), mbuf)
+                        mbuf[:, 0:d] = land_w[k, :, os_e:os_e + d]
+                        copy(mbuf, colblk(xf[k], 0))
+
+                @pl.when(has_e)
+                def _():
+                    for k in range(n_state):
+                        copy(colblk(xf[k], cm_e), mbuf)
+                        mbuf[:, om_e:om_e + d] = land_e[k, :, d:2 * d]
+                        copy(mbuf, colblk(xf[k], cm_e))
+
+            y_rs = []
+            if do_y:
+                north = {"y": lax.rem(iy + one, pyc)}
+                south = {"y": lax.rem(iy + pyc - one, pyc)}
+                if need_yr:    # snapshot POST-x rows: border restores
+                    for k in range(n_state):   # must keep the x-updated
+                        copy(xf[k].at[pl.ds(0, d), :],       # corners
+                             ybk.at[k, pl.ds(0, d), :])
+                        copy(xf[k].at[pl.ds(d + hgt_, d), :],
+                             ybk.at[k, pl.ds(d, d), :])
+                fence(1, north, south)
+                for k in range(n_state):
+                    # full-width rows AFTER the x phase: corners ride
+                    # the sequencing (parallel/halo.py's two phases)
+                    y_rs.append(rdma(k, (pl.ds(hgt_, d), slice(None)),
+                                     xf[k], (pl.ds(0, d), slice(None)),
+                                     2, north))
+                    y_rs.append(rdma(k, (pl.ds(d, d), slice(None)),
+                                     xf[k],
+                                     (pl.ds(d + hgt_, d), slice(None)),
+                                     3, south))
+                for r in y_rs:
+                    r.start()
+
+            def finish_y():
+                for r in y_rs:
+                    r.wait()
+                if need_yr:
+                    @pl.when(jnp.logical_not(has_s))
+                    def _():
+                        for k in range(n_state):
+                            copy(ybk.at[k, pl.ds(0, d), :],
+                                 xf[k].at[pl.ds(0, d), :])
+
+                    @pl.when(jnp.logical_not(has_n))
+                    def _():
+                        for k in range(n_state):
+                            copy(ybk.at[k, pl.ds(d, d), :],
+                                 xf[k].at[pl.ds(d + hgt_, d), :])
+
+            return finish_y
+
+        # ------------------------------------------------------------------
+        # Tile pipeline.
+        # ------------------------------------------------------------------
+        def tile(slot, i, prefetch=None):
+            """Process tile ``i`` in window ``slot``; ``prefetch`` is
+            (slot', i', cond) to start the next window load, and
+            ``waitout`` the (slot, tile) whose output DMA must land
+            before this slot's output buffer is reused."""
+            prefetch_sl = prefetch
+            if prefetch_sl is not None:
+                nslot, ni, cond = prefetch_sl
+
+                @pl.when(cond)
+                def _():
+                    for c in in_dmas(nslot, ni):
+                        c.start()
             for c in in_dmas(slot, i):
                 c.wait()
 
-            # hardware_rolls: stencil shifts in step_fn/prepare_fn lower
-            # to the TPU vector rotate instead of slice+slice+concat
-            # (exact permutation either way; the step is VPU-bound)
             roll_ctx = (stencils.hw_rolls() if hardware_rolls
                         else contextlib.nullcontext())
             with roll_ctx:
@@ -142,48 +389,128 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                 for k in range(K):
                     sc = tuple(scalars_ref[k, j] for j in range(n_scalars))
                     state = step_fn(state, prepared, sc)
+            return state
 
-            @pl.when(i >= 2)
-            def _():
-                for c in out_dmas(slot, i - 2):
-                    c.wait()
+        def emit(slot, i, state, waitout=None):
+            if waitout is not None:
+                wslot, wi, cond = waitout
+
+                @pl.when(cond)
+                def _():
+                    for c in out_dmas(wslot, wi):
+                        c.wait()
             for k in range(n_state):
                 obufs[k][slot] = state[k]
             for c in out_dmas(slot, i):
                 c.start()
 
-        for c in in_dmas(0, 0):
+        finish_y = run_exchange() if ex is not None and (do_x or do_y) \
+            else (lambda: None)
+
+        if not overlap:
+            finish_y()
+            for c in in_dmas(0, 0):
+                c.start()
+
+            def pair(j, _):
+                for slot in (0, 1):
+                    i = 2 * j + slot
+                    s = tile(slot, i, prefetch=(1 - slot, i + 1,
+                                                i + 1 < n_tiles))
+                    emit(slot, i, s, waitout=(slot, i - 2, i >= 2))
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles // 2, pair, 0)
+            if n_tiles % 2:
+                i, slot = n_tiles - 1, (n_tiles - 1) % 2
+                s = tile(slot, i)
+                emit(slot, i, s, waitout=(slot, i - 2, i >= 2))
+            for i in (n_tiles - 2, n_tiles - 1):
+                if i >= 0:
+                    for c in out_dmas(i % 2, i):
+                        c.wait()
+            return
+
+        # Overlapped schedule: positions 0..m-1 run interior tiles
+        # 1..m (= n_tiles-2) while the y rows fly; positions m, m+1 run
+        # boundary tiles 0 and n_tiles-1 after finish_y().
+        m = n_tiles - 2
+        for c in in_dmas(0, 1):
             c.start()
 
-        def pair(j, _):
-            tile(0, 2 * j)
-            tile(1, 2 * j + 1)
+        def pairM(j, _):
+            for slot in (0, 1):
+                p = 2 * j + slot               # position p runs tile p+1
+                s = tile(slot, p + 1, prefetch=(1 - slot, p + 2,
+                                                p + 1 < m))
+                emit(slot, p + 1, s, waitout=(slot, p - 1, p >= 2))
             return 0
 
-        jax.lax.fori_loop(0, n_tiles // 2, pair, 0)
-        if n_tiles % 2:
-            tile(0, n_tiles - 1)   # odd tail: n_tiles-1 is even -> slot 0
-        for i in (n_tiles - 2, n_tiles - 1):
-            if i >= 0:
-                for c in out_dmas(i % 2, i):
-                    c.wait()
+        jax.lax.fori_loop(0, m // 2, pairM, 0)
+        if m % 2:
+            p = m - 1
+            s = tile(p % 2, m)
+            emit(p % 2, m, s, waitout=(p % 2, p - 1, p >= 2))
+
+        finish_y()
+        tail = ((m, 0), (m + 1, n_tiles - 1))
+        for tpos, t in tail:
+            for c in in_dmas(tpos % 2, t):
+                c.start()
+        for tpos, t in tail:
+            slot = tpos % 2
+            s = tile(slot, t)
+            # tile_of(tpos-2): position m-2 ran tile m-1; m-1 ran tile m
+            if tpos - 2 >= 0:
+                emit(slot, t, s, waitout=(slot, tpos - 1, True))
+            else:
+                emit(slot, t, s)
+        for tpos, t in tail:
+            for c in out_dmas(tpos % 2, t):
+                c.wait()
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    scratch = ([pltpu.VMEM((2, H, lx), d) for d in state_dtypes]
-               + [pltpu.VMEM((2, H, lx), d) for d in aux_dtypes]
-               + [pltpu.VMEM((2, H, lx), d) for d in state_dtypes]
+    scratch = ([pltpu.VMEM((2, H, lx), dt) for dt in state_dtypes]
+               + [pltpu.VMEM((2, H, lx), dt) for dt in aux_dtypes]
+               + [pltpu.VMEM((2, H, lx), dt) for dt in state_dtypes]
                + [pltpu.SemaphoreType.DMA((n_in, 2)),
                   pltpu.SemaphoreType.DMA((n_state, 2))])
+    n_out = n_state
+    aliases = {}
+    if ex is not None:
+        n_out = 2 * n_state
+        # output n_state+k aliases input 1+k (0 is the SMEM scalars):
+        # the exchange updates the state halos in place
+        aliases = {1 + k: n_state + k for k in range(n_state)}
+        if do_x or do_y:
+            scratch += [pltpu.SemaphoreType.DMA((n_state, 4)),
+                        pltpu.SemaphoreType.DMA((n_state, 4)),
+                        pltpu.SemaphoreType.REGULAR((2, 2)),
+                        pltpu.SemaphoreType.DMA(())]
+            if do_x:
+                scratch += [pltpu.VMEM((n_state, ly, WB), state_dtypes[0]),
+                            pltpu.VMEM((n_state, ly, WB), state_dtypes[0]),
+                            pltpu.VMEM((ly, WB), state_dtypes[0])]
+            if need_yr:
+                scratch.append(pltpu.VMEM((n_state, 2 * d, lx),
+                                          state_dtypes[0]))
+    out_shape = tuple(jax.ShapeDtypeStruct((ly, lx), dt)
+                      for dt in (state_dtypes * 2 if ex is not None
+                                 else state_dtypes))
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
                  + [any_spec] * n_in,
-        out_specs=tuple([any_spec] * n_state),
-        out_shape=tuple(jax.ShapeDtypeStruct((ly, lx), d)
-                        for d in state_dtypes),
+        out_specs=tuple([any_spec] * n_out),
+        out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        # NOTE: no collective_id — the phase fence uses per-(phase,
+        # direction) REGULAR semaphores, not the global barrier, and
+        # Mosaic rejects collective_id without a barrier semaphore.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes),
+            vmem_limit_bytes=vmem_limit_bytes,
+            **({"has_side_effects": True} if ex is not None else {})),
         interpret=interpret,
     )
 
@@ -198,6 +525,7 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         if len(arrays) != n_in:
             raise ValueError(f"expected {n_in} arrays, got {len(arrays)}")
         sc = jnp.asarray(scalars).reshape((K, max(n_scalars, 1)))
-        return call(sc, *arrays)
+        out = call(sc, *arrays)
+        return out[:n_state] if ex is not None else out
 
     return sweep

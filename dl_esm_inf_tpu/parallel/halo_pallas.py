@@ -61,8 +61,31 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
     do_x = px > 1 or spec.wrap_x
     do_y = py > 1 or spec.wrap_y
 
+    # Mosaic rejects DMA slices whose lane width is not a multiple of
+    # the 128-lane tiling (measured on v5e), so the x phase cannot DMA
+    # its narrow column strips directly: it ships full WB-lane column
+    # BLOCKS into peer VMEM landing buffers and merges the d halo
+    # columns in compute, conditionally on a real neighbour (which also
+    # replaces the x restores).
+    WB = min(128, lx)
+    cw_s = min((h // WB) * WB, lx - WB)          # west-send block
+    ow_s = h - cw_s
+    ce_s = min(((h + w - d) // WB) * WB, lx - WB)   # east-send block
+    oe_s = h + w - d - ce_s
+    cw_m = min(((h - d) // WB) * WB, lx - WB)    # west-halo block
+    ow_m = h - d - cw_m
+    ce_m = min(((h + w) // WB) * WB, lx - WB)    # east-halo block
+    oe_m = h + w - ce_m
+    if do_x and not interpret and lx > 128:
+        if lx % 128 or any(o + d > WB for o in (ow_s, oe_s, ow_m, oe_m)):
+            raise ValueError(
+                "compiled remote-DMA x-exchange needs 128-lane-aligned "
+                f"column blocks: local_nx={lx} must be a multiple of "
+                "128 with each edge strip within one block; decompose "
+                "with align=128")
+
     def kernel(in_hbm, out_hbm, copy_sem, send_sems, recv_sems,
-               ready_sems):
+               ready_sems, ybackup, land_w, land_e, mbuf):
         # whole-block local copy: the exchange is functional like the
         # ppermute path (halo strips are then overwritten remotely)
         cp = pltpu.make_async_copy(in_hbm, out_hbm, copy_sem)
@@ -80,23 +103,36 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         id_type = (pltpu.DeviceIdType.LOGICAL if logical_ids
                    else pltpu.DeviceIdType.MESH)
 
-        def rdma(src_slice, dst_slice, sem_idx, peer):
+        def rdma_ref(src_ref, dst_ref, sem_idx, peer):
             if logical_ids:        # single-axis mesh: the coordinate on
                 peer = next(iter(peer.values()))   # that axis IS the id
             return pltpu.make_async_remote_copy(
-                src_ref=out_hbm.at[src_slice],
-                dst_ref=out_hbm.at[dst_slice],
+                src_ref=src_ref,
+                dst_ref=dst_ref,
                 send_sem=send_sems.at[sem_idx],
                 recv_sem=recv_sems.at[sem_idx],
                 device_id=peer,
                 device_id_type=id_type)
 
-        def restore(dst_slice):
-            """Un-receive: put the pre-exchange values back in a halo
-            strip that got a wrapped (non-neighbour) delivery."""
-            cpb = pltpu.make_async_copy(in_hbm.at[dst_slice],
-                                        out_hbm.at[dst_slice],
-                                        copy_sem)
+        def rdma(src_slice, dst_ref, sem_idx, peer):
+            return rdma_ref(out_hbm.at[src_slice], dst_ref, sem_idx, peer)
+
+        def colblk(ref, c0):
+            """A WB-lane column block as a ref: when WB spans the whole
+            width, the un-sliced ref (Mosaic rejects a full-width lane
+            slice of a lane-padded buffer just like a narrow one)."""
+            return ref if WB == lx else ref.at[:, pl.ds(c0, WB)]
+
+        def restore(dst_slice, src=None):
+            """Un-receive: put the pre-PHASE values back in a halo
+            strip that got a wrapped (non-neighbour) delivery.  The x
+            phase restores from the pristine input; the y phase must
+            restore from a post-x-phase snapshot (``src``) — the corner
+            cells of its halo rows were legitimately updated by the x
+            phase, exactly as in the ppermute path."""
+            cpb = pltpu.make_async_copy(
+                in_hbm.at[dst_slice] if src is None else src,
+                out_hbm.at[dst_slice], copy_sem)
             cpb.start()
             cpb.wait()
 
@@ -140,38 +176,67 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         if do_x:
             east = {"x": lax.rem(ix + one, pxc)}
             west = {"x": lax.rem(ix + pxc - one, pxc)}
-            # my out buffer must be fully copied before a peer writes it
+            # my landing buffers must be ready before a peer writes them
             phase_fence(0, east, west)
-            # eastward: my east interior cols -> east peer's west halo
-            r_e = rdma((slice(None), pl.ds(h + w - d, d)),
-                       (slice(None), pl.ds(h - d, d)), 0, east)
-            # westward: my west interior cols -> west peer's east halo
-            r_w = rdma((slice(None), pl.ds(h, d)),
-                       (slice(None), pl.ds(h + w, d)), 1, west)
+            # eastward: block holding my east interior strip -> east
+            # peer's west landing; westward mirrors it
+            r_e = rdma_ref(colblk(out_hbm, ce_s), land_w, 0, east)
+            r_w = rdma_ref(colblk(out_hbm, cw_s), land_e, 1, west)
             r_e.start()
             r_w.start()
             r_e.wait()   # my east send done + eastward delivery from west
             r_w.wait()   # my west send done + westward delivery from east
 
-            @pl.when(jnp.logical_not(has_w))
-            def _():     # wrapped delivery into my west halo: restore
-                restore((slice(None), pl.ds(h - d, d)))
-
-            @pl.when(jnp.logical_not(has_e))
+            # merge the received strips into the halo columns via a
+            # read-modify-write of one aligned block; no real neighbour
+            # -> halo untouched (replaces the old restore)
+            @pl.when(has_w)
             def _():
-                restore((slice(None), pl.ds(h + w, d)))
+                cpm = pltpu.make_async_copy(colblk(out_hbm, cw_m), mbuf,
+                                            copy_sem)
+                cpm.start()
+                cpm.wait()
+                mbuf[:, ow_m:ow_m + d] = land_w[:, oe_s:oe_s + d]
+                cpb = pltpu.make_async_copy(mbuf, colblk(out_hbm, cw_m),
+                                            copy_sem)
+                cpb.start()
+                cpb.wait()
+
+            @pl.when(has_e)
+            def _():
+                cpm = pltpu.make_async_copy(colblk(out_hbm, ce_m), mbuf,
+                                            copy_sem)
+                cpm.start()
+                cpm.wait()
+                mbuf[:, oe_m:oe_m + d] = land_e[:, ow_s:ow_s + d]
+                cpb = pltpu.make_async_copy(mbuf, colblk(out_hbm, ce_m),
+                                            copy_sem)
+                cpb.start()
+                cpb.wait()
 
         if do_y:
             north = {"y": lax.rem(iy + one, pyc)}
             south = {"y": lax.rem(iy + pyc - one, pyc)}
+            # snapshot the post-x-phase halo rows: a border restore must
+            # reproduce them (corners included), not the pre-x input
+            bk_s = pltpu.make_async_copy(
+                out_hbm.at[pl.ds(h - d, d), :],
+                ybackup.at[pl.ds(0, d), :], copy_sem)
+            bk_n = pltpu.make_async_copy(
+                out_hbm.at[pl.ds(h + hgt, d), :],
+                ybackup.at[pl.ds(d, d), :], copy_sem)
+            bk_s.start()
+            bk_s.wait()
+            bk_n.start()
+            bk_n.wait()
             # my x-phase corner writes/restores must land before a
             # y-peer's full-width row delivery overlaps them
             phase_fence(1, north, south)
             # full-width rows AFTER the x phase: corners propagate
             r_n = rdma((pl.ds(h + hgt - d, d), slice(None)),
-                       (pl.ds(h - d, d), slice(None)), 2, north)
+                       out_hbm.at[pl.ds(h - d, d), :], 2, north)
             r_s = rdma((pl.ds(h, d), slice(None)),
-                       (pl.ds(h + hgt, d), slice(None)), 3, south)
+                       out_hbm.at[pl.ds(h + hgt, d), :], 3, south)
             r_n.start()
             r_s.start()
             r_n.wait()
@@ -179,11 +244,13 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
 
             @pl.when(jnp.logical_not(has_s))
             def _():
-                restore((pl.ds(h - d, d), slice(None)))
+                restore((pl.ds(h - d, d), slice(None)),
+                        src=ybackup.at[pl.ds(0, d), :])
 
             @pl.when(jnp.logical_not(has_n))
             def _():
-                restore((pl.ds(h + hgt, d), slice(None)))
+                restore((pl.ds(h + hgt, d), slice(None)),
+                        src=ybackup.at[pl.ds(d, d), :])
 
     def build(dtype):
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -197,9 +264,15 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                 pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.REGULAR((2, 2)),  # [phase, direction]
+                pltpu.VMEM((2 * depth, lx), dtype),   # y-halo snapshot
+                pltpu.VMEM((ly, WB), dtype),          # west landing
+                pltpu.VMEM((ly, WB), dtype),          # east landing
+                pltpu.VMEM((ly, WB), dtype),          # merge buffer
             ],
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, collective_id=collective_id),
+            # no collective_id: the fence uses REGULAR semaphores (not
+            # the global barrier), and Mosaic rejects collective_id
+            # without a barrier semaphore
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )
 

@@ -57,6 +57,45 @@ def main():
     sums = example_model.run(4, 10)
     assert all(abs(v - 40.0) < 1e-3 for v in sums.values()), sums
     print("example-model oracle   OK (4 checksums == 40)")
+
+    # --- COMPILED remote-DMA transports, self-loopback ----------------
+    # A 1x1 doubly-periodic mesh makes every remote DMA a send-to-self:
+    # the only way to execute the compiled (non-interpret) Mosaic
+    # exchange kernels — fences, strip DMAs, corner sequencing — on a
+    # single real chip.  Values must equal the ppermute exchange.
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+        from dl_esm_inf_tpu.parallel.halo import exchange
+        from dl_esm_inf_tpu.parallel.halo_pallas import exchange_pallas
+        from dl_esm_inf_tpu.ops.sweep import make_stencil_sweep
+        from jax.sharding import PartitionSpec as P
+
+        wgrid = dl.Grid(dl.ARAKAWA_C,
+                        (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
+                        dl.OFFSET_NE)
+        wgrid.decompose(40, 40, ndomains=1, halo_width=8, align=128,
+                        align_y=8)
+        dl.grid_init(wgrid, 1.0, 1.0)
+        spec = wgrid.halo_spec
+        a = jax.device_put(
+            jnp.arange(np.prod(wgrid.array_shape),
+                       dtype=jnp.float32).reshape(wgrid.array_shape),
+            wgrid.sharding)
+        want = np.asarray(exchange(a, wgrid.mesh, spec, depth=8))
+        got = np.asarray(exchange_pallas(a, wgrid.mesh, spec, depth=8))
+        np.testing.assert_array_equal(got, want)
+        print("remote-DMA exchange    OK (compiled, self-loopback wrap)")
+
+        sweep = make_stencil_sweep(
+            lambda s, p, c: s, ly=spec.local_ny, lx=spec.local_nx,
+            state_dtypes=(jnp.float32,), exchange_spec=spec)
+        fn = jax.jit(jax.shard_map(lambda b: sweep(b), mesh=wgrid.mesh,
+                                   in_specs=P("y", "x"),
+                                   out_specs=(P("y", "x"),),
+                                   check_vma=False))
+        got2 = np.asarray(fn(a)[0])
+        np.testing.assert_array_equal(got2, want)
+        print("fused-transport sweep  OK (compiled, self-loopback wrap)")
     print("ALL TPU ORACLES PASS")
 
 
