@@ -44,11 +44,32 @@ from ..parallel.halo import HaloSpec
 
 
 def _make_mesh(px: int, py: int, devices=None) -> Mesh:
+    """Device mesh for a logical (px, py) process grid.
+
+    With enough devices each subdomain gets its own device (mesh shape
+    (py, px)).  OVER-DECOMPOSITION: with fewer devices, the largest
+    device grid (my, mx) with my | py and mx | px is chosen and each
+    device carries a (py/my, px/mx) block of logical tiles — exceeding
+    the reference, whose mapping table allows several subdomains per
+    rank but whose comms never support it (parallel_mod.f90:141-152,
+    parallel_comms_mod.f90:295)."""
     devs = list(devices) if devices is not None else env.devices()
-    if px * py > len(devs):
+    best = None
+    for my in range(1, py + 1):
+        if py % my:
+            continue
+        for mx in range(1, px + 1):
+            if px % mx or my * mx > len(devs):
+                continue
+            key = (my * mx, min(my, mx))   # max devices, then balanced
+            if best is None or key > best[0]:
+                best = (key, (my, mx))
+    if best is None:
         raise ValueError(
-            f"decomposition {px}x{py} needs {px*py} devices, have {len(devs)}")
-    arr = np.array(devs[: px * py]).reshape(py, px)
+            f"decomposition {px}x{py} cannot be mapped onto "
+            f"{len(devs)} device(s)")
+    my, mx = best[1]
+    arr = np.array(devs[: my * mx]).reshape(my, mx)
     return Mesh(arr, ("y", "x"))
 
 
@@ -182,13 +203,19 @@ class Grid:
         if mesh is None:
             mesh = _make_mesh(self.decomp.nprocx, self.decomp.nprocy, devices)
         self.mesh = mesh
+        mx, my = mesh.shape["x"], mesh.shape["y"]
+        if self.decomp.nprocx % mx or self.decomp.nprocy % my:
+            raise ValueError(
+                f"process grid {self.decomp.nprocx}x{self.decomp.nprocy} "
+                f"does not divide over the {mx}x{my} device mesh")
 
         self.halo_spec = HaloSpec(
             nprocx=self.decomp.nprocx, nprocy=self.decomp.nprocy,
             halo=self.decomp.halo,
             tile_nx=self.decomp.tile_nx, tile_ny=self.decomp.tile_ny,
             local_nx=self.decomp.local_nx, local_ny=self.decomp.local_ny,
-            wrap_x=self.wrap_x, wrap_y=self.wrap_y)
+            wrap_x=self.wrap_x, wrap_y=self.wrap_y,
+            repx=self.decomp.nprocx // mx, repy=self.decomp.nprocy // my)
         return self.decomp
 
     # ------------------------------------------------------------------

@@ -698,6 +698,9 @@ class NemoLite2D:
         grid = self.grid
         if overlap:
             spec = grid.halo_spec
+            if spec.repx > 1 or spec.repy > 1:
+                raise NotImplementedError(
+                    "overlap mode supports one tile per device")
             if spec.halo < 2:
                 raise ValueError("overlap mode needs halo_width >= 2")
             if spec.tile_nx < 8 or spec.tile_ny < 8:
@@ -762,6 +765,12 @@ class NemoLite2D:
         self.sshn_t.halo_exchange(1)
         self.sshn_u.data = next_sshu(self.sshn_t.data, self._t_wet)
         self.sshn_v.data = next_sshv(self.sshn_t.data, self._t_wet)
+
+    @property
+    def bathymetry(self):
+        """T-point depth: the stacked device array (variable bathymetry)
+        or the flat scalar — the shape utils/diagnostics accepts."""
+        return self._ht if self._ht is not None else self.depth
 
     # ------------------------------------------------------------------
     def checksums(self) -> dict:

@@ -18,6 +18,11 @@ def enable_fast_path(model, *, reach: int, interpret: bool = False,
     if not 1 <= K <= kmax:
         raise ValueError(
             f"steps_per_sweep must be in [1, {kmax}], got {K}")
+    hs = model.grid.halo_spec
+    if getattr(hs, "repx", 1) > 1 or getattr(hs, "repy", 1) > 1:
+        raise NotImplementedError(
+            "the fused Pallas path supports one tile per device; "
+            "over-decomposed grids run the jnp path")
     need = max(K * reach, reach)
     if model.grid.halo_spec.halo < need:
         raise ValueError(

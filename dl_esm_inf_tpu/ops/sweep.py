@@ -117,6 +117,10 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
             raise ValueError(
                 f"exchange_spec block {ex.local_ny}x{ex.local_nx} != "
                 f"sweep block {ly}x{lx}")
+        if getattr(ex, "repx", 1) > 1 or getattr(ex, "repy", 1) > 1:
+            raise NotImplementedError(
+                "the fused transport supports one tile per device; "
+                "over-decomposed grids use the ppermute exchange")
         d = ex.halo        # exchange the FULL halo depth in one go
         if K * reach > d:
             raise ValueError(

@@ -51,7 +51,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 @dataclass(frozen=True)
 class HaloSpec:
-    """Static facts the exchange needs; hashable for jit caching."""
+    """Static facts the exchange needs; hashable for jit caching.
+
+    ``repx``/``repy`` are the OVER-DECOMPOSITION factors: logical
+    subdomain tiles per device along each axis (1 = one tile per
+    device).  The reference carries a multi-subdomain-per-rank mapping
+    table its comms never use (parallel_mod.f90:141-152,
+    parallel_comms_mod.f90:295); here the exchange actually supports it
+    — intra-device seams are local strip shifts, device edges ride the
+    same ppermutes."""
 
     nprocx: int
     nprocy: int
@@ -62,6 +70,17 @@ class HaloSpec:
     local_ny: int
     wrap_x: bool
     wrap_y: bool
+    repx: int = 1
+    repy: int = 1
+
+    @property
+    def meshx(self) -> int:
+        """Device-mesh extent along x (= nprocx / repx)."""
+        return self.nprocx // self.repx
+
+    @property
+    def meshy(self) -> int:
+        return self.nprocy // self.repy
 
     @property
     def array_shape(self) -> tuple[int, int]:
@@ -97,10 +116,19 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
     state pays 4 collectives per step instead of 4 per field.  Fields
     of different dtypes travel in separate messages — upcasting to a
     common type would silently corrupt values (e.g. int32 halos above
-    2^24 through a float32 message)."""
+    2^24 through a float32 message).
+
+    With over-decomposition (spec.repx/repy > 1) a device block holds an
+    (repy x repx) grid of logical tiles: the edge strips of EVERY tile
+    shift one slot along the logical tile axis — an intra-block slice
+    move — and only the outermost tile's strip rides the ppermute to
+    the neighbouring device."""
     h, d = spec.halo, depth
     w, hgt = spec.tile_nx, spec.tile_ny
-    px, py = spec.nprocx, spec.nprocy
+    px, py = spec.nprocx, spec.nprocy          # logical process grid
+    rx, ry = spec.repx, spec.repy
+    mx, my = spec.meshx, spec.meshy            # device mesh extents
+    ly, lx = spec.local_ny, spec.local_nx
     blks = list(blks)
     dtypes = [b.dtype for b in blks]
     groups = []                       # [(dtype, [field indices])]
@@ -124,52 +152,92 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
                 return msg if len(idxs) == 1 else msg[idxs.index(k)]
         raise AssertionError(k)
 
-    def permute(msgs, axis, perm):
-        return [lax.ppermute(m, axis, perm) for m in msgs]
+    def view(b):
+        """(..., repy*ly, repx*lx) -> (..., repy, ly, repx, lx)."""
+        return b.reshape(b.shape[:-2] + (ry, ly, rx, lx))
+
+    def unview(v):
+        return v.reshape(v.shape[:-4] + (ry * ly, rx * lx))
+
+    def shift_tiles(msgs, axis, mesh_n, mesh_axis, wrap):
+        """Shift strips one slot DOWN the logical tile axis (tile t
+        receives tile t-1's strip); the first slot receives the
+        neighbouring device's LAST strip via ppermute."""
+        out = []
+        for m in msgs:
+            n = m.shape[axis]
+            if mesh_n == 1:
+                out.append(jnp.roll(m, 1, axis=axis))
+            else:
+                fwd, _ = _perms(mesh_n, wrap)
+                first = lax.ppermute(
+                    lax.slice_in_dim(m, n - 1, n, axis=axis),
+                    mesh_axis, fwd)
+                rest = lax.slice_in_dim(m, 0, n - 1, axis=axis)
+                out.append(jnp.concatenate([first, rest], axis=axis))
+        return out
+
+    def shift_tiles_up(msgs, axis, mesh_n, mesh_axis, wrap):
+        """Mirror: tile t receives tile t+1's strip; the last slot
+        receives the plus-side device's FIRST strip."""
+        out = []
+        for m in msgs:
+            n = m.shape[axis]
+            if mesh_n == 1:
+                out.append(jnp.roll(m, -1, axis=axis))
+            else:
+                _, bwd = _perms(mesh_n, wrap)
+                last = lax.ppermute(
+                    lax.slice_in_dim(m, 0, 1, axis=axis),
+                    mesh_axis, bwd)
+                rest = lax.slice_in_dim(m, 1, n, axis=axis)
+                out.append(jnp.concatenate([rest, last], axis=axis))
+        return out
 
     # ----- x phase: columns ------------------------------------------------
     if px > 1 or spec.wrap_x:
-        east_src = batch([b[..., :, h + w - d: h + w] for b in blks])
-        west_src = batch([b[..., :, h: h + d] for b in blks])
-        if px == 1:
-            from_west, from_east = east_src, west_src
-            has_w = has_e = True
-        else:
-            fwd, bwd = _perms(px, spec.wrap_x)
-            from_west = permute(east_src, "x", fwd)
-            from_east = permute(west_src, "x", bwd)
-            ix = lax.axis_index("x")
-            has_w = (ix > 0) | spec.wrap_x
-            has_e = (ix < px - 1) | spec.wrap_x
-        for k, b in enumerate(blks):
-            blks[k] = b.at[..., :, h - d: h].set(
+        vs = [view(b) for b in blks]
+        # strips: (..., repy, ly, repx, d); the tile-column axis is -2
+        east_src = batch([v[..., :, :, :, h + w - d: h + w] for v in vs])
+        west_src = batch([v[..., :, :, :, h: h + d] for v in vs])
+        from_west = shift_tiles(east_src, -2, mx, "x", spec.wrap_x)
+        from_east = shift_tiles_up(west_src, -2, mx, "x", spec.wrap_x)
+        ix = lax.axis_index("x") if mx > 1 else jnp.int32(0)
+        gcol = ix * rx + jnp.arange(rx)        # global tile column
+        has_w = ((gcol > 0) | spec.wrap_x)[:, None]
+        has_e = ((gcol < px - 1) | spec.wrap_x)[:, None]
+        for k, v in enumerate(vs):
+            v = v.at[..., :, :, :, h - d: h].set(
                 jnp.where(has_w, unbatch(from_west, k),
-                          b[..., :, h - d: h]))
-            blks[k] = blks[k].at[..., :, h + w: h + w + d].set(
+                          v[..., :, :, :, h - d: h]))
+            v = v.at[..., :, :, :, h + w: h + w + d].set(
                 jnp.where(has_e, unbatch(from_east, k),
-                          blks[k][..., :, h + w: h + w + d]))
+                          v[..., :, :, :, h + w: h + w + d]))
+            vs[k] = v
+        blks = [unview(v) for v in vs]
 
     # ----- y phase: full-width rows (propagates corners) -------------------
     if py > 1 or spec.wrap_y:
-        north_src = batch([b[..., h + hgt - d: h + hgt, :] for b in blks])
-        south_src = batch([b[..., h: h + d, :] for b in blks])
-        if py == 1:
-            from_south, from_north = north_src, south_src
-            has_s = has_n = True
-        else:
-            fwd, bwd = _perms(py, spec.wrap_y)
-            from_south = permute(north_src, "y", fwd)
-            from_north = permute(south_src, "y", bwd)
-            iy = lax.axis_index("y")
-            has_s = (iy > 0) | spec.wrap_y
-            has_n = (iy < py - 1) | spec.wrap_y
-        for k, b in enumerate(blks):
-            blks[k] = b.at[..., h - d: h, :].set(
+        vs = [view(b) for b in blks]
+        # strips: (..., repy, d, repx, lx); the tile-row axis is -4
+        north_src = batch([v[..., :, h + hgt - d: h + hgt, :, :]
+                           for v in vs])
+        south_src = batch([v[..., :, h: h + d, :, :] for v in vs])
+        from_south = shift_tiles(north_src, -4, my, "y", spec.wrap_y)
+        from_north = shift_tiles_up(south_src, -4, my, "y", spec.wrap_y)
+        iy = lax.axis_index("y") if my > 1 else jnp.int32(0)
+        grow = iy * ry + jnp.arange(ry)        # global tile row
+        has_s = ((grow > 0) | spec.wrap_y)[:, None, None, None]
+        has_n = ((grow < py - 1) | spec.wrap_y)[:, None, None, None]
+        for k, v in enumerate(vs):
+            v = v.at[..., :, h - d: h, :, :].set(
                 jnp.where(has_s, unbatch(from_south, k),
-                          b[..., h - d: h, :]))
-            blks[k] = blks[k].at[..., h + hgt: h + hgt + d, :].set(
+                          v[..., :, h - d: h, :, :]))
+            v = v.at[..., :, h + hgt: h + hgt + d, :, :].set(
                 jnp.where(has_n, unbatch(from_north, k),
-                          blks[k][..., h + hgt: h + hgt + d, :]))
+                          v[..., :, h + hgt: h + hgt + d, :, :]))
+            vs[k] = v
+        blks = [unview(v) for v in vs]
 
     return tuple(blks)
 

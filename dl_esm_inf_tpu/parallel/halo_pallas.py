@@ -54,6 +54,10 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
     if depth < 1 or depth > spec.halo:
         raise ValueError(
             f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
+    if spec.repx > 1 or spec.repy > 1:
+        raise NotImplementedError(
+            "the remote-DMA transport supports one tile per device; "
+            "over-decomposed grids use the ppermute exchange")
     h, d = spec.halo, depth
     w, hgt = spec.tile_nx, spec.tile_ny
     px, py = spec.nprocx, spec.nprocy

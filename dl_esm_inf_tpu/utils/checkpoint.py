@@ -99,17 +99,67 @@ def _model_fields(model):
 # Orbax backend: sharded checkpoints WITHOUT a host gather.
 # ---------------------------------------------------------------------------
 
+def _unstack_device(fld: Field):
+    """Field -> GLOBAL-form (gny, gnx) jax array, sharded over the
+    field's mesh — no host gather, no single-device gather."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    grid = fld.grid
+    decomp = grid.decomp
+
+    def fn(d):
+        return layout.unstack_internal(decomp, d)
+
+    return jax.jit(fn, out_shardings=NamedSharding(
+        grid.mesh, P("y", "x")))(fld.data)
+
+
+def _stack_device(fld: Field, g):
+    """GLOBAL-form sharded array -> the field's stacked layout, with
+    zeroed halo/padding (the npz path's mode="zeros"), on device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    grid = fld.grid
+    d = grid.decomp
+    h = d.halo
+    sh = NamedSharding(grid.mesh, P("y", "x"))
+
+    ry = getattr(grid.halo_spec, "repy", 1)
+    rx = getattr(grid.halo_spec, "repx", 1)
+
+    def fn(gg):
+        gp = jnp.pad(gg, ((0, d.nprocy * d.tile_ny - d.global_ny),
+                          (0, d.nprocx * d.tile_nx - d.global_nx)))
+        gp = jax.lax.with_sharding_constraint(gp, sh)
+
+        def blk(b):
+            # a device block holds (ry, rx) logical tiles; each gets its
+            # own halo/padding ring (over-decomposition-aware)
+            v = b.reshape(ry, d.tile_ny, rx, d.tile_nx)
+            v = jnp.pad(v, ((0, 0), (h, d.local_ny - d.tile_ny - h),
+                            (0, 0), (h, d.local_nx - d.tile_nx - h)))
+            return v.reshape(ry * d.local_ny, rx * d.local_nx)
+
+        return jax.shard_map(blk, mesh=grid.mesh, in_specs=P("y", "x"),
+                             out_specs=P("y", "x"))(gp)
+
+    return jax.jit(fn, out_shardings=sh)(g)
+
+
 def save_fields_orbax(path: str, fields: dict, step: int = 0) -> None:
-    """Save fields' sharded device arrays directly via orbax
-    (StandardCheckpointer): each host writes only its own shards, so
-    checkpoint size is not bounded by host memory — the production-
-    scale path.  Trade-off vs :func:`save_fields`: the on-disk form is
-    the stacked LOCAL-shard layout, so restore requires the SAME
-    decomposition (npz checkpoints are global-form and elastic across
-    mesh shapes)."""
+    """Save fields via orbax (StandardCheckpointer) as GLOBAL-form
+    sharded device arrays: the internal points are unstacked on device
+    (no host gather — each host writes only its own shards, so
+    checkpoint size is bounded by neither host nor single-device
+    memory) and the on-disk logical shape is (global_ny, global_nx) —
+    independent of the decomposition, so restore is MESH-ELASTIC like
+    the npz path."""
     import orbax.checkpoint as ocp
 
-    tree = {name: fld.data for name, fld in fields.items()}
+    tree = {name: _unstack_device(fld) for name, fld in fields.items()}
     tree["__step__"] = np.asarray(step, dtype=np.int64)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), tree, force=True)
@@ -117,14 +167,24 @@ def save_fields_orbax(path: str, fields: dict, step: int = 0) -> None:
 
 
 def load_fields_orbax(path: str, fields: dict) -> int:
-    """Restore fields saved by :func:`save_fields_orbax` onto the SAME
-    decomposition; returns the saved step."""
+    """Restore fields saved by :func:`save_fields_orbax` onto each
+    field's OWN decomposition — the mesh shape may differ from the
+    saving run's (orbax reads each device's sub-range of the global
+    array directly).  Returns the saved step."""
+    import jax
     import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    target = {name: fld.data for name, fld in fields.items()}
+    target = {}
+    for name, fld in fields.items():
+        d = fld.grid.decomp
+        target[name] = jax.ShapeDtypeStruct(
+            (d.global_ny, d.global_nx), np.dtype(fld.dtype),
+            sharding=NamedSharding(fld.grid.mesh, P("y", "x")))
     target["__step__"] = np.asarray(0, dtype=np.int64)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), target)
     for name, fld in fields.items():
-        fld.data = restored[name]
+        fld.data = _stack_device(fld, restored[name])
+        fld.halo_exchange(1)
     return int(restored["__step__"])

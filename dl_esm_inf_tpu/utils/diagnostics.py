@@ -24,14 +24,33 @@ def potential_energy(eta: Field, g: float, dx: float, dy: float) -> float:
                                 eta.internal_mask) * dx * dy
 
 
-def kinetic_energy(u: Field, v: Field, depth: float, dx: float,
-                   dy: float) -> float:
-    """0.5 H ∫ (u² + v²) dA (depth-integrated KE, flat bottom)."""
+def kinetic_energy(u: Field, v: Field, depth, dx: float,
+                   dy: float, ssh_u: Field | None = None,
+                   ssh_v: Field | None = None) -> float:
+    """0.5 ∫ h (u² + v²) dA — depth-integrated kinetic energy.
+
+    ``depth`` is a flat-bottom scalar OR a T-point bathymetry array in
+    the fields' stacked layout (e.g. ``NemoLite2D.bathymetry``); face
+    depths are the same centred means the model uses.  Passing the face
+    ssh fields (``ssh_u``/``ssh_v``) upgrades the weight to the TOTAL
+    water column h+eta — the energy the nonlinear flagship actually
+    transports."""
     import jax.numpy as jnp
+    from ..ops import stencils as st
     from ..parallel.collectives import masked_sum
-    ke = (masked_sum(jnp.square(u.data), u.internal_mask)
-          + masked_sum(jnp.square(v.data), v.internal_mask))
-    return 0.5 * depth * ke * dx * dy
+    if jnp.ndim(depth) == 0:
+        hu = hv = jnp.asarray(depth, u.data.dtype)
+    else:
+        ht = jnp.asarray(depth, u.data.dtype)
+        hu = st.avg_x(ht)
+        hv = st.avg_y(ht)
+    if ssh_u is not None:
+        hu = hu + ssh_u.data
+    if ssh_v is not None:
+        hv = hv + ssh_v.data
+    ke = (masked_sum(hu * jnp.square(u.data), u.internal_mask)
+          + masked_sum(hv * jnp.square(v.data), v.internal_mask))
+    return 0.5 * ke * dx * dy
 
 
 def cfl_number(u: Field, v: Field, dt: float, dx: float, dy: float,

@@ -59,19 +59,46 @@ def test_checkpoint_missing_field(tmp_path):
 
 
 def test_checkpoint_orbax_roundtrip(tmp_path):
-    """Sharded orbax checkpoint (no host gather), same decomposition."""
+    """Sharded orbax checkpoint (global-form on disk, no host gather),
+    same decomposition: every internal point restores exactly and the
+    resumed run equals the uninterrupted one."""
     m = build()
     m.run(10)
-    want = {k: np.asarray(v) for k, v in
-            (("sshn_t", m.sshn_t.data), ("un", m.un.data),
-             ("vn", m.vn.data))}
+    want = {k: fld.gather_inner_data() for k, fld in
+            (("sshn_t", m.sshn_t), ("un", m.un), ("vn", m.vn))}
     fields = {"sshn_t": m.sshn_t, "un": m.un, "vn": m.vn}
     checkpoint.save_fields_orbax(str(tmp_path / "ck"), fields, step=10)
     m.run(7)    # diverge
     step = checkpoint.load_fields_orbax(str(tmp_path / "ck"), fields)
     assert step == 10
     for k, fld in fields.items():
-        np.testing.assert_array_equal(np.asarray(fld.data), want[k])
+        np.testing.assert_array_equal(fld.gather_inner_data(), want[k])
+
+
+def test_checkpoint_orbax_across_mesh_shapes(tmp_path):
+    """Save on 4 shards, restore on 8 — the PRODUCTION (gather-free)
+    checkpoint backend now survives a mesh-shape change: the on-disk
+    logical array is global-form, so orbax reads each new device's
+    sub-range directly."""
+    m4 = build(ndom=4)
+    m4.run(10)
+    f4 = {"sshn_t": m4.sshn_t, "un": m4.un, "vn": m4.vn}
+    checkpoint.save_fields_orbax(str(tmp_path / "ck"), f4, step=10)
+
+    m8 = build(ndom=8)
+    f8 = {"sshn_t": m8.sshn_t, "un": m8.un, "vn": m8.vn}
+    step = checkpoint.load_fields_orbax(str(tmp_path / "ck"), f8)
+    assert step == 10
+    m8._istep0 = step
+    for k in f4:
+        np.testing.assert_array_equal(f8[k].gather_inner_data(),
+                                      f4[k].gather_inner_data(), err_msg=k)
+    # resumed on the new mesh == continued on the old mesh
+    m4.run(20)
+    m8.run(20)
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(m8.gather()[k], m4.gather()[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
 
 
 def test_comms_schedule():
