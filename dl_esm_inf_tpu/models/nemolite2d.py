@@ -629,33 +629,43 @@ class NemoLite2D:
         rtime = (istep + 1).astype(sshn_t.dtype) * p.rdt
         forcing = tidal_forcing(rtime, p)
 
-        def run(s, u, v, c):
+        def run(s, u, v, c, ht=None):
+            # variable bathymetry: face depths derived per (sub-)block;
+            # band edges polluted by the avg's wrap are outside the
+            # pasted target region, like the state rolls
+            dd = ((ht, st.avg_x(ht), st.avg_y(ht)) if ht is not None
+                  else self.depth)
             return step_math(s, u, v, c, p, dx, dy, self._fcor,
-                             self.depth, forcing, exch_mid=None)
+                             dd, forcing, exch_mid=None)
 
         # collectives — and, independently, the stale-interior compute
         fresh = exch((sshn_t, un, vn))
         if self.use_pallas:
             fused = self._make_fused(1)
-            stale = fused(sshn_t, un, vn, mask_codes, forcing)
+            stale = fused(sshn_t, un, vn, mask_codes, forcing,
+                          ht=dep if self._ht is not None else None)
         else:
-            stale = run(sshn_t, un, vn, mask_codes)
+            stale = run(sshn_t, un, vn, mask_codes,
+                        ht=dep if self._ht is not None else None)
 
         # boundary bands recomputed from the fresh block.  Valid target
         # cells sit >= 2 from each band-slice edge; bands cover every
         # internal cell within reach 2 of a halo cell.
         out = list(stale)
+        ht_blk = dep if self._ht is not None else None
 
         def paste_rows(r0):
             sl = slice(r0, r0 + B)
-            band = run(*(f[sl, :] for f in fresh), mask_codes[sl, :])
+            band = run(*(f[sl, :] for f in fresh), mask_codes[sl, :],
+                       ht=None if ht_blk is None else ht_blk[sl, :])
             tgt = slice(r0 + 2, r0 + B - 2)
             for k in range(3):
                 out[k] = out[k].at[tgt, :].set(band[k][2:B - 2, :])
 
         def paste_cols(c0):
             sl = slice(c0, c0 + B)
-            band = run(*(f[:, sl] for f in fresh), mask_codes[:, sl])
+            band = run(*(f[:, sl] for f in fresh), mask_codes[:, sl],
+                       ht=None if ht_blk is None else ht_blk[:, sl])
             tgt = slice(c0 + 2, c0 + B - 2)
             for k in range(3):
                 out[k] = out[k].at[:, tgt].set(band[k][:, 2:B - 2])
@@ -705,9 +715,6 @@ class NemoLite2D:
                 raise ValueError("overlap mode needs halo_width >= 2")
             if spec.tile_nx < 8 or spec.tile_ny < 8:
                 raise ValueError("overlap mode needs tiles >= 8x8")
-            if self._ht is not None:
-                raise ValueError(
-                    "overlap mode supports flat bathymetry only")
         if overlap and self._sweep_K > 1:
             raise ValueError(
                 "overlap mode runs one step at a time; rebuild with "

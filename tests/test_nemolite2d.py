@@ -184,6 +184,36 @@ def test_overlap_step_matches_plain():
                                        err_msg=f"ndom={ndom} field {k}")
 
 
+def test_overlap_variable_bathymetry_matches_plain():
+    """Overlap mode with a sloping bottom (previously rejected) equals
+    the plain step at every internal point."""
+    import jax.numpy as jnp
+    gnx, gny = 48, 40
+    yy = np.linspace(0.0, 1.0, gny)[:, None]
+    xx = np.linspace(0.0, 1.0, gnx)[None, :]
+    depth = 70.0 + 40.0 * yy + 10.0 * np.sin(2 * np.pi * xx)
+    for ndom in (1, 4):
+        ma = nl.build(gnx, gny, ndomains=ndom, halo_width=2,
+                      open_north=True, depth=depth)
+        mb = nl.build(gnx, gny, ndomains=ndom, halo_width=2,
+                      open_north=True, depth=depth)
+        for m in (ma, mb):
+            m.set_initial_ssh(gaussian_eta(gnx, gny, amp=0.5))
+        pa = ma.step_program(30)
+        pb = mb.step_program(30, overlap=True)
+        sa = pa(jnp.int32(0), (ma.sshn_t.data, ma.un.data, ma.vn.data),
+                ma._mask_codes, ma._ht)
+        sb = pb(jnp.int32(0), (mb.sshn_t.data, mb.un.data, mb.vn.data),
+                mb._mask_codes, mb._ht)
+        for k, (a, b) in enumerate(zip(sa, sb)):
+            ma.sshn_t.data = a
+            mb.sshn_t.data = b
+            np.testing.assert_allclose(mb.sshn_t.gather_inner_data(),
+                                       ma.sshn_t.gather_inner_data(),
+                                       rtol=1e-12, atol=1e-13,
+                                       err_msg=f"ndom={ndom} field {k}")
+
+
 def test_overlap_guards():
     m = build(gnx=16, gny=16, ndom=1)  # halo 1
     with pytest.raises(ValueError, match="halo_width"):
