@@ -134,10 +134,15 @@ class Arg:
         # Access and Element are both IntEnums whose small values
         # collide (e.g. Element.R_SCALAR == Access.READ == 0), so a
         # swapped Arg(GO_R_SCALAR, ...) would silently "work" — reject
-        # anything that is not an actual Access member.
+        # anything that is not an actual member of the expected enum,
+        # in BOTH slots (Arg(GO_READ, GO_WRITE) is just as silent).
         if not isinstance(self.access, Access):
             raise TypeError(
                 f"Arg.access must be an Access enum, got {self.access!r}")
+        if not isinstance(self.element, (Element, GridProp)):
+            raise TypeError(
+                "Arg.element must be an Element or GridProp enum, got "
+                f"{self.element!r}")
 
 
 go_arg = Arg

@@ -518,12 +518,22 @@ class NemoLite2D:
         if transport not in ("ppermute", "fused"):
             raise ValueError(f"unknown transport {transport!r}")
         from ..ops.fastpath import enable_fast_path
-        enable_fast_path(self, reach=2, interpret=interpret,
-                         tile_rows=tile_rows,
-                         steps_per_sweep=steps_per_sweep)
-        self._transport = transport
-        if transport == "fused":
-            self._make_fused(self._sweep_K)   # fail fast on bad configs
+        prev = (self.use_pallas, self._pallas_interpret,
+                self._pallas_tile_rows, self._sweep_K, self._transport)
+        try:
+            enable_fast_path(self, reach=2, interpret=interpret,
+                             tile_rows=tile_rows,
+                             steps_per_sweep=steps_per_sweep)
+            self._transport = transport
+            if transport == "fused":
+                self._make_fused(self._sweep_K)  # fail fast on bad configs
+        except Exception:
+            # leave the model as it was, not half-configured
+            (self.use_pallas, self._pallas_interpret,
+             self._pallas_tile_rows, self._sweep_K,
+             self._transport) = prev
+            self._step_cache.clear()
+            raise
 
     def set_steps_per_exchange(self, steps_per_sweep: int) -> None:
         """Communication avoidance on the PLAIN jnp path: K chained
@@ -711,6 +721,11 @@ class NemoLite2D:
             if spec.repx > 1 or spec.repy > 1:
                 raise NotImplementedError(
                     "overlap mode supports one tile per device")
+            if self.use_pallas and self._transport == "fused":
+                raise ValueError(
+                    "overlap mode is redundant with transport='fused' "
+                    "(the kernel already overlaps its in-flight y rows "
+                    "with interior tiles) and would exchange twice")
             if spec.halo < 2:
                 raise ValueError("overlap mode needs halo_width >= 2")
             if spec.tile_nx < 8 or spec.tile_ny < 8:

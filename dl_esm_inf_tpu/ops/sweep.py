@@ -55,7 +55,6 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                        prepare_fn=None, tile_rows: int | None = None,
                        interpret: bool = False, hardware_rolls: bool = True,
                        exchange_spec=None, exchange_logical_ids: bool = False,
-                       collective_id: int = 1,
                        vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Build ``sweep(*state, *aux, scalars) -> state'`` for one shard block.
 
@@ -132,6 +131,12 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                 f"tile_ny must be multiples of 8 (got halo={d}, "
                 f"tile_ny={ex.tile_ny}); build with halo_width=8, "
                 "align_y=8")
+        if ex.tile_ny < d or ex.tile_nx < d:
+            raise ValueError(
+                f"fused exchange needs tiles >= the halo depth {d} (got "
+                f"{ex.tile_nx}x{ex.tile_ny}): a shallower tile would let "
+                "the in-flight halo receive overlap the concurrently-"
+                "read send rows on hardware")
         if len(set(state_dtypes)) > 1:
             raise ValueError(
                 "fused exchange requires uniform state dtypes (the halo "
@@ -141,25 +146,18 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         do_y = ex.nprocy > 1 or ex.wrap_y
         need_yr = do_y and not ex.wrap_y     # border restores required
         w_, hgt_ = ex.tile_nx, ex.tile_ny
-        # Mosaic rejects DMA slices whose lane width is not a multiple
-        # of the 128-lane tiling (measured on v5e), so narrow column
-        # strips cannot be DMA'd: the x phase ships full WB-lane column
-        # BLOCKS into peer VMEM landing buffers and merges the d halo
-        # columns in compute (conditional on a real neighbour — which
-        # also removes the need for x restores).
-        WB = min(128, lx)
-        cs_e = min((w_ // WB) * WB, lx - WB)     # east-send block
-        os_e = w_ - cs_e                          # strip offset within
-        cm_e = min(((d + w_) // WB) * WB, lx - WB)   # east-halo block
-        om_e = d + w_ - cm_e
-        if do_x and not interpret and lx > 128:
-            if lx % 128 or os_e + d > WB or om_e + d > WB:
-                raise ValueError(
-                    "fused x-exchange needs 128-lane-aligned column "
-                    f"blocks: local_nx={lx} must be a multiple of 128 "
-                    f"with the edge strips within one block (offsets "
-                    f"{os_e}/{om_e}, depth {d}); decompose with "
-                    "align=128")
+        # x-phase lane-block geometry + merge strategy shared with the
+        # standalone exchange: see parallel/rdma.py (Mosaic cannot DMA
+        # narrow column strips; WB-lane blocks land in peer VMEM and
+        # the halo columns merge in compute, conditionally on a real
+        # neighbour — which also removes the need for x restores).
+        # Here halo == d, so the west blocks start at column 0.
+        from ..parallel import rdma as rdma_common
+        WB, geo = rdma_common.col_block_geometry(
+            lx, {"east_send": (w_, d), "east_halo": (d + w_, d)},
+            interpret or not do_x, "fused x-exchange")
+        cs_e, os_e = geo["east_send"]
+        cm_e, om_e = geo["east_halo"]
     else:
         d = 0
         do_x = do_y = need_yr = False
@@ -241,25 +239,16 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
             id_type = (pltpu.DeviceIdType.LOGICAL if exchange_logical_ids
                        else pltpu.DeviceIdType.MESH)
 
+            from ..parallel import rdma as rdma_common
+
             def peer_id(p):
                 return (next(iter(p.values())) if exchange_logical_ids
                         else p)
 
-            def fence(phase, plus_peer, minus_peer):
-                # per-(phase, direction) counting semaphores: a wait can
-                # only be satisfied by a signal of its own phase, and
-                # counting buffers multi-call skew (parallel/
-                # halo_pallas.py's fence, same argument)
-                if interpret:
-                    return
-                pltpu.semaphore_signal(ready_sems.at[phase, 1], inc=1,
-                                       device_id=peer_id(plus_peer),
-                                       device_id_type=id_type)
-                pltpu.semaphore_signal(ready_sems.at[phase, 0], inc=1,
-                                       device_id=peer_id(minus_peer),
-                                       device_id_type=id_type)
-                pltpu.semaphore_wait(ready_sems.at[phase, 0], 1)
-                pltpu.semaphore_wait(ready_sems.at[phase, 1], 1)
+            # per-(phase, direction) readiness fence — shared with the
+            # standalone exchange (full argument in parallel/rdma.py)
+            fence = rdma_common.make_fence(ready_sems, id_type, peer_id,
+                                           interpret)
 
             def rdma_ref(k, src_ref, dst_ref, dir_idx, peer):
                 return pltpu.make_async_remote_copy(
@@ -272,12 +261,7 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                 return rdma_ref(k, xf[k].at[src_sl], dst_ref.at[dst_sl],
                                 dir_idx, peer)
 
-            def colblk(ref, c0):
-                """A WB-lane column block as a ref: the un-sliced ref
-                when WB spans the whole width (Mosaic rejects a
-                full-width lane slice of a lane-padded buffer just like
-                a narrow one)."""
-                return ref if WB == lx else ref.at[:, pl.ds(c0, WB)]
+            colblk = rdma_common.colblk_fn(lx, WB)
 
             def copy(src, dst):
                 c = pltpu.make_async_copy(src, dst, bk_sem)

@@ -39,11 +39,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import rdma as rdma_common
 from .halo import HaloSpec
 
 
 def make_block_exchange(spec: HaloSpec, depth: int = 1,
-                        interpret: bool = False, collective_id: int = 1,
+                        interpret: bool = False,
                         logical_ids: bool = False):
     """Per-block exchange fn, for use INSIDE a shard_map whose mesh axes
     are named 'y'/'x' (either may be absent if that side is unsplit).
@@ -58,6 +59,12 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         raise NotImplementedError(
             "the remote-DMA transport supports one tile per device; "
             "over-decomposed grids use the ppermute exchange")
+    if depth > spec.tile_ny or depth > spec.tile_nx:
+        raise ValueError(
+            f"remote-DMA exchange depth {depth} exceeds the tile "
+            f"({spec.tile_nx}x{spec.tile_ny}): the in-flight halo "
+            "receive would overlap the concurrently-read send rows on "
+            "hardware; use the ppermute exchange")
     h, d = spec.halo, depth
     w, hgt = spec.tile_nx, spec.tile_ny
     px, py = spec.nprocx, spec.nprocy
@@ -65,31 +72,27 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
     do_x = px > 1 or spec.wrap_x
     do_y = py > 1 or spec.wrap_y
 
-    # Mosaic rejects DMA slices whose lane width is not a multiple of
-    # the 128-lane tiling (measured on v5e), so the x phase cannot DMA
-    # its narrow column strips directly: it ships full WB-lane column
-    # BLOCKS into peer VMEM landing buffers and merges the d halo
-    # columns in compute, conditionally on a real neighbour (which also
-    # replaces the x restores).
-    WB = min(128, lx)
-    cw_s = min((h // WB) * WB, lx - WB)          # west-send block
-    ow_s = h - cw_s
-    ce_s = min(((h + w - d) // WB) * WB, lx - WB)   # east-send block
-    oe_s = h + w - d - ce_s
-    cw_m = min(((h - d) // WB) * WB, lx - WB)    # west-halo block
-    ow_m = h - d - cw_m
-    ce_m = min(((h + w) // WB) * WB, lx - WB)    # east-halo block
-    oe_m = h + w - ce_m
-    if do_x and not interpret and lx > 128:
-        if lx % 128 or any(o + d > WB for o in (ow_s, oe_s, ow_m, oe_m)):
-            raise ValueError(
-                "compiled remote-DMA x-exchange needs 128-lane-aligned "
-                f"column blocks: local_nx={lx} must be a multiple of "
-                "128 with each edge strip within one block; decompose "
-                "with align=128")
+    # x-phase lane-block geometry + merge strategy: see parallel/rdma.py
+    # (Mosaic cannot DMA narrow column strips, so whole WB-lane blocks
+    # land in peer VMEM and the halo columns merge in compute,
+    # conditionally on a real neighbour — which also replaces the x
+    # restores).
+    WB, geo = rdma_common.col_block_geometry(
+        lx, {"west_send": (h, d), "east_send": (h + w - d, d),
+             "west_halo": (h - d, d), "east_halo": (h + w, d)},
+        interpret or not do_x, "remote-DMA exchange")
+    cw_s, ow_s = geo["west_send"]
+    ce_s, oe_s = geo["east_send"]
+    cw_m, ow_m = geo["west_halo"]
+    ce_m, oe_m = geo["east_halo"]
 
-    def kernel(in_hbm, out_hbm, copy_sem, send_sems, recv_sems,
-               ready_sems, ybackup, land_w, land_e, mbuf):
+    def kernel(in_hbm, out_hbm, *scratch):
+        it = iter(scratch)
+        copy_sem, send_sems, recv_sems, ready_sems = (
+            next(it), next(it), next(it), next(it))
+        ybackup = next(it) if do_y else None
+        if do_x:
+            land_w, land_e, mbuf = next(it), next(it), next(it)
         # whole-block local copy: the exchange is functional like the
         # ppermute path (halo strips are then overwritten remotely)
         cp = pltpu.make_async_copy(in_hbm, out_hbm, copy_sem)
@@ -108,24 +111,18 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                    else pltpu.DeviceIdType.MESH)
 
         def rdma_ref(src_ref, dst_ref, sem_idx, peer):
-            if logical_ids:        # single-axis mesh: the coordinate on
-                peer = next(iter(peer.values()))   # that axis IS the id
             return pltpu.make_async_remote_copy(
                 src_ref=src_ref,
                 dst_ref=dst_ref,
                 send_sem=send_sems.at[sem_idx],
                 recv_sem=recv_sems.at[sem_idx],
-                device_id=peer,
+                device_id=peer_id(peer),
                 device_id_type=id_type)
 
         def rdma(src_slice, dst_ref, sem_idx, peer):
             return rdma_ref(out_hbm.at[src_slice], dst_ref, sem_idx, peer)
 
-        def colblk(ref, c0):
-            """A WB-lane column block as a ref: when WB spans the whole
-            width, the un-sliced ref (Mosaic rejects a full-width lane
-            slice of a lane-padded buffer just like a narrow one)."""
-            return ref if WB == lx else ref.at[:, pl.ds(c0, WB)]
+        colblk = rdma_common.colblk_fn(lx, WB)
 
         def restore(dst_slice, src=None):
             """Un-receive: put the pre-PHASE values back in a halo
@@ -140,42 +137,14 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             cpb.start()
             cpb.wait()
 
-        def phase_fence(phase, plus_peer, minus_peer):
-            """Signal both peers of the coming phase that THIS device is
-            ready to be written (previous phase fully landed, local
-            copies/restores done), and wait for the same from them —
-            without this, a fast neighbour's delivery could land before
-            the receiver's whole-block copy (or x-phase corner writes)
-            and be silently overwritten.
+        def peer_id(p):
+            return next(iter(p.values())) if logical_ids else p
 
-            Each (phase, direction) pair has its OWN counting semaphore
-            in ``ready_sems`` and each wait consumes exactly one signal,
-            so a wait can only ever be satisfied by a signal of its own
-            phase+direction: a skewed neighbour's y-phase (or next-call
-            x-phase) signal cannot release an x-phase wait early, and
-            counting semantics buffer arbitrary multi-call skew.  I will
-            write into my plus_peer's minus-side halo, so plus_peer must
-            tell ME it is ready: it signals my [phase, 0] slot; likewise
-            minus_peer signals [phase, 1].  Symmetrically I signal
-            plus_peer's [phase, 1] and minus_peer's [phase, 0].
-            Interpret mode executes devices in lock-step with
-            synchronous delivery (and cannot lower remote semaphore
-            signals), so the fence is compiled-mode only."""
-            if interpret:
-                return
-            if logical_ids:
-                plus_peer = next(iter(plus_peer.values()))
-                minus_peer = next(iter(minus_peer.values()))
-            # "I am your minus-side neighbour and I'm ready": plus slot 1
-            pltpu.semaphore_signal(ready_sems.at[phase, 1], inc=1,
-                                   device_id=plus_peer,
-                                   device_id_type=id_type)
-            # "I am your plus-side neighbour and I'm ready": minus slot 0
-            pltpu.semaphore_signal(ready_sems.at[phase, 0], inc=1,
-                                   device_id=minus_peer,
-                                   device_id_type=id_type)
-            pltpu.semaphore_wait(ready_sems.at[phase, 0], 1)
-            pltpu.semaphore_wait(ready_sems.at[phase, 1], 1)
+        # the phase fence keeps a fast neighbour's delivery from
+        # landing before this device's whole-block copy / x-phase
+        # corner writes (full argument in parallel/rdma.py)
+        phase_fence = rdma_common.make_fence(ready_sems, id_type,
+                                             peer_id, interpret)
 
         if do_x:
             east = {"x": lax.rem(ix + one, pxc)}
@@ -258,21 +227,24 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
 
     def build(dtype):
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.REGULAR((2, 2)),      # [phase, direction]
+        ]
+        if do_y:
+            scratch.append(pltpu.VMEM((2 * depth, lx), dtype))  # y snap
+        if do_x:
+            scratch += [pltpu.VMEM((ly, WB), dtype),  # west landing
+                        pltpu.VMEM((ly, WB), dtype),  # east landing
+                        pltpu.VMEM((ly, WB), dtype)]  # merge buffer
         return pl.pallas_call(
             kernel,
             in_specs=[any_spec],
             out_specs=any_spec,
             out_shape=jax.ShapeDtypeStruct((ly, lx), dtype),
-            scratch_shapes=[
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((4,)),
-                pltpu.SemaphoreType.DMA((4,)),
-                pltpu.SemaphoreType.REGULAR((2, 2)),  # [phase, direction]
-                pltpu.VMEM((2 * depth, lx), dtype),   # y-halo snapshot
-                pltpu.VMEM((ly, WB), dtype),          # west landing
-                pltpu.VMEM((ly, WB), dtype),          # east landing
-                pltpu.VMEM((ly, WB), dtype),          # merge buffer
-            ],
+            scratch_shapes=scratch,
             # no collective_id: the fence uses REGULAR semaphores (not
             # the global barrier), and Mosaic rejects collective_id
             # without a barrier semaphore

@@ -1,0 +1,91 @@
+"""Shared building blocks of the remote-DMA transports.
+
+Both Pallas exchange kernels — the standalone block exchange
+(:mod:`.halo_pallas`) and the fused-sweep transport
+(:mod:`..ops.sweep` ``exchange_spec``) — need the same two subtle
+pieces, kept in ONE place so a fix cannot silently miss a copy:
+
+* the **x-phase lane-block geometry**: Mosaic rejects DMA slices whose
+  lane width is not a multiple of the 128-lane tiling (measured on
+  v5e), including a "full-width" slice of a lane-padded buffer, so
+  narrow column strips cannot be DMA'd — the x phase ships whole
+  WB-lane column blocks into peer VMEM landing buffers and merges the
+  halo columns in compute;
+* the **readiness fence**: per-(phase, direction) counting semaphores,
+  where each wait consumes exactly one signal, so a wait can only ever
+  be satisfied by a signal of its own phase+direction — a skewed
+  neighbour's y-phase (or next-call x-phase) signal cannot release an
+  x-phase wait early, and counting semantics buffer arbitrary
+  multi-call skew.
+"""
+from __future__ import annotations
+
+LANES = 128  # Mosaic lane tiling (f32/i32)
+
+
+def col_block_geometry(lx: int, strips: dict, interpret: bool,
+                       context: str):
+    """(WB, {name: (block_start, strip_offset)}) for column strips.
+
+    ``strips``: name -> (col_start, width).  Each strip must fit in one
+    WB-lane block whose start is a multiple of WB (clamped to lx-WB);
+    when compiling (not interpret) with lx > 128, lx must be a multiple
+    of 128 — Mosaic's DMA lane rules."""
+    WB = min(LANES, lx)
+    geo = {}
+    bad = []
+    for name, (c0, d) in strips.items():
+        blk = min((c0 // WB) * WB, lx - WB)
+        off = c0 - blk
+        geo[name] = (blk, off)
+        if off + d > WB:
+            bad.append(name)
+    if not interpret and lx > LANES and (lx % LANES or bad):
+        raise ValueError(
+            f"{context}: the x exchange needs {LANES}-lane-aligned "
+            f"column blocks — local_nx={lx} must be a multiple of "
+            f"{LANES} with each edge strip within one block "
+            f"(misfits: {bad or 'none'}); decompose with align=128")
+    return WB, geo
+
+
+def colblk_fn(ref_width: int, WB: int):
+    """ref -> WB-lane column-block sub-ref at a block start.
+
+    When WB spans the whole width, returns the UN-sliced ref: Mosaic
+    rejects a full-width lane slice of a lane-padded buffer just like a
+    narrow one."""
+    from jax.experimental import pallas as pl
+
+    def colblk(ref, c0):
+        return ref if WB == ref_width else ref.at[:, pl.ds(c0, WB)]
+
+    return colblk
+
+
+def make_fence(ready_sems, id_type, peer_id, interpret: bool):
+    """The per-(phase, direction) readiness fence (see module
+    docstring).  ``ready_sems`` is a REGULAR((2, 2)) semaphore scratch
+    indexed [phase, direction]; ``peer_id`` maps a mesh-coordinate dict
+    to the form the device-id type expects.  I will write into my
+    plus-side peer, so it must tell ME it is ready: it signals my
+    [phase, 0] slot, the minus-side peer signals [phase, 1];
+    symmetrically I signal plus's [phase, 1] and minus's [phase, 0].
+    Interpret mode executes devices in lock-step with synchronous
+    delivery (and cannot lower remote semaphore signals), so the fence
+    is compiled-mode only."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def fence(phase: int, plus_peer, minus_peer):
+        if interpret:
+            return
+        pltpu.semaphore_signal(ready_sems.at[phase, 1], inc=1,
+                               device_id=peer_id(plus_peer),
+                               device_id_type=id_type)
+        pltpu.semaphore_signal(ready_sems.at[phase, 0], inc=1,
+                               device_id=peer_id(minus_peer),
+                               device_id_type=id_type)
+        pltpu.semaphore_wait(ready_sems.at[phase, 0], 1)
+        pltpu.semaphore_wait(ready_sems.at[phase, 1], 1)
+
+    return fence
