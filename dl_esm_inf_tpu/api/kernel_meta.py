@@ -400,3 +400,236 @@ def invoke(kern, *args, exchange_halos: bool = True):
     if n_red:
         return tuple(float(r) for r in reds)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Kernel SCHEDULES: the PSyclone-generated-PSy-layer analogue.
+# ---------------------------------------------------------------------------
+
+class Schedule:
+    """A sequence of metadata-carrying kernel calls compiled as ONE
+    program — the analogue of the PSy layer PSyclone would generate
+    from an algorithm's multi-kernel ``invoke`` (the reference supplies
+    only the metadata vocabulary; the generated layer schedules kernels
+    and halo exchanges between dependent ones, SURVEY §3.6).
+
+    ``Schedule((k1, out1, in1, 2.0), (k2, out2, out1), ...)`` binds each
+    kernel to concrete Fields/scalars (the same caller contract as
+    :func:`invoke`) and plans halo exchanges STATICALLY from the
+    metadata: a field's halo is stale on entry and after any kernel
+    writes it; a kernel whose stencil reads off-point gets a coalesced
+    exchange of exactly the stale fields it needs, at the required
+    depth.  Calling the schedule runs everything — kernels, exchanges,
+    reductions — inside one jitted shard_map program, so XLA fuses the
+    arithmetic and schedules the collectives; per step this is the
+    fused-path structure rather than :func:`invoke`'s one program + one
+    exchange per kernel call.
+
+    ``schedule.exchanges`` exposes the plan (call index -> (field
+    names..., depth)) for inspection and tests.  Scalars may be changed
+    per call via ``schedule(scalars=[...])`` (same order/length as the
+    bound ones) without recompiling.
+    """
+
+    def __init__(self, *calls, exchange_halos: bool = True):
+        from ..core.field import Field as _Field
+
+        if not calls:
+            raise ValueError("empty schedule")
+        self._slots: list = []          # distinct Fields, in first-use order
+        self._consts: list = []         # grid-property arrays
+        self._scalars: list = []        # bound scalar values (replaceable)
+        self._masks: list = []          # (slot, space) -> mask array
+        mask_index: dict = {}
+        self._steps = []                # per call: dict of static plan
+        self.exchanges: dict = {}       # call idx -> (names, depth)
+        self._grid = None
+
+        def slot_of(f):
+            for i, g in enumerate(self._slots):
+                if g is f:
+                    return i
+            self._slots.append(f)
+            return len(self._slots) - 1
+
+        clean_depth: dict = {}          # slot -> halo depth known fresh
+
+        for ci, call in enumerate(calls):
+            kern, *args = call
+            meta: KernelMeta = kern._meta
+            consumable = [a for a in meta.args
+                          if not isinstance(a.element, GridProp)
+                          and not (a.element in (Element.R_SCALAR,
+                                                 Element.I_SCALAR)
+                                   and _is_reduction(a))]
+            if len(args) != len(consumable):
+                raise TypeError(
+                    f"schedule step {ci}: kernel {meta.name} declares "
+                    f"{len(consumable)} caller arguments, got {len(args)}")
+            fields = [a for a in args if isinstance(a, _Field)]
+            if not fields:
+                raise ValueError(
+                    f"schedule step {ci}: kernel {meta.name} needs at "
+                    "least one Field arg")
+            if self._grid is None:
+                self._grid = fields[0].grid
+            if any(f.grid is not self._grid for f in fields):
+                raise ValueError("all fields must share one grid")
+
+            # plan this call's exchange: stale off-point reads
+            need: dict = {}             # slot -> depth
+            it = iter(args)
+            binding = []                # per declared arg
+            written = []                # (slot, mask index)
+            for a in meta.args:
+                if isinstance(a.element, GridProp):
+                    getter = _GRID_PROP_GETTERS.get(a.element)
+                    if getter is None:
+                        raise NotImplementedError(
+                            f"grid property {a.element!r} not available")
+                    val = getter(self._grid)
+                    if _is_scalar_arg(a):
+                        binding.append(("s", len(self._scalars)))
+                        self._scalars.append(val)
+                    else:
+                        binding.append(("c", len(self._consts)))
+                        self._consts.append(val)
+                    continue
+                if a.element in (Element.R_SCALAR, Element.I_SCALAR):
+                    if _is_reduction(a):
+                        binding.append(("r", None))
+                        continue
+                    val = next(it)
+                    if isinstance(val, _Field):
+                        raise TypeError(
+                            f"kernel {meta.name}: scalar slot got a Field")
+                    binding.append(("s", len(self._scalars)))
+                    self._scalars.append(val)
+                    continue
+                f = next(it)
+                if not isinstance(f, _Field):
+                    raise TypeError(
+                        f"kernel {meta.name}: {a.element!r} argument must "
+                        f"be a Field, got {type(f)}")
+                si = slot_of(f)
+                binding.append(("f", si))
+                reads = a.access in (Access.READ, Access.READWRITE,
+                                     Access.INC)
+                if (exchange_halos and reads
+                        and a.stencil.reaches_off_point()):
+                    dneed = a.stencil.depth()
+                    if clean_depth.get(si, 0) < dneed:
+                        need[si] = max(need.get(si, 0), dneed)
+                if _is_written(a):
+                    mkey = (si, meta.iterates_over)
+                    if mkey not in mask_index:
+                        if meta.iterates_over == GO_INTERNAL_PTS:
+                            m = f.internal_mask
+                        elif meta.iterates_over == GO_ALL_PTS:
+                            m = jnp.ones_like(f.data)
+                        else:
+                            m = 1.0 - f.internal_mask
+                        mask_index[mkey] = len(self._masks)
+                        self._masks.append(m)
+                    written.append((si, mask_index[mkey]))
+
+            exch = None
+            if need:
+                depth = max(need.values())
+                if depth > self._grid.halo_spec.halo:
+                    raise ValueError(
+                        f"schedule step {ci} needs halo depth {depth} > "
+                        f"decomposition halo {self._grid.halo_spec.halo}")
+                exch = (tuple(sorted(need)), depth)
+                self.exchanges[ci] = exch
+                for si in need:
+                    clean_depth[si] = depth
+            for si, _ in written:       # writes invalidate halos
+                clean_depth[si] = 0
+
+            n_red = sum(1 for a in meta.args if _is_reduction(a))
+            _PROGRAM_FNS[id(kern)] = kern
+            self._steps.append(dict(
+                fn_id=id(kern), meta=meta, binding=tuple(binding),
+                written=tuple(written), exch=exch, n_red=n_red))
+
+        key = tuple((s["fn_id"], s["binding"], s["written"], s["exch"],
+                     s["n_red"]) for s in self._steps)
+        self._prog = _build_schedule(key, self._grid.mesh,
+                                     self._grid.halo_spec,
+                                     len(self._slots), len(self._consts),
+                                     len(self._scalars), len(self._masks))
+
+    def __call__(self, scalars=None):
+        sc = list(self._scalars) if scalars is None else list(scalars)
+        if len(sc) != len(self._scalars):
+            raise ValueError(
+                f"schedule binds {len(self._scalars)} scalars, got "
+                f"{len(sc)}")
+        outs = self._prog(tuple(f.data for f in self._slots),
+                          tuple(self._consts), tuple(sc),
+                          tuple(self._masks))
+        nslots = len(self._slots)
+        for f, nb in zip(self._slots, outs[:nslots]):
+            f.data = nb
+        reds = tuple(float(r) for r in outs[nslots:])
+        if len(reds) == 1:
+            return reds[0]
+        return reds or None
+
+
+@functools.lru_cache(maxsize=None)
+def _build_schedule(key, mesh, spec, n_slots, n_consts, n_scalars,
+                    n_masks):
+    """One jitted shard_map program for a whole kernel schedule."""
+    from ..parallel.halo import _exchange_blocks
+
+    def body(slots, consts, scalars, masks):
+        cur = list(slots)
+        red_out = []
+        for fn_id, binding, written, exch, n_red in key:
+            fn = _PROGRAM_FNS[fn_id]
+            if exch is not None:
+                idx, depth = exch
+                fresh = _exchange_blocks(tuple(cur[i] for i in idx),
+                                         spec, depth)
+                for i, nb in zip(idx, fresh):
+                    cur[i] = nb
+            call_args = [cur[i] if kind == "f"
+                         else consts[i] if kind == "c"
+                         else scalars[i]
+                         for kind, i in binding if kind != "r"]
+            outs = fn(*call_args)
+            if not isinstance(outs, tuple):
+                outs = (outs,)
+            for (si, mi), nb in zip(written, outs[:len(written)]):
+                cur[si] = jnp.where(masks[mi] > 0,
+                                    nb.astype(cur[si].dtype), cur[si])
+            reds = outs[len(written):len(written) + n_red]
+            red_args = [a for a in _PROGRAM_FNS[fn_id]._meta.args
+                        if _is_reduction(a)]
+            for a, r in zip(red_args, reds):
+                for ax in ("x", "y"):
+                    if a.access == Access.SUM:
+                        r = jax.lax.psum(r, ax)
+                    elif a.access == Access.MIN:
+                        r = jax.lax.pmin(r, ax)
+                    else:
+                        r = jax.lax.pmax(r, ax)
+                red_out.append(r)
+        return tuple(cur) + tuple(red_out)
+
+    blk = P("y", "x")
+    n_red_total = sum(n_red for *_, n_red in key)
+    in_specs = (tuple([blk] * n_slots), tuple([blk] * n_consts),
+                tuple([P()] * n_scalars), tuple([blk] * n_masks))
+    out_specs = tuple([blk] * n_slots) + tuple([P()] * n_red_total)
+    smapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs)
+    return jax.jit(smapped)
+
+
+def invoke_schedule(*calls, exchange_halos: bool = True):
+    """Build and immediately run a :class:`Schedule` (one compiled
+    program for the whole kernel sequence); returns the reductions."""
+    return Schedule(*calls, exchange_halos=exchange_halos)()

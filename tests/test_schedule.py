@@ -1,0 +1,184 @@
+"""Kernel schedules: the PSyclone-generated-PSy-layer analogue.
+
+A Schedule compiles a kernel SEQUENCE into one program with halo
+exchanges planned statically from the metadata — exchanges appear
+exactly where a stale off-point read needs one, and results must equal
+the eager per-kernel invoke() chain.
+"""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.api.kernel_meta import (
+    GO_READ, GO_SUM, GO_WRITE, GO_CT, GO_R_SCALAR, GridProp, Schedule,
+    go_arg, go_stencil, invoke, invoke_schedule, kernel)
+from dl_esm_inf_tpu.ops import stencils as st
+
+
+def make_grid(gnx=12, gny=10, ndom=4, halo=1):
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=ndom, halo_width=halo)
+    dl.grid_init(grid, 1.0, 1.0)
+    return grid
+
+
+@kernel(args=[go_arg(GO_WRITE, GO_CT),
+              go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0)),
+              go_arg(GO_READ, GO_R_SCALAR)])
+def east_plus(out, x, a):
+    return st.xp(x) + a
+
+
+@kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)])
+def double(out, x):
+    return 2.0 * x
+
+
+@kernel(args=[go_arg(GO_SUM, GO_R_SCALAR), go_arg(GO_READ, GO_CT)])
+def total(x):
+    import jax.numpy as jnp
+    return jnp.sum(x)
+
+
+def setup(grid):
+    gny, gnx = grid.global_ny, grid.global_nx
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    b = dl.Field(grid, dl.T_POINTS)
+    c = dl.Field(grid, dl.T_POINTS)
+    return a, b, c
+
+
+def test_schedule_matches_eager_invokes():
+    """A dependent chain (stencil reads what the previous kernel wrote,
+    across shard seams) through one compiled schedule == the eager
+    per-kernel invoke sequence."""
+    ga, gb = make_grid(), make_grid()
+    a1, b1, c1 = setup(ga)
+    a2, b2, c2 = setup(gb)
+
+    invoke(east_plus, b1, a1, 3.0)
+    invoke(east_plus, c1, b1, 1.0)    # reads b across seams
+    invoke(double, b1, c1)
+
+    sched = Schedule((east_plus, b2, a2, 3.0),
+                     (east_plus, c2, b2, 1.0),
+                     (double, b2, c2))
+    sched()
+    for f1, f2, name in ((b1, b2, "b"), (c1, c2, "c")):
+        np.testing.assert_array_equal(f2.gather_inner_data(),
+                                      f1.gather_inner_data(),
+                                      err_msg=name)
+
+
+def test_exchange_plan_is_minimal():
+    """The static plan exchanges exactly the stale off-point reads:
+    call 0 (first use of a), call 1 (b was just written); the pointwise
+    call 2 adds none."""
+    grid = make_grid()
+    a, b, c = setup(grid)
+    sched = Schedule((east_plus, b, a, 3.0),
+                     (east_plus, c, b, 1.0),
+                     (double, b, c))
+    assert set(sched.exchanges) == {0, 1}
+    # a clean field is NOT re-exchanged: reading a again off-point
+    sched2 = Schedule((east_plus, b, a, 3.0),
+                      (east_plus, c, a, 1.0))
+    assert set(sched2.exchanges) == {0}
+    # just a's slot (slot 0 is b: first use order follows declaration)
+    assert sched2.exchanges[0][0] == (1,)
+
+
+def test_schedule_reductions_and_rerun():
+    """Reductions flow out in order; re-running the schedule reuses the
+    compiled program on the updated fields."""
+    grid = make_grid(8, 8, 4)
+    vals = np.ones((8, 8))
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    b = dl.Field(grid, dl.T_POINTS)
+    sched = Schedule((double, b, a), (total, b))
+    s1 = sched()
+    # b == 2 at internal points; sum covers the whole stacked block
+    # (zero halos) = 2 * 64
+    assert s1 == 128.0
+    s2 = sched()                    # same inputs -> same result
+    assert s2 == 128.0
+
+
+def test_schedule_scalar_rebind():
+    """Scalars can change per run without recompiling."""
+    grid = make_grid(8, 8, 2)
+    a, b, _ = setup(grid)
+    sched = Schedule((east_plus, b, a, 0.0))
+    sched(scalars=[5.0])
+    m = b.internal_mask_np()
+    want_plus5 = b.get_data()[m].copy()
+    sched(scalars=[0.0])
+    got = b.get_data()[m]
+    np.testing.assert_allclose(want_plus5 - got,
+                               np.full_like(got, 5.0), rtol=1e-12)
+
+
+def test_schedule_depth_guard_and_arity():
+    # a serial halo-0 grid cannot satisfy any off-point read
+    grid0 = dl.Grid(dl.ARAKAWA_C,
+                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                    dl.OFFSET_NE)
+    grid0.decompose(12, 10, ndomains=1, halo_width=0)
+    dl.grid_init(grid0, 1.0, 1.0)
+    a0, b0, _ = setup(grid0)
+    with pytest.raises(ValueError, match="halo depth"):
+        Schedule((east_plus, b0, a0, 1.0))
+
+    grid = make_grid(halo=1)
+    a, b, _ = setup(grid)
+    with pytest.raises(TypeError, match="caller arguments"):
+        Schedule((east_plus, b, a))   # missing the scalar
+
+
+def test_invoke_schedule_convenience_and_gridprops():
+    """invoke_schedule() + grid-property argument in a schedule."""
+    grid = make_grid(8, 8, 2)
+    a, b, _ = setup(grid)
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_DX_CONST)])
+    def scale_dx(out, x, dx):
+        return x * dx
+
+    invoke_schedule((scale_dx, b, a))
+    m = b.internal_mask_np()
+    np.testing.assert_allclose(b.get_data()[m], a.get_data()[m] * 1.0,
+                               rtol=1e-12)
+
+
+def test_flagship_kernel_in_schedule():
+    """The shipped continuity_psy kernel runs in a schedule and matches
+    its eager invoke."""
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+
+    ga, gb = make_grid(12, 10, 4), make_grid(12, 10, 4)
+    rng = np.random.default_rng(7)
+
+    def fields(grid):
+        f = {n: dl.Field(grid, p,
+                         init_global_data=rng.normal(size=(10, 12)) + 5)
+             for n, p in (("sshn", dl.T_POINTS), ("un", dl.U_POINTS),
+                          ("vn", dl.V_POINTS), ("depu", dl.U_POINTS),
+                          ("depv", dl.V_POINTS))}
+        f["ssha"] = dl.Field(grid, dl.T_POINTS)
+        return f
+
+    rng = np.random.default_rng(7)
+    fa = fields(ga)
+    rng = np.random.default_rng(7)
+    fb = fields(gb)
+    invoke(nl.continuity_psy, fa["ssha"], fa["sshn"], fa["un"], fa["vn"],
+           fa["depu"], fa["depv"], 20.0)
+    invoke_schedule((nl.continuity_psy, fb["ssha"], fb["sshn"], fb["un"],
+                     fb["vn"], fb["depu"], fb["depv"], 20.0))
+    np.testing.assert_array_equal(fb["ssha"].gather_inner_data(),
+                                  fa["ssha"].gather_inner_data())
