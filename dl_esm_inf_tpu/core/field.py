@@ -57,6 +57,14 @@ from .region import Halo, Region
 from ..parallel import halo as halo_mod
 
 
+def _sharding_nd(grid: Grid, lead: int):
+    """The canonical sharding with ``lead`` unsharded leading dims."""
+    if lead == 0:
+        return grid.sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(grid.mesh, P(*((None,) * lead), "y", "x"))
+
+
 def staggering_offsets(grid: Grid, point) -> tuple[int, int]:
     """(off_x, off_y) of the field's global internal region start."""
     point = GridPoints(point)
@@ -80,10 +88,18 @@ def _checksum_fn(acc_dtype_str: str):
 
 
 class Field:
-    """A real 2D field bound to a grid-point type (reference r2d_field)."""
+    """A real field bound to a grid-point type (reference r2d_field).
+
+    ``levels=None`` gives the reference's 2D field; ``levels=N`` a
+    MULTI-LEVEL (3D) field of shape ``(N, ny, nx)`` sharing one halo
+    exchange, checksum and gather — the 3D-real case the reference
+    aborts on (parallel_comms_mod.f90:1738-1742) falls out of the
+    stacked-array design (the level axis is just a leading dim of the
+    same sharded array; every level's strips ride the same messages).
+    """
 
     def __init__(self, grid: Grid, grid_points, init_global_data=None,
-                 dtype=None):
+                 dtype=None, levels: int | None = None):
         if grid.decomp is None or not grid._initialised:
             raise RuntimeError(
                 "grid must be decomposed and initialised before creating "
@@ -92,17 +108,32 @@ class Field:
         self.defined_on = GridPoints(grid_points)
         self.dtype = jnp.dtype(dtype) if dtype is not None else grid.dtype
         self._off = staggering_offsets(grid, self.defined_on)
+        if levels is not None and levels < 1:
+            raise ValueError(f"levels must be >= 1, got {levels}")
+        self.levels = levels
+        lead = () if levels is None else (int(levels),)
 
         d = grid.decomp
+        sharding = _sharding_nd(grid, len(lead))
         if init_global_data is not None:
-            stacked = layout.stack_global(
-                d, np.asarray(init_global_data), mode="zeros",
-                dtype=np.dtype(self.dtype))
-            self.data = jax.device_put(stacked, grid.sharding)
+            g = np.asarray(init_global_data)
+            want = lead + (d.global_ny, d.global_nx)
+            if g.shape != want:
+                raise ValueError(
+                    f"init_global_data shape {g.shape} != {want}")
+            if lead:
+                stacked = np.stack([
+                    layout.stack_global(d, g[k], mode="zeros",
+                                        dtype=np.dtype(self.dtype))
+                    for k in range(lead[0])])
+            else:
+                stacked = layout.stack_global(d, g, mode="zeros",
+                                              dtype=np.dtype(self.dtype))
+            self.data = jax.device_put(stacked, sharding)
         else:
             self.data = jax.device_put(
-                np.zeros((d.array_ny, d.array_nx), dtype=self.dtype),
-                grid.sharding)
+                np.zeros(lead + (d.array_ny, d.array_nx),
+                         dtype=self.dtype), sharding)
 
         self.halos = _periodic_bc_halos(self)
 
@@ -228,11 +259,12 @@ class Field:
     def set_data(self, array) -> None:
         """Replace the stacked array from host data (field_mod.f90:546-559)."""
         arr = np.asarray(array, dtype=self.dtype)
-        if arr.shape != self.grid.array_shape:
+        lead = () if self.levels is None else (self.levels,)
+        want = lead + self.grid.array_shape
+        if arr.shape != want:
             raise ValueError(
-                f"set_data expects stacked shape {self.grid.array_shape}, "
-                f"got {arr.shape}")
-        self.data = jax.device_put(arr, self.grid.sharding)
+                f"set_data expects stacked shape {want}, got {arr.shape}")
+        self.data = jax.device_put(arr, _sharding_nd(self.grid, len(lead)))
 
     def read_from_device(self, region: Region) -> np.ndarray:
         """Host copy of a sub-region of the stacked array — the analogue
@@ -240,7 +272,7 @@ class Field:
         of the reference's partial device->host sync
         (field_mod.f90:407-465)."""
         sy, sx = region.slices()
-        return np.asarray(jax.device_get(self.data[sy, sx]))
+        return np.asarray(jax.device_get(self.data[..., sy, sx]))
 
     def write_to_device(self, region: Region, values) -> None:
         """Update a sub-region (reference write_to_device,
@@ -248,7 +280,7 @@ class Field:
         field_mod.f90:467-525)."""
         sy, sx = region.slices()
         vals = jnp.asarray(np.asarray(values, dtype=self.dtype))
-        self.data = self.data.at[sy, sx].set(vals)
+        self.data = self.data.at[..., sy, sx].set(vals)
 
     def local_view(self, rank: int = 0) -> np.ndarray:
         """One rank's local array incl. halo ring — the per-rank
@@ -271,13 +303,14 @@ def copy_field_patch(field: Field, src: Region, dest: Region) -> None:
     """copy_2dfield_patch (field_mod.f90:1179-1187)."""
     ssy, ssx = src.slices()
     dsy, dsx = dest.slices()
-    field.data = field.data.at[dsy, dsx].set(field.data[ssy, ssx])
+    field.data = field.data.at[..., dsy, dsx].set(field.data[..., ssy, ssx])
 
 
 def set_field(fld: Field, val) -> None:
     """set_field (field_mod.f90:1191-1202)."""
-    fld.data = jnp.full(fld.grid.array_shape, val, dtype=fld.dtype)
-    fld.data = jax.device_put(fld.data, fld.grid.sharding)
+    lead = () if fld.levels is None else (fld.levels,)
+    fld.data = jnp.full(lead + fld.grid.array_shape, val, dtype=fld.dtype)
+    fld.data = jax.device_put(fld.data, _sharding_nd(fld.grid, len(lead)))
 
 
 def field_checksum(field: Field) -> float:

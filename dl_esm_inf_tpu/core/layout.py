@@ -112,7 +112,9 @@ def global_y_index(decomp: Decomposition) -> np.ndarray:
 
 
 def unstack_internal(decomp: Decomposition, stacked):
-    """Gather the in-domain internal points into a ``(gny, gnx)`` array.
+    """Gather the in-domain internal points into a ``(..., gny, gnx)``
+    array (leading dims — e.g. a multi-level field's level axis — are
+    carried through).
 
     Works on NumPy or JAX arrays (pure reshape/slice; on device this
     lowers to local slicing + a resharding gather when jitted).
@@ -121,9 +123,11 @@ def unstack_internal(decomp: Decomposition, stacked):
     w, hgt = decomp.tile_nx, decomp.tile_ny
     lx, ly = decomp.local_nx, decomp.local_ny
     px, py = decomp.nprocx, decomp.nprocy
-    a = stacked.reshape(py, ly, px, lx)[:, h: h + hgt, :, h: h + w]
-    a = a.reshape(py * hgt, px * w)
-    return a[: decomp.global_ny, : decomp.global_nx]
+    lead = stacked.shape[:-2]
+    a = stacked.reshape(lead + (py, ly, px, lx))[..., :, h: h + hgt,
+                                                 :, h: h + w]
+    a = a.reshape(lead + (py * hgt, px * w))
+    return a[..., : decomp.global_ny, : decomp.global_nx]
 
 
 def shard_view(decomp: Decomposition, stacked, rank: int):
@@ -131,4 +135,4 @@ def shard_view(decomp: Decomposition, stacked, rank: int):
 
     reference's per-rank ``field%data``.  A view for NumPy inputs."""
     sy, sx = decomp.shard_slices(rank)
-    return stacked[sy, sx]
+    return stacked[..., sy, sx]

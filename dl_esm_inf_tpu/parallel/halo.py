@@ -130,15 +130,15 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
     mx, my = spec.meshx, spec.meshy            # device mesh extents
     ly, lx = spec.local_ny, spec.local_nx
     blks = list(blks)
-    dtypes = [b.dtype for b in blks]
-    groups = []                       # [(dtype, [field indices])]
-    for k, dt in enumerate(dtypes):
-        for gdt, idxs in groups:
-            if gdt == dt:
+    sigs = [(b.dtype, b.ndim) for b in blks]
+    groups = []              # [((dtype, ndim), [field indices])]
+    for k, sig in enumerate(sigs):
+        for gsig, idxs in groups:
+            if gsig == sig:
                 idxs.append(k)
                 break
         else:
-            groups.append((dt, [k]))
+            groups.append((sig, [k]))
 
     def batch(strips):
         """strips: per-field edge strips -> one message per group."""
@@ -243,22 +243,30 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_exchange(mesh: Mesh, spec: HaloSpec, depth: int, nfields: int):
-    """Compile one exchange executable for (mesh, spec, depth, #fields)."""
+def _build_exchange(mesh: Mesh, spec: HaloSpec, depth: int,
+                    leads: tuple):
+    """Compile one exchange executable for (mesh, spec, depth,
+    per-field leading-dim counts)."""
 
     def body(*blks):
         out = _exchange_blocks(blks, spec, depth)
         return out[0] if len(out) == 1 else out
 
-    in_specs = tuple([P("y", "x")] * nfields)
-    out_specs = P("y", "x") if nfields == 1 else tuple([P("y", "x")] * nfields)
+    def pspec(lead):
+        return P(*((None,) * lead), "y", "x")
+
+    in_specs = tuple(pspec(m) for m in leads)
+    out_specs = in_specs[0] if len(leads) == 1 else in_specs
     fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs)
     return jax.jit(fn)
 
 
 def exchange(data, mesh: Mesh, spec: HaloSpec, depth: int = 1):
-    """Refresh the halo ring(s) of one stacked-layout array.
+    """Refresh the halo ring(s) of one stacked-layout array (leading
+    dims — e.g. a multi-level field's level axis — are carried along:
+    the 3D-real exchange the reference aborts on,
+    parallel_comms_mod.f90:1738-1742).
 
     Functional: returns a new array (JAX arrays are immutable).  The
     analogue of ``field%halo_exchange(depth)`` (field_mod.f90:1231-1256)
@@ -267,7 +275,7 @@ def exchange(data, mesh: Mesh, spec: HaloSpec, depth: int = 1):
     if depth < 1 or depth > spec.halo:
         raise ValueError(
             f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
-    return _build_exchange(mesh, spec, depth, 1)(data)
+    return _build_exchange(mesh, spec, depth, (data.ndim - 2,))(data)
 
 
 def exchange_multi(arrays, mesh: Mesh, spec: HaloSpec, depth: int = 1):
@@ -281,7 +289,8 @@ def exchange_multi(arrays, mesh: Mesh, spec: HaloSpec, depth: int = 1):
         raise ValueError(
             f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
     arrays = tuple(arrays)
-    out = _build_exchange(mesh, spec, depth, len(arrays))(*arrays)
+    leads = tuple(a.ndim - 2 for a in arrays)
+    out = _build_exchange(mesh, spec, depth, leads)(*arrays)
     return list(out) if isinstance(out, tuple) else [out]
 
 

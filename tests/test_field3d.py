@@ -1,0 +1,118 @@
+"""Multi-level (3D) fields: the reference aborts on 3D-real exchange
+(parallel_comms_mod.f90:1738-1742); here the level axis is a leading
+dim of the same stacked sharded array — one exchange, checksum and
+gather serve every level."""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.testing import hill_stacked, init_field_hill
+
+
+def make_grid(gnx=12, gny=10, ndom=4, halo=1, wrap=False):
+    bcs = ((dl.BC_PERIODIC if wrap else dl.BC_EXTERNAL,) * 2
+           + (dl.BC_NONE,))
+    grid = dl.Grid(dl.ARAKAWA_C, bcs, dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=ndom, halo_width=halo)
+    dl.grid_init(grid, 1.0, 1.0)
+    return grid
+
+
+def unique_levels(gny, gnx, nlev):
+    base = np.arange(gny * gnx, dtype=float).reshape(gny, gnx)
+    return np.stack([base + 10000.0 * k for k in range(nlev)])
+
+
+def test_levels_exchange_equals_per_level_2d():
+    """One 3D exchange == N independent 2D exchanges, level by level."""
+    gnx, gny, nlev = 12, 10, 3
+    grid = make_grid(gnx, gny)
+    g = unique_levels(gny, gnx, nlev)
+    f3 = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=nlev)
+    f3.halo_exchange(1)
+    for k in range(nlev):
+        f2 = dl.Field(grid, dl.T_POINTS, init_global_data=g[k])
+        f2.halo_exchange(1)
+        np.testing.assert_array_equal(f3.get_data()[k], f2.get_data(),
+                                      err_msg=f"level {k}")
+
+
+def test_levels_checksum_gather_scatter():
+    gnx, gny, nlev = 10, 8, 4
+    grid = make_grid(gnx, gny, ndom=2)
+    g = unique_levels(gny, gnx, nlev)
+    f = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=nlev)
+    # checksum sums |internal| over ALL levels
+    want = sum(np.abs(g[k]).sum() for k in range(nlev))
+    assert abs(f.checksum() - want) < 1e-6 * want
+    # gather returns the (nlev, gny, gnx) global stack
+    got = f.gather_inner_data()
+    assert got.shape == (nlev, gny, gnx)
+    np.testing.assert_array_equal(got, g)
+
+
+def test_levels_periodic_wrap():
+    gnx, gny, nlev = 12, 12, 2
+    grid = make_grid(gnx, gny, ndom=4, wrap=True)
+    g = unique_levels(gny, gnx, nlev)
+    f = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=nlev)
+    f.halo_exchange(1)
+    for k in range(nlev):
+        f2 = dl.Field(grid, dl.T_POINTS, init_global_data=g[k])
+        f2.halo_exchange(1)
+        np.testing.assert_array_equal(f.get_data()[k], f2.get_data(),
+                                      err_msg=f"level {k}")
+
+
+def test_levels_mixed_multi_exchange():
+    """exchange_multi with mixed 2D and 3D fields (and dtypes) in one
+    program: rank grouping must keep the messages apart."""
+    from dl_esm_inf_tpu.parallel.halo import exchange, exchange_multi
+    gnx, gny, nlev = 12, 10, 2
+    grid = make_grid(gnx, gny)
+    g = unique_levels(gny, gnx, nlev)
+    f3 = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=nlev)
+    f2 = dl.Field(grid, dl.T_POINTS, init_global_data=g[0] + 7.0)
+    outs = exchange_multi([f3.data, f2.data], grid.mesh, grid.halo_spec)
+    want3 = exchange(f3.data, grid.mesh, grid.halo_spec)
+    want2 = exchange(f2.data, grid.mesh, grid.halo_spec)
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(want3))
+    np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(want2))
+
+
+def test_levels_device_io_and_set_field():
+    from dl_esm_inf_tpu.core.field import set_field
+    grid = make_grid(10, 8, ndom=1)
+    f = dl.Field(grid, dl.T_POINTS, levels=3)
+    set_field(f, 2.0)
+    assert f.get_data().shape[0] == 3 and np.all(f.get_data() == 2.0)
+    f.write_to_device(dl.Region(2, 5, 2, 5), np.full((3, 3, 3), 9.0))
+    quad = f.read_from_device(dl.Region(2, 5, 2, 5))
+    assert quad.shape == (3, 3, 3) and np.all(quad == 9.0)
+
+
+def test_levels_overdecomposed():
+    """3D exchange through the over-decomposed (tiles-per-device)
+    path."""
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(24, 24, ndomainx=4, ndomainy=4, halo_width=1)
+    dl.grid_init(grid, 1.0, 1.0)
+    g = unique_levels(24, 24, 2)
+    f = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=2)
+    f.halo_exchange(1)
+    for k in range(2):
+        f2 = dl.Field(grid, dl.T_POINTS, init_global_data=g[k])
+        f2.halo_exchange(1)
+        np.testing.assert_array_equal(f.get_data()[k], f2.get_data(),
+                                      err_msg=f"level {k}")
+
+
+def test_levels_validation():
+    grid = make_grid()
+    with pytest.raises(ValueError, match="levels"):
+        dl.Field(grid, dl.T_POINTS, levels=0)
+    with pytest.raises(ValueError, match="init_global_data"):
+        dl.Field(grid, dl.T_POINTS, levels=2,
+                 init_global_data=np.zeros((10, 12)))
