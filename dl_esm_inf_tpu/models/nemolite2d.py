@@ -77,6 +77,10 @@ def continuity(sshn_t, un, vn, depu, depv, *, rdt, dx, dy):
     formula symmetry."""
     fx = depu * un
     fy = depv * vn
+    if isinstance(dx, (int, float)) and dx == dy:
+        # square cells (the common case): one shared scale factor
+        return sshn_t - (rdt / dx) * ((fx - st.xm(fx))
+                                      + (fy - st.ym(fy)))
     return sshn_t - ((rdt / dx) * (fx - st.xm(fx))
                      + (rdt / dy) * (fy - st.ym(fy)))
 
@@ -109,7 +113,7 @@ def continuity_psy(ssha, sshn, un, vn, depu, depv, rdt, dx, dy):
               Arg(GO_READ, GO_CV, _FULL)],
         name="momentum_u")
 def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
-               dx, dy, fcor, recip=None, dep_u=None, z=None):
+               dx, dy, fcor, recip=None, dep_u=None, z=None, fric=None):
     """ua at U faces: advection + viscosity + Coriolis + pressure
     gradient + semi-implicit bottom friction.
 
@@ -164,10 +168,13 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
 
     # --- time update with semi-implicit linear bottom friction.
     # (un*dep + T)/dep is applied as un + T/dep: one fewer multiply and
-    # better conditioned (the dep*recip(dep) ulp never touches un) --------
+    # better conditioned (the dep*recip(dep) ulp never touches un).
+    # ``fric`` lets the caller fold the wet-face mask into the friction
+    # factor (one hoisted array multiply instead of scalar + mask) -------
     rd = recip(dep_u) if recip is not None else 1.0 / dep_u
-    ua = (un + (term_x + term_y + cor + hpg) * rd) \
-        * (1.0 / (1.0 + p.cbfr * p.rdt))
+    if fric is None:
+        fric = 1.0 / (1.0 + p.cbfr * p.rdt)
+    ua = (un + (term_x + term_y + cor + hpg) * rd) * fric
     return ua
 
 
@@ -179,7 +186,7 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
               Arg(GO_READ, GO_CU, _FULL)],
         name="momentum_v")
 def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
-               dx, dy, fcor, recip=None, dep_v=None, z=None):
+               dx, dy, fcor, recip=None, dep_v=None, z=None, fric=None):
     """Mirror of :func:`momentum_u` in the same roll-minimal form."""
     if dep_v is None:
         dep_v = hv + sshn_v
@@ -209,8 +216,9 @@ def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
     hpg = (-p.rdt * p.g / dy) * dep_v * (st.yp(ssha_t) - ssha_t)
 
     rd = recip(dep_v) if recip is not None else 1.0 / dep_v
-    va = (vn + (term_y + term_x + cor + hpg) * rd) \
-        * (1.0 / (1.0 + p.cbfr * p.rdt))
+    if fric is None:
+        fric = 1.0 / (1.0 + p.cbfr * p.rdt)
+    va = (vn + (term_y + term_x + cor + hpg) * rd) * fric
     return va
 
 
@@ -305,6 +313,8 @@ class StepPrep(NamedTuple):
     flv_b: object
     wu: object          # 1 - u_wet/2: next_sshu wet-neighbour weight
     wv: object          # 1 - v_wet/2
+    fu: object          # u_wet / (1 + cbfr*rdt): masked friction factor
+    fv: object
     ht: object          # T/U/V total-depth bases (scalars or windows)
     hu: object
     hv: object
@@ -330,9 +340,11 @@ def make_prep(mask_codes, depth, p: Params, dtype, masks=None) -> StepPrep:
         hv = st.avg_y(ht)
     cu = -jnp.sqrt(p.g / jnp.maximum(hu, 1e-3))
     cv = -jnp.sqrt(p.g / jnp.maximum(hv, 1e-3))
+    fric = 1.0 / (1.0 + p.cbfr * p.rdt)
     return StepPrep(t_wet, u_wet, v_wet,
                     t_wet > 0, bc_cells > 0, flather_u > 0, flather_v > 0,
                     1.0 - 0.5 * u_wet, 1.0 - 0.5 * v_wet,
+                    fric * u_wet, fric * v_wet,
                     ht, hu, hv, cu, cv)
 
 
@@ -390,12 +402,12 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
 
     ua = momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv,
                     p=p, dx=dx, dy=dy, fcor=fcor, recip=recip,
-                    dep_u=depu, z=z)
+                    dep_u=depu, z=z, fric=pr.fu)
     va = momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu,
                     p=p, dx=dx, dy=dy, fcor=fcor, recip=recip,
-                    dep_v=depv, z=z)
-    ua = jnp.where(pr.flu_b, pr.cu * sshn_u, ua * pr.u_wet)
-    va = jnp.where(pr.flv_b, pr.cv * sshn_v, va * pr.v_wet)
+                    dep_v=depv, z=z, fric=pr.fv)
+    ua = jnp.where(pr.flu_b, pr.cu * sshn_u, ua)
+    va = jnp.where(pr.flv_b, pr.cv * sshn_v, va)
 
     return ssha_t, ua, va
 
