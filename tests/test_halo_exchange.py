@@ -39,24 +39,33 @@ def check_hill_halos(field, depth=1):
         orc = oracle[sy, sx]
         r = field.internal_region(rank)
         for dd in range(1, depth + 1):
+            # in_domain: a deep halo cell whose GLOBAL position falls
+            # beyond the domain (a remainder neighbour shallower than
+            # the depth) legitimately receives the neighbour's masked
+            # padding — the pad-and-mask contract says its content is
+            # unspecified, so it is excluded from the oracle.
             strips = {
                 "-x": (slice(r.ystart, r.ystop), r.xstart - dd,
-                       sub.global_.xstart > 0),
+                       sub.global_.xstart > 0,
+                       sub.global_.xstart - dd >= 0),
                 "+x": (slice(r.ystart, r.ystop), r.xstop - 1 + dd,
-                       sub.global_.xstop < field.grid.global_nx),
+                       sub.global_.xstop < field.grid.global_nx,
+                       sub.global_.xstop - 1 + dd < field.grid.global_nx),
                 "-y": (r.ystart - dd, slice(r.xstart, r.xstop),
-                       sub.global_.ystart > 0),
+                       sub.global_.ystart > 0,
+                       sub.global_.ystart - dd >= 0),
                 "+y": (r.ystop - 1 + dd, slice(r.xstart, r.xstop),
-                       sub.global_.ystop < field.grid.global_ny),
+                       sub.global_.ystop < field.grid.global_ny,
+                       sub.global_.ystop - 1 + dd < field.grid.global_ny),
             }
-            for name, (yy, xx, has_neighbour) in strips.items():
+            for name, (yy, xx, has_neighbour, in_domain) in strips.items():
                 got = loc[yy, xx]
-                if has_neighbour:
+                if has_neighbour and in_domain:
                     want = orc[yy, xx]
                     assert np.allclose(got, want, atol=TOL), (
                         f"rank {rank} {name} depth {dd} halo wrong: "
                         f"{got} != {want}")
-                else:
+                elif not has_neighbour:
                     assert np.all(got == POISON), (
                         f"rank {rank} {name} halo has no neighbour but was "
                         f"overwritten: {got}")
