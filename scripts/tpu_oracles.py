@@ -58,6 +58,37 @@ def main():
     assert all(abs(v - 40.0) < 1e-3 for v in sums.values()), sums
     print("example-model oracle   OK (4 checksums == 40)")
 
+    # --- multi-level fields + kernel schedule (compiled) --------------
+    from dl_esm_inf_tpu.api.kernel_meta import (GO_READ, GO_WRITE, GO_CT,
+                                                Schedule, go_arg,
+                                                go_stencil, invoke,
+                                                kernel)
+    from dl_esm_inf_tpu.ops import stencils as st
+
+    g3 = np.stack([vals + 1000.0 * k for k in range(3)])
+    f3 = dl.Field(grid, dl.T_POINTS, init_global_data=g3, levels=3)
+    f3.halo_exchange(1)
+    got3 = f3.gather_inner_data()
+    np.testing.assert_allclose(got3, g3, rtol=1e-6)
+    print("multi-level oracle     OK (3-level exchange + gather)")
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))])
+    def east(out, x):
+        return st.xp(x)
+
+    fa = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    fb = dl.Field(grid, dl.T_POINTS)
+    fc = dl.Field(grid, dl.T_POINTS)
+    invoke(east, fb, fa)
+    invoke(east, fc, fb)
+    want_c = fc.gather_inner_data()
+    fb2 = dl.Field(grid, dl.T_POINTS)
+    fc2 = dl.Field(grid, dl.T_POINTS)
+    Schedule((east, fb2, fa), (east, fc2, fb2))()
+    np.testing.assert_allclose(fc2.gather_inner_data(), want_c, rtol=1e-6)
+    print("schedule oracle        OK (2-kernel chain == eager invokes)")
+
     # --- COMPILED remote-DMA transports, self-loopback ----------------
     # A 1x1 doubly-periodic mesh makes every remote DMA a send-to-self:
     # the only way to execute the compiled (non-interpret) Mosaic
