@@ -229,14 +229,22 @@ def _is_written(a: Arg) -> bool:
     return a.access in (Access.WRITE, Access.READWRITE, Access.INC)
 
 
+def _blk_spec(lead: int):
+    """The stacked-layout PartitionSpec with ``lead`` leading dims
+    (multi-level fields carry their level axis unsharded)."""
+    return P(*((None,) * lead), "y", "x")
+
+
 @functools.lru_cache(maxsize=None)
 def _build_program(fn_id, meta: KernelMeta, mesh, order: tuple,
-                   n_written: int, n_reductions: int):
+                   n_written: int, n_reductions: int,
+                   array_leads: tuple = (), written_leads: tuple = ()):
     """Compile the shard_map program for one (kernel, mesh, signature).
 
     ``order`` encodes, per declared argument, whether the kernel body
     receives it from the arrays tuple or the scalars tuple — preserving
-    declaration order.
+    declaration order; ``array_leads``/``written_leads`` carry each
+    array's leading-dim count (multi-level fields).
     """
     fn = _PROGRAM_FNS[fn_id]
 
@@ -267,9 +275,14 @@ def _build_program(fn_id, meta: KernelMeta, mesh, order: tuple,
     blk = P("y", "x")
     n_arrays = sum(1 for kind, _ in order if kind == "a")
     n_scalars = len(order) - n_arrays
-    in_specs = (tuple([blk] * n_arrays), tuple([P()] * n_scalars),
-                tuple([blk] * n_written), tuple([blk] * n_written))
-    out_specs = tuple([blk] * n_written) + tuple([P()] * n_reductions)
+    aleads = array_leads or (0,) * n_arrays
+    wleads = written_leads or (0,) * n_written
+    in_specs = (tuple(_blk_spec(m) for m in aleads),
+                tuple([P()] * n_scalars),
+                tuple(_blk_spec(m) for m in wleads),
+                tuple([blk] * n_written))
+    out_specs = (tuple(_blk_spec(m) for m in wleads)
+                 + tuple([P()] * n_reductions))
     smapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs)
     return jax.jit(smapped)
@@ -381,7 +394,8 @@ def invoke(kern, *args, exchange_halos: bool = True):
             if meta.iterates_over == GO_INTERNAL_PTS:
                 masks.append(f.internal_mask)
             elif meta.iterates_over == GO_ALL_PTS:
-                masks.append(jnp.ones_like(f.data))
+                # 2D: masks broadcast over any leading (level) dims
+                masks.append(jnp.ones(f.grid.array_shape, f.dtype))
             else:  # EXTERNAL_PTS
                 masks.append(1.0 - f.internal_mask)
 
@@ -389,7 +403,9 @@ def invoke(kern, *args, exchange_halos: bool = True):
     fn_id = id(kern)
     _PROGRAM_FNS[fn_id] = kern
     prog = _build_program(fn_id, meta, grid.mesh, tuple(order),
-                          len(written_fields), n_red)
+                          len(written_fields), n_red,
+                          tuple(a.ndim - 2 for a in arrays),
+                          tuple(a.ndim - 2 for a in old_written))
     outs = prog(tuple(arrays), tuple(scalars), tuple(old_written),
                 tuple(masks))
     for f, nb in zip(written_fields, outs[: len(written_fields)]):
@@ -526,7 +542,8 @@ class Schedule:
                         if meta.iterates_over == GO_INTERNAL_PTS:
                             m = f.internal_mask
                         elif meta.iterates_over == GO_ALL_PTS:
-                            m = jnp.ones_like(f.data)
+                            # 2D: broadcasts over any level dims
+                            m = jnp.ones(f.grid.array_shape, f.dtype)
                         else:
                             m = 1.0 - f.internal_mask
                         mask_index[mkey] = len(self._masks)
@@ -555,10 +572,10 @@ class Schedule:
 
         key = tuple((s["fn_id"], s["binding"], s["written"], s["exch"],
                      s["n_red"]) for s in self._steps)
-        self._prog = _build_schedule(key, self._grid.mesh,
-                                     self._grid.halo_spec,
-                                     len(self._slots), len(self._consts),
-                                     len(self._scalars), len(self._masks))
+        self._prog = _build_schedule(
+            key, self._grid.mesh, self._grid.halo_spec,
+            tuple(f.data.ndim - 2 for f in self._slots),
+            len(self._consts), len(self._scalars), len(self._masks))
 
     def __call__(self, scalars=None):
         sc = list(self._scalars) if scalars is None else list(scalars)
@@ -579,7 +596,7 @@ class Schedule:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_schedule(key, mesh, spec, n_slots, n_consts, n_scalars,
+def _build_schedule(key, mesh, spec, slot_leads, n_consts, n_scalars,
                     n_masks):
     """One jitted shard_map program for a whole kernel schedule."""
     from ..parallel.halo import _exchange_blocks
@@ -621,9 +638,10 @@ def _build_schedule(key, mesh, spec, n_slots, n_consts, n_scalars,
 
     blk = P("y", "x")
     n_red_total = sum(n_red for *_, n_red in key)
-    in_specs = (tuple([blk] * n_slots), tuple([blk] * n_consts),
+    slot_specs = tuple(_blk_spec(m) for m in slot_leads)
+    in_specs = (slot_specs, tuple([blk] * n_consts),
                 tuple([P()] * n_scalars), tuple([blk] * n_masks))
-    out_specs = tuple([blk] * n_slots) + tuple([P()] * n_red_total)
+    out_specs = slot_specs + tuple([P()] * n_red_total)
     smapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs)
     return jax.jit(smapped)

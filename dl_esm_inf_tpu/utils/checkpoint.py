@@ -57,9 +57,19 @@ def load_fields(path: str, fields: dict) -> dict:
                 raise KeyError(f"checkpoint {path} has no field {name!r}")
             g = data[name]
             if isinstance(fld, Field):
-                stacked = layout.stack_global(fld.grid.decomp, g,
-                                              mode="zeros",
-                                              dtype=np.dtype(fld.dtype))
+                dt = np.dtype(fld.dtype)
+                if fld.levels is not None:
+                    if g.shape[0] != fld.levels:
+                        raise ValueError(
+                            f"checkpoint field {name!r} has {g.shape[0]} "
+                            f"levels, field expects {fld.levels}")
+                    stacked = np.stack([
+                        layout.stack_global(fld.grid.decomp, g[k],
+                                            mode="zeros", dtype=dt)
+                        for k in range(fld.levels)])
+                else:
+                    stacked = layout.stack_global(fld.grid.decomp, g,
+                                                  mode="zeros", dtype=dt)
                 fld.set_data(stacked)
                 fld.halo_exchange(1)
             else:
@@ -99,11 +109,16 @@ def _model_fields(model):
 # Orbax backend: sharded checkpoints WITHOUT a host gather.
 # ---------------------------------------------------------------------------
 
-def _unstack_device(fld: Field):
-    """Field -> GLOBAL-form (gny, gnx) jax array, sharded over the
-    field's mesh — no host gather, no single-device gather."""
-    import jax
+def _sharding_nd(grid, lead: int):
     from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(grid.mesh, P(*((None,) * lead), "y", "x"))
+
+
+def _unstack_device(fld: Field):
+    """Field -> GLOBAL-form (..., gny, gnx) jax array, sharded over the
+    field's mesh — no host gather, no single-device gather.  Leading
+    dims (multi-level fields) are carried through."""
+    import jax
 
     grid = fld.grid
     decomp = grid.decomp
@@ -111,40 +126,47 @@ def _unstack_device(fld: Field):
     def fn(d):
         return layout.unstack_internal(decomp, d)
 
-    return jax.jit(fn, out_shardings=NamedSharding(
-        grid.mesh, P("y", "x")))(fld.data)
+    lead = fld.data.ndim - 2
+    return jax.jit(fn, out_shardings=_sharding_nd(grid, lead))(fld.data)
 
 
 def _stack_device(fld: Field, g):
     """GLOBAL-form sharded array -> the field's stacked layout, with
-    zeroed halo/padding (the npz path's mode="zeros"), on device."""
+    zeroed halo/padding (the npz path's mode="zeros"), on device.
+    Leading dims (multi-level fields) are carried through."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     grid = fld.grid
     d = grid.decomp
     h = d.halo
-    sh = NamedSharding(grid.mesh, P("y", "x"))
+    lead = g.ndim - 2
+    sh = _sharding_nd(grid, lead)
+    pspec = P(*((None,) * lead), "y", "x")
+    zero = ((0, 0),) * lead
 
     ry = getattr(grid.halo_spec, "repy", 1)
     rx = getattr(grid.halo_spec, "repx", 1)
 
     def fn(gg):
-        gp = jnp.pad(gg, ((0, d.nprocy * d.tile_ny - d.global_ny),
-                          (0, d.nprocx * d.tile_nx - d.global_nx)))
+        gp = jnp.pad(gg, zero + ((0, d.nprocy * d.tile_ny - d.global_ny),
+                                 (0, d.nprocx * d.tile_nx - d.global_nx)))
         gp = jax.lax.with_sharding_constraint(gp, sh)
 
         def blk(b):
             # a device block holds (ry, rx) logical tiles; each gets its
             # own halo/padding ring (over-decomposition-aware)
-            v = b.reshape(ry, d.tile_ny, rx, d.tile_nx)
-            v = jnp.pad(v, ((0, 0), (h, d.local_ny - d.tile_ny - h),
-                            (0, 0), (h, d.local_nx - d.tile_nx - h)))
-            return v.reshape(ry * d.local_ny, rx * d.local_nx)
+            v = b.reshape(b.shape[:-2] + (ry, d.tile_ny, rx, d.tile_nx))
+            v = jnp.pad(v, zero + ((0, 0),
+                                   (h, d.local_ny - d.tile_ny - h),
+                                   (0, 0),
+                                   (h, d.local_nx - d.tile_nx - h)))
+            return v.reshape(b.shape[:-2] + (ry * d.local_ny,
+                                             rx * d.local_nx))
 
-        return jax.shard_map(blk, mesh=grid.mesh, in_specs=P("y", "x"),
-                             out_specs=P("y", "x"))(gp)
+        return jax.shard_map(blk, mesh=grid.mesh, in_specs=pspec,
+                             out_specs=pspec)(gp)
 
     return jax.jit(fn, out_shardings=sh)(g)
 
@@ -173,14 +195,14 @@ def load_fields_orbax(path: str, fields: dict) -> int:
     array directly).  Returns the saved step."""
     import jax
     import orbax.checkpoint as ocp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     target = {}
     for name, fld in fields.items():
         d = fld.grid.decomp
+        lead = () if fld.levels is None else (fld.levels,)
         target[name] = jax.ShapeDtypeStruct(
-            (d.global_ny, d.global_nx), np.dtype(fld.dtype),
-            sharding=NamedSharding(fld.grid.mesh, P("y", "x")))
+            lead + (d.global_ny, d.global_nx), np.dtype(fld.dtype),
+            sharding=_sharding_nd(fld.grid, len(lead)))
     target["__step__"] = np.asarray(0, dtype=np.int64)
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), target)

@@ -109,6 +109,57 @@ def test_levels_overdecomposed():
                                       err_msg=f"level {k}")
 
 
+def test_levels_checkpoint_roundtrips(tmp_path):
+    """npz and orbax checkpoints carry multi-level fields; the orbax
+    restore is mesh-elastic for them too."""
+    from dl_esm_inf_tpu.utils import checkpoint
+    gnx, gny, nlev = 16, 16, 3
+    grid4 = make_grid(gnx, gny, ndom=4)
+    g = unique_levels(gny, gnx, nlev)
+    f = dl.Field(grid4, dl.T_POINTS, init_global_data=g, levels=nlev)
+
+    checkpoint.save_fields(str(tmp_path / "ck.npz"), {"f": f})
+    fb = dl.Field(grid4, dl.T_POINTS, levels=nlev)
+    checkpoint.load_fields(str(tmp_path / "ck.npz"), {"f": fb})
+    np.testing.assert_array_equal(fb.gather_inner_data(), g)
+
+    checkpoint.save_fields_orbax(str(tmp_path / "cko"), {"f": f})
+    grid8 = make_grid(gnx, gny, ndom=8)
+    fc = dl.Field(grid8, dl.T_POINTS, levels=nlev)
+    checkpoint.load_fields_orbax(str(tmp_path / "cko"), {"f": fc})
+    np.testing.assert_array_equal(fc.gather_inner_data(), g)
+
+
+def test_levels_invoke_and_schedule():
+    """The metadata layer (invoke + Schedule) runs on multi-level
+    fields: the level axis rides through the shard_map specs and the
+    2D masks broadcast over it."""
+    from dl_esm_inf_tpu.api.kernel_meta import (GO_READ, GO_WRITE, GO_CT,
+                                                Schedule, go_arg,
+                                                go_stencil, invoke,
+                                                kernel)
+    from dl_esm_inf_tpu.ops import stencils as st
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))])
+    def east(out, x):
+        return st.xp(x)
+
+    gnx, gny, nlev = 16, 12, 2
+    grid = make_grid(gnx, gny, ndom=4)
+    g = unique_levels(gny, gnx, nlev)
+    f = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=nlev)
+    out = dl.Field(grid, dl.T_POINTS, levels=nlev)
+    invoke(east, out, f)
+    got = out.gather_inner_data()
+    # interior columns shift east by one; seams must be invisible
+    np.testing.assert_array_equal(got[:, :, :-1], g[:, :, 1:])
+
+    out2 = dl.Field(grid, dl.T_POINTS, levels=nlev)
+    Schedule((east, out2, f))()
+    np.testing.assert_array_equal(out2.gather_inner_data(), got)
+
+
 def test_levels_validation():
     grid = make_grid()
     with pytest.raises(ValueError, match="levels"):
