@@ -36,11 +36,16 @@ def dump_field(field: Field, path: str, halo_depth: int = 0,
                  for r in range(d.ndomains)])
         np.savez_compressed(path, x=x, y=y, data=g, **extra)
     elif fmt == "dat":
+        levels = g.reshape((1,) + g.shape) if g.ndim == 2 else g
         with open(path, "w") as f:
-            for j in range(g.shape[0]):
-                for i in range(g.shape[1]):
-                    f.write(f"{x[i]:.6e} {y[j]:.6e} {g[j, i]:.6e}\n")
-                f.write("\n")
+            for k in range(levels.shape[0]):
+                if levels.shape[0] > 1:
+                    f.write(f"# level {k}\n")
+                gk = levels[k]
+                for j in range(gk.shape[0]):
+                    for i in range(gk.shape[1]):
+                        f.write(f"{x[i]:.6e} {y[j]:.6e} {gk[j, i]:.6e}\n")
+                    f.write("\n")
     else:
         raise ValueError(f"unknown dump format {fmt!r}")
 

@@ -64,9 +64,13 @@ def comms_schedule(spec: HaloSpec, depth: int = 1) -> list[dict]:
     """The static message schedule one exchange executes.
 
     Each entry is one ppermute phase: axis, direction, the (src, dst)
-    device pairs, and the strip shape in elements.  The analogue of the
-    reference's per-message DEBUG_COMMS logs
-    (parallel_comms_mod.f90:1613-1661), but available statically.
+    LOGICAL-TILE pairs, and the strip shape in elements.  With one tile
+    per device (repx == repy == 1) tile indices ARE device indices;
+    under over-decomposition, pairs whose tiles share a device are
+    local strip moves and only the device-crossing pairs become
+    collective messages.  The analogue of the reference's per-message
+    DEBUG_COMMS logs (parallel_comms_mod.f90:1613-1661), but available
+    statically.
     """
     if depth < 1 or depth > spec.halo:
         raise ValueError(
