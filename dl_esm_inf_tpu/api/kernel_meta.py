@@ -235,6 +235,81 @@ def _blk_spec(lead: int):
     return P(*((None,) * lead), "y", "x")
 
 
+def _space_mask(f, space):
+    """The write mask of one field for an iteration space.  Always 2D:
+    it broadcasts over any leading (level) dims."""
+    if space == GO_INTERNAL_PTS:
+        return f.internal_mask
+    if space == GO_ALL_PTS:
+        return jnp.ones(f.grid.array_shape, f.dtype)
+    return 1.0 - f.internal_mask
+
+
+def _bind_call(meta: KernelMeta, args):
+    """Resolve one kernel call's declared Args against caller args.
+
+    SHARED by :func:`invoke` (eager) and :class:`Schedule` (compiled
+    sequences) so the two binding paths cannot drift.  Performs the
+    arity and type checks, resolves the grid from the first Field, and
+    returns ``(grid, records)`` — one record per declared argument, in
+    declaration order:
+
+    * ``("gscalar", value, a)`` — hidden grid-property scalar
+    * ``("garray", value, a)`` — grid-property array
+    * ``("scalar", value, a)`` — caller-supplied scalar
+    * ``("reduction", None, a)`` — reduction output slot
+    * ``("field", field, a)``
+    """
+    consumable = [a for a in meta.args
+                  if not isinstance(a.element, GridProp)
+                  and not (a.element in (Element.R_SCALAR,
+                                         Element.I_SCALAR)
+                           and _is_reduction(a))]
+    if len(args) != len(consumable):
+        raise TypeError(
+            f"kernel {meta.name} declares {len(consumable)} caller "
+            f"arguments (after grid properties and reduction outputs), "
+            f"got {len(args)}")
+    field_args = [a for a in args if isinstance(a, Field)]
+    if not field_args:
+        raise ValueError(f"kernel {meta.name} needs at least one Field arg")
+    grid = field_args[0].grid
+
+    records = []
+    it = iter(args)
+    for a in meta.args:
+        if isinstance(a.element, GridProp):
+            getter = _GRID_PROP_GETTERS.get(a.element)
+            if getter is None:
+                raise NotImplementedError(
+                    f"grid property {a.element!r} not available")
+            kind = "gscalar" if _is_scalar_arg(a) else "garray"
+            records.append((kind, getter(grid), a))
+        elif a.element in (Element.R_SCALAR, Element.I_SCALAR):
+            if _is_reduction(a):
+                records.append(("reduction", None, a))
+                continue
+            val = next(it)
+            if isinstance(val, Field):
+                raise TypeError(
+                    f"kernel {meta.name}: argument declared scalar "
+                    f"received a Field")
+            records.append(("scalar", val, a))
+        else:
+            f = next(it)
+            if not isinstance(f, Field):
+                raise TypeError(
+                    f"kernel {meta.name}: argument declared {a.element!r} "
+                    f"must be a Field, got {type(f)}")
+            records.append(("field", f, a))
+    return grid, records
+
+
+def _reads_off_point(a: Arg) -> bool:
+    return (a.access in (Access.READ, Access.READWRITE, Access.INC)
+            and a.stencil.reaches_off_point())
+
+
 @functools.lru_cache(maxsize=None)
 def _build_program(fn_id, meta: KernelMeta, mesh, order: tuple,
                    n_written: int, n_reductions: int,
@@ -301,34 +376,7 @@ def invoke(kern, *args, exchange_halos: bool = True):
     is replaced); reduction results are returned.
     """
     meta: KernelMeta = kern._meta
-    arrays = []
-    scalars = []
-    order = []           # ("a"|"s", index) per declared arg
-    old_written = []
-    masks = []
-    written_fields = []
-    grid = None
-
-    # Arity check BEFORE consuming: grid properties and reduction
-    # scalars are not caller-supplied, everything else is — a silent
-    # mismatch would shift every later binding (wrong physics, no
-    # diagnostic).
-    consumable = [a for a in meta.args
-                  if not isinstance(a.element, GridProp)
-                  and not (a.element in (Element.R_SCALAR, Element.I_SCALAR)
-                           and _is_reduction(a))]
-    if len(args) != len(consumable):
-        raise TypeError(
-            f"kernel {meta.name} declares {len(consumable)} caller "
-            f"arguments (after grid properties and reduction outputs), "
-            f"got {len(args)}")
-    it = iter(args)
-
-    # First pass: find the grid (needed to resolve grid properties).
-    field_args = [a for a in args if isinstance(a, Field)]
-    if not field_args:
-        raise ValueError(f"kernel {meta.name} needs at least one Field arg")
-    grid = field_args[0].grid
+    grid, records = _bind_call(meta, args)
 
     # Coalesce the halo refreshes of every off-point-read argument into
     # ONE exchange (4 collectives total via exchange_multi, instead of
@@ -336,14 +384,8 @@ def invoke(kern, *args, exchange_halos: bool = True):
     if exchange_halos:
         need = []
         depth = 0
-        pos = 0
-        for a in consumable:
-            val = args[pos]
-            pos += 1
-            if (isinstance(val, Field)
-                    and a.access in (Access.READ, Access.READWRITE,
-                                     Access.INC)
-                    and a.stencil.reaches_off_point()
+        for kind, val, a in records:
+            if (kind == "field" and _reads_off_point(a)
                     and all(val is not f for f in need)):
                 need.append(val)
                 depth = max(depth, a.stencil.depth())
@@ -354,50 +396,30 @@ def invoke(kern, *args, exchange_halos: bool = True):
             for f, nd in zip(need, fresh):
                 f.data = nd
 
-    for a in meta.args:
-        if isinstance(a.element, GridProp):
-            getter = _GRID_PROP_GETTERS.get(a.element)
-            if getter is None:
-                raise NotImplementedError(
-                    f"grid property {a.element!r} not available")
-            val = getter(grid)
-            if _is_scalar_arg(a):
-                order.append(("s", len(scalars)))
-                scalars.append(val)
-            else:
-                order.append(("a", len(arrays)))
-                arrays.append(val)
-            continue
-        if a.element in (Element.R_SCALAR, Element.I_SCALAR):
-            if _is_reduction(a):
-                # reduction scalars are outputs: returned by the kernel
-                # body, reduced over the mesh, handed back to the caller
-                continue
-            val = next(it)
-            if isinstance(val, Field):
-                raise TypeError(
-                    f"kernel {meta.name}: argument declared scalar "
-                    f"received a Field")
+    arrays = []
+    scalars = []
+    order = []           # ("a"|"s", index) per declared arg
+    old_written = []
+    masks = []
+    written_fields = []
+    for kind, val, a in records:
+        if kind in ("gscalar", "scalar"):
             order.append(("s", len(scalars)))
             scalars.append(val)
+        elif kind == "garray":
+            order.append(("a", len(arrays)))
+            arrays.append(val)
+        elif kind == "reduction":
+            # reduction scalars are outputs: returned by the kernel
+            # body, reduced over the mesh, handed back to the caller
             continue
-        f = next(it)
-        if not isinstance(f, Field):
-            raise TypeError(
-                f"kernel {meta.name}: argument declared {a.element!r} "
-                f"must be a Field, got {type(f)}")
-        order.append(("a", len(arrays)))
-        arrays.append(f.data)
-        if _is_written(a):
-            written_fields.append(f)
-            old_written.append(f.data)
-            if meta.iterates_over == GO_INTERNAL_PTS:
-                masks.append(f.internal_mask)
-            elif meta.iterates_over == GO_ALL_PTS:
-                # 2D: masks broadcast over any leading (level) dims
-                masks.append(jnp.ones(f.grid.array_shape, f.dtype))
-            else:  # EXTERNAL_PTS
-                masks.append(1.0 - f.internal_mask)
+        else:
+            order.append(("a", len(arrays)))
+            arrays.append(val.data)
+            if _is_written(a):
+                written_fields.append(val)
+                old_written.append(val.data)
+                masks.append(_space_mask(val, meta.iterates_over))
 
     n_red = sum(1 for a in meta.args if _is_reduction(a))
     fn_id = id(kern)
@@ -442,19 +464,19 @@ class Schedule:
     exchange per kernel call.
 
     ``schedule.exchanges`` exposes the plan (call index -> (field
-    names..., depth)) for inspection and tests.  Scalars may be changed
-    per call via ``schedule(scalars=[...])`` (same order/length as the
-    bound ones) without recompiling.
+    names..., depth)) for inspection and tests.  USER scalars (the ones
+    supplied in the calls — grid-property constants are bound
+    separately and cannot be clobbered) may be changed per run via
+    ``schedule(scalars=[...])`` without recompiling.
     """
 
     def __init__(self, *calls, exchange_halos: bool = True):
-        from ..core.field import Field as _Field
-
         if not calls:
             raise ValueError("empty schedule")
         self._slots: list = []          # distinct Fields, in first-use order
         self._consts: list = []         # grid-property arrays
-        self._scalars: list = []        # bound scalar values (replaceable)
+        #: program scalar slots: ("user", default) | ("grid", value)
+        self._scalar_src: list = []
         self._masks: list = []          # (slot, space) -> mask array
         mask_index: dict = {}
         self._steps = []                # per call: dict of static plan
@@ -473,82 +495,43 @@ class Schedule:
         for ci, call in enumerate(calls):
             kern, *args = call
             meta: KernelMeta = kern._meta
-            consumable = [a for a in meta.args
-                          if not isinstance(a.element, GridProp)
-                          and not (a.element in (Element.R_SCALAR,
-                                                 Element.I_SCALAR)
-                                   and _is_reduction(a))]
-            if len(args) != len(consumable):
-                raise TypeError(
-                    f"schedule step {ci}: kernel {meta.name} declares "
-                    f"{len(consumable)} caller arguments, got {len(args)}")
-            fields = [a for a in args if isinstance(a, _Field)]
-            if not fields:
-                raise ValueError(
-                    f"schedule step {ci}: kernel {meta.name} needs at "
-                    "least one Field arg")
+            grid, records = _bind_call(meta, args)   # shared with invoke
             if self._grid is None:
-                self._grid = fields[0].grid
-            if any(f.grid is not self._grid for f in fields):
+                self._grid = grid
+            if any(v.grid is not self._grid for k, v, _ in records
+                   if k == "field"):
                 raise ValueError("all fields must share one grid")
 
             # plan this call's exchange: stale off-point reads
             need: dict = {}             # slot -> depth
-            it = iter(args)
             binding = []                # per declared arg
             written = []                # (slot, mask index)
-            for a in meta.args:
-                if isinstance(a.element, GridProp):
-                    getter = _GRID_PROP_GETTERS.get(a.element)
-                    if getter is None:
-                        raise NotImplementedError(
-                            f"grid property {a.element!r} not available")
-                    val = getter(self._grid)
-                    if _is_scalar_arg(a):
-                        binding.append(("s", len(self._scalars)))
-                        self._scalars.append(val)
-                    else:
-                        binding.append(("c", len(self._consts)))
-                        self._consts.append(val)
-                    continue
-                if a.element in (Element.R_SCALAR, Element.I_SCALAR):
-                    if _is_reduction(a):
-                        binding.append(("r", None))
-                        continue
-                    val = next(it)
-                    if isinstance(val, _Field):
-                        raise TypeError(
-                            f"kernel {meta.name}: scalar slot got a Field")
-                    binding.append(("s", len(self._scalars)))
-                    self._scalars.append(val)
-                    continue
-                f = next(it)
-                if not isinstance(f, _Field):
-                    raise TypeError(
-                        f"kernel {meta.name}: {a.element!r} argument must "
-                        f"be a Field, got {type(f)}")
-                si = slot_of(f)
-                binding.append(("f", si))
-                reads = a.access in (Access.READ, Access.READWRITE,
-                                     Access.INC)
-                if (exchange_halos and reads
-                        and a.stencil.reaches_off_point()):
-                    dneed = a.stencil.depth()
-                    if clean_depth.get(si, 0) < dneed:
-                        need[si] = max(need.get(si, 0), dneed)
-                if _is_written(a):
-                    mkey = (si, meta.iterates_over)
-                    if mkey not in mask_index:
-                        if meta.iterates_over == GO_INTERNAL_PTS:
-                            m = f.internal_mask
-                        elif meta.iterates_over == GO_ALL_PTS:
-                            # 2D: broadcasts over any level dims
-                            m = jnp.ones(f.grid.array_shape, f.dtype)
-                        else:
-                            m = 1.0 - f.internal_mask
-                        mask_index[mkey] = len(self._masks)
-                        self._masks.append(m)
-                    written.append((si, mask_index[mkey]))
+            for kind, val, a in records:
+                if kind == "gscalar":
+                    binding.append(("s", len(self._scalar_src)))
+                    self._scalar_src.append(("grid", val))
+                elif kind == "scalar":
+                    binding.append(("s", len(self._scalar_src)))
+                    self._scalar_src.append(("user", val))
+                elif kind == "garray":
+                    binding.append(("c", len(self._consts)))
+                    self._consts.append(val)
+                elif kind == "reduction":
+                    binding.append(("r", None))
+                else:
+                    si = slot_of(val)
+                    binding.append(("f", si))
+                    if exchange_halos and _reads_off_point(a):
+                        dneed = a.stencil.depth()
+                        if clean_depth.get(si, 0) < dneed:
+                            need[si] = max(need.get(si, 0), dneed)
+                    if _is_written(a):
+                        mkey = (si, meta.iterates_over)
+                        if mkey not in mask_index:
+                            mask_index[mkey] = len(self._masks)
+                            self._masks.append(
+                                _space_mask(val, meta.iterates_over))
+                        written.append((si, mask_index[mkey]))
 
             exch = None
             if need:
@@ -575,14 +558,20 @@ class Schedule:
         self._prog = _build_schedule(
             key, self._grid.mesh, self._grid.halo_spec,
             tuple(f.data.ndim - 2 for f in self._slots),
-            len(self._consts), len(self._scalars), len(self._masks))
+            len(self._consts), len(self._scalar_src), len(self._masks))
 
     def __call__(self, scalars=None):
-        sc = list(self._scalars) if scalars is None else list(scalars)
-        if len(sc) != len(self._scalars):
-            raise ValueError(
-                f"schedule binds {len(self._scalars)} scalars, got "
-                f"{len(sc)}")
+        n_user = sum(1 for k, _ in self._scalar_src if k == "user")
+        if scalars is None:
+            user = [v for k, v in self._scalar_src if k == "user"]
+        else:
+            user = list(scalars)
+            if len(user) != n_user:
+                raise ValueError(
+                    f"schedule binds {n_user} user scalars, got "
+                    f"{len(user)}")
+        it = iter(user)
+        sc = [next(it) if k == "user" else v for k, v in self._scalar_src]
         outs = self._prog(tuple(f.data for f in self._slots),
                           tuple(self._consts), tuple(sc),
                           tuple(self._masks))

@@ -77,8 +77,13 @@ def continuity(sshn_t, un, vn, depu, depv, *, rdt, dx, dy):
     formula symmetry."""
     fx = depu * un
     fy = depv * vn
-    if isinstance(dx, (int, float)) and dx == dy:
-        # square cells (the common case): one shared scale factor
+    if (isinstance(dx, (int, float)) and isinstance(dy, (int, float))
+            and dx == dy):
+        # Square cells with STATIC scale factors (the fused/model
+        # paths): one shared prefactor.  Traced scalars (invoke/
+        # Schedule) always take the general form below, so those paths
+        # may differ from this one by an ulp of rounding order —
+        # deliberate; perf of the static path wins.
         return sshn_t - (rdt / dx) * ((fx - st.xm(fx))
                                       + (fy - st.ym(fy)))
     return sshn_t - ((rdt / dx) * (fx - st.xm(fx))

@@ -86,6 +86,11 @@ class NLayerModel:
         if eta_global is None:
             return
         g = np.asarray(eta_global)
+        d = self.grid.decomp
+        want = (self.layers, d.global_ny, d.global_nx)
+        if g.shape != want:
+            raise ValueError(
+                f"set_initial expects eta of shape {want}, got {g.shape}")
         stacked = np.stack([
             layout.stack_global(self.grid.decomp, g[k], mode="zeros",
                                 dtype=np.dtype(self.eta.dtype))

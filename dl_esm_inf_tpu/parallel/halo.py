@@ -130,8 +130,11 @@ def _exchange_blocks(blks, spec: HaloSpec, depth: int):
     mx, my = spec.meshx, spec.meshy            # device mesh extents
     ly, lx = spec.local_ny, spec.local_nx
     blks = list(blks)
-    sigs = [(b.dtype, b.ndim) for b in blks]
-    groups = []              # [((dtype, ndim), [field indices])]
+    # group by dtype AND leading shape: stacking strips of different
+    # level counts would crash, and mixed dtypes must not share a
+    # message (upcasting corrupts values)
+    sigs = [(b.dtype, b.shape[:-2]) for b in blks]
+    groups = []              # [((dtype, lead_shape), [field indices])]
     for k, sig in enumerate(sigs):
         for gsig, idxs in groups:
             if gsig == sig:

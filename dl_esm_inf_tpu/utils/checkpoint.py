@@ -22,7 +22,7 @@ import os
 import numpy as np
 
 from ..core import layout
-from ..core.field import Field
+from ..core.field import Field, _sharding_nd
 
 
 def save_fields(path: str, fields: dict, step: int = 0,
@@ -108,11 +108,6 @@ def _model_fields(model):
 # ---------------------------------------------------------------------------
 # Orbax backend: sharded checkpoints WITHOUT a host gather.
 # ---------------------------------------------------------------------------
-
-def _sharding_nd(grid, lead: int):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    return NamedSharding(grid.mesh, P(*((None,) * lead), "y", "x"))
-
 
 def _unstack_device(fld: Field):
     """Field -> GLOBAL-form (..., gny, gnx) jax array, sharded over the

@@ -65,19 +65,22 @@ def test_levels_periodic_wrap():
 
 
 def test_levels_mixed_multi_exchange():
-    """exchange_multi with mixed 2D and 3D fields (and dtypes) in one
-    program: rank grouping must keep the messages apart."""
+    """exchange_multi with mixed 2D and 3D fields — including two 3D
+    fields with DIFFERENT level counts — in one program: the message
+    grouping must keep unstackable shapes apart."""
     from dl_esm_inf_tpu.parallel.halo import exchange, exchange_multi
     gnx, gny, nlev = 12, 10, 2
     grid = make_grid(gnx, gny)
     g = unique_levels(gny, gnx, nlev)
+    g4 = unique_levels(gny, gnx, 4) + 3.0
     f3 = dl.Field(grid, dl.T_POINTS, init_global_data=g, levels=nlev)
+    f4 = dl.Field(grid, dl.T_POINTS, init_global_data=g4, levels=4)
     f2 = dl.Field(grid, dl.T_POINTS, init_global_data=g[0] + 7.0)
-    outs = exchange_multi([f3.data, f2.data], grid.mesh, grid.halo_spec)
-    want3 = exchange(f3.data, grid.mesh, grid.halo_spec)
-    want2 = exchange(f2.data, grid.mesh, grid.halo_spec)
-    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(want3))
-    np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(want2))
+    outs = exchange_multi([f3.data, f2.data, f4.data], grid.mesh,
+                          grid.halo_spec)
+    for out, src in zip(outs, (f3, f2, f4)):
+        want = exchange(src.data, grid.mesh, grid.halo_spec)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
 def test_levels_device_io_and_set_field():

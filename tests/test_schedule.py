@@ -121,6 +121,32 @@ def test_schedule_scalar_rebind():
                                np.full_like(got, 5.0), rtol=1e-12)
 
 
+def test_schedule_rebind_cannot_clobber_grid_scalars():
+    """scalars=[...] rebinds ONLY the user scalars: hidden grid-property
+    constants (dx here) keep their grid values, and the expected count
+    is the user-scalar count."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GO_R_SCALAR),
+                  go_arg(GO_READ, GridProp.GRID_DX_CONST)])
+    def scale(out, x, a, dx):
+        return a * x * dx
+
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(8, 8, ndomains=2)
+    dl.grid_init(grid, 2.5, 2.5)      # dx = 2.5
+    x = dl.Field(grid, dl.T_POINTS, init_global_data=np.ones((8, 8)))
+    out = dl.Field(grid, dl.T_POINTS)
+    sched = Schedule((scale, out, x, 3.0))
+    sched(scalars=[4.0])              # rebinds a only; dx stays 2.5
+    m = out.internal_mask_np()
+    assert np.allclose(out.get_data()[m], 4.0 * 2.5)
+    with pytest.raises(ValueError, match="1 user scalar"):
+        sched(scalars=[4.0, 9.0])     # dx is not rebindable
+
+
 def test_schedule_depth_guard_and_arity():
     # a serial halo-0 grid cannot satisfy any off-point read
     grid0 = dl.Grid(dl.ARAKAWA_C,
