@@ -89,6 +89,29 @@ def test_per_interface_volume_conserved():
         assert np.all(np.isfinite(arr))
 
 
+@pytest.mark.parametrize("sweep,nsteps", [(1, 5), (3, 7)])
+def test_pallas_sweep_matches_jnp(sweep, nsteps):
+    """The 3N-field fused sweep (interpret) equals the jnp level-axis
+    path; K=3 with 7 steps exercises sweeps + remainder.  Tolerance
+    rather than exactness: the jnp path couples levels via cumsum,
+    the kernel via a sequential unroll — same association, but XLA may
+    lower cumsum differently."""
+    gnx, gny, layers = 96, 64, 3
+    e0 = init_eta(gnx, gny, layers)
+    ma = nlm.build(gnx, gny, ndomains=4, dt=0.01, layers=layers)
+    mb = nlm.build(gnx, gny, ndomains=4, dt=0.01, layers=layers,
+                   pallas=True, steps_per_sweep=sweep)
+    mb.enable_pallas(interpret=True, steps_per_sweep=sweep)
+    for m in (ma, mb):
+        m.set_initial(e0)
+    ma.run(nsteps)
+    mb.run(nsteps)
+    ga, gb = ma.gather(), mb.gather()
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(gb[k], ga[k], rtol=1e-12, atol=1e-13,
+                                   err_msg=k)
+
+
 def test_validation():
     with pytest.raises(ValueError, match="layers"):
         nlm.build(16, 16, ndomains=1, layers=0)
