@@ -100,23 +100,35 @@ GO_ORTHOGONAL_CURVILINEAR = 8
 class Stencil:
     """3-digit-per-row footprint descriptor (argument_mod.f90:48-52).
 
-    Each row is written as a 3-digit number whose digits are the access
-    counts at (W, centre, E); rows ordered N, centre, S.  e.g.
+    Each row is written as a 3-digit number whose digits describe the
+    access at (W, centre, E); rows ordered N, centre, S.  e.g.
     ``Stencil(0, 11, 0)`` reads the point and its East neighbour
     (Python rejects leading-zero literals, so the Fortran 000/011/000
-    rows are written 0/11/0).
+    rows are written 0/11/0).  Following PSyclone's GOcean reading, a
+    digit > 1 is the access DEPTH in that direction: ``Stencil(0, 12,
+    0)`` reads two points eastward and needs a depth-2 halo — which
+    this framework's exchange honours (the reference hardwires depth 1,
+    parallel_comms_mod.f90:48).
     """
     first_row: int
     second_row: int
     third_row: int
 
+    def _digits(self) -> tuple:
+        out = []
+        for row in (self.first_row, self.second_row, self.third_row):
+            out.extend(((row // 100) % 10, (row // 10) % 10, row % 10))
+        return tuple(out)
+
     def reaches_off_point(self) -> bool:
-        return not (self.first_row == 0 and self.third_row == 0
-                    and self.second_row == 10)
+        d = self._digits()
+        return any(v for i, v in enumerate(d) if i != 4)
 
     def depth(self) -> int:
-        """Halo depth this footprint requires (0 or 1 for 3x3 stencils)."""
-        return 1 if self.reaches_off_point() else 0
+        """Halo depth this footprint requires: the largest off-centre
+        access depth (0 for pointwise)."""
+        d = self._digits()
+        return max((v for i, v in enumerate(d) if i != 4), default=0)
 
 
 go_stencil = Stencil

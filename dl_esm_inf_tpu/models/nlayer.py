@@ -161,6 +161,13 @@ class NLayerModel:
                          tile_rows=tile_rows,
                          steps_per_sweep=steps_per_sweep)
 
+    def set_steps_per_exchange(self, steps_per_sweep: int) -> None:
+        """Comm avoidance on the jnp path: K chained steps per depth-K
+        exchange (no Pallas; ops/fastpath.py)."""
+        from ..ops.fastpath import set_steps_per_exchange
+        set_steps_per_exchange(self, reach=1,
+                               steps_per_sweep=steps_per_sweep)
+
     def _make_sweep(self, K: int):
         from ..ops.sweep import make_stencil_sweep
         spec = self.grid.halo_spec
@@ -187,27 +194,35 @@ class NLayerModel:
             grid = self.grid
             L = self.layers
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
+            if self.use_pallas or self._sweep_K > 1:
+                exchK = exchange_multi_fn(grid.halo_spec,
+                                          depth=max(self._sweep_K, 1))
             if self.use_pallas:
-                K = self._sweep_K
-                exchK = exchange_multi_fn(grid.halo_spec, depth=max(K, 1))
-                sweepK = self._make_sweep(K)
+                sweepK = self._make_sweep(self._sweep_K)
 
             def body(eta, u, v, t_upd, u_wet, v_wet, codes):
                 state = (eta, u, v)
                 base = 0
-                if self.use_pallas and nsteps >= self._sweep_K:
-                    K = self._sweep_K
-
-                    def sweep(_, s):
-                        e, uu, vv = exchK(s)
-                        # unroll levels onto the engine's n-field state
-                        flat = ([e[k] for k in range(L)]
-                                + [uu[k] for k in range(L)]
-                                + [vv[k] for k in range(L)])
-                        out = sweepK(*flat, codes)
-                        return (jnp.stack(out[:L]),
-                                jnp.stack(out[L:2 * L]),
-                                jnp.stack(out[2 * L:]))
+                K = self._sweep_K
+                if (self.use_pallas or K > 1) and nsteps >= K:
+                    if self.use_pallas:
+                        def sweep(_, s):
+                            e, uu, vv = exchK(s)
+                            # unroll levels onto the n-field state
+                            flat = ([e[k] for k in range(L)]
+                                    + [uu[k] for k in range(L)]
+                                    + [vv[k] for k in range(L)])
+                            out = sweepK(*flat, codes)
+                            return (jnp.stack(out[:L]),
+                                    jnp.stack(out[L:2 * L]),
+                                    jnp.stack(out[2 * L:]))
+                    else:
+                        def sweep(_, s):   # jnp comm avoidance
+                            s = exchK(s)
+                            for _k in range(K):
+                                s = self._step_math(*s, t_upd, u_wet,
+                                                    v_wet)
+                            return tuple(s)
 
                     state = lax.fori_loop(0, nsteps // K, sweep, state)
                     base = (nsteps // K) * K

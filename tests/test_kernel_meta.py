@@ -24,6 +24,34 @@ def test_stencil_descriptor():
     assert not GO_POINTWISE.reaches_off_point()
     s = Stencil(0, 11, 0)  # reads centre + East
     assert s.reaches_off_point() and s.depth() == 1
+    # PSyclone digit-depth semantics: digit > 1 = access depth that
+    # direction (beyond the reference's hardwired depth-1 exchange)
+    assert Stencil(0, 12, 0).depth() == 2
+    assert Stencil(300, 10, 0).depth() == 3
+    assert Stencil(111, 111, 111).depth() == 1
+
+
+def test_deep_stencil_invoke_exchanges_depth2():
+    """A kernel declaring a depth-2 east read gets a depth-2 exchange:
+    the second column across a shard seam must be fresh."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 12, 0))])
+    def east2(out, x):
+        return st.xp(st.xp(x))
+
+    gnx, gny = 16, 8
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomainx=2, ndomainy=1, halo_width=2)
+    dl.grid_init(grid, 1.0, 1.0)
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(east2, out, a)
+    g = out.gather_inner_data()
+    # all interior columns (incl. the two seam-adjacent ones) shift by 2
+    np.testing.assert_array_equal(g[:, :-2], vals[:, 2:])
 
 
 def test_pointwise_kernel_internal_pts():

@@ -89,6 +89,25 @@ def test_per_interface_volume_conserved():
         assert np.all(np.isfinite(arr))
 
 
+def test_jnp_comm_avoidance_matches_per_step():
+    """K chained jnp steps per depth-K exchange equals the per-step
+    schedule (7 steps exercises the remainder)."""
+    gnx, gny, layers = 48, 40, 3
+    e0 = init_eta(gnx, gny, layers)
+    ma = nlm.build(gnx, gny, ndomains=4, dt=0.01, layers=layers)
+    mb = nlm.build(gnx, gny, ndomains=4, dt=0.01, layers=layers,
+                   halo_width=3)
+    mb.set_steps_per_exchange(3)
+    for m in (ma, mb):
+        m.set_initial(e0)
+    ma.run(7)
+    mb.run(7)
+    ga, gb = ma.gather(), mb.gather()
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(gb[k], ga[k], rtol=1e-12, atol=1e-13,
+                                   err_msg=k)
+
+
 @pytest.mark.parametrize("sweep,nsteps", [(1, 5), (3, 7)])
 def test_pallas_sweep_matches_jnp(sweep, nsteps):
     """The 3N-field fused sweep (interpret) equals the jnp level-axis
