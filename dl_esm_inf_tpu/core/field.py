@@ -243,18 +243,20 @@ class Field:
         """Assemble the global (global_ny, global_nx) array of internal
 
         points (reference gather_inner_data, field_mod.f90:1313-1390).
-        Returns a host NumPy array on every process."""
-        return np.asarray(
-            jax.device_get(layout.unstack_internal(self.grid.decomp,
-                                                   self.data)))
+        Returns a host NumPy array on every process (multi-process runs
+        gather across hosts via process_allgather)."""
+        from ..parallel.collectives import gather_to_host
+        return gather_to_host(layout.unstack_internal(self.grid.decomp,
+                                                      self.data))
 
     # --- host <-> device ------------------------------------------------------
     def get_data(self) -> np.ndarray:
         """Host copy of the stacked array (reference get_data,
 
         field_mod.f90:530-542 — the device->host sync collapses to one
-        device_get)."""
-        return np.asarray(jax.device_get(self.data))
+        device_get; across processes, to one process_allgather)."""
+        from ..parallel.collectives import gather_to_host
+        return gather_to_host(self.data)
 
     def set_data(self, array) -> None:
         """Replace the stacked array from host data (field_mod.f90:546-559)."""
@@ -271,8 +273,9 @@ class Field:
 
         of the reference's partial device->host sync
         (field_mod.f90:407-465)."""
+        from ..parallel.collectives import gather_to_host
         sy, sx = region.slices()
-        return np.asarray(jax.device_get(self.data[..., sy, sx]))
+        return gather_to_host(self.data[..., sy, sx])
 
     def write_to_device(self, region: Region, values) -> None:
         """Update a sub-region (reference write_to_device,

@@ -249,10 +249,11 @@ class Grid:
             # (derived face wetness) read neighbour tmask across the seam.  One
             # halo exchange on the device fills them (int path).
             from ..parallel import halo as halo_mod
+            from ..parallel.collectives import gather_to_host
             self.tmask = halo_mod.exchange(
                 jax.device_put(stacked, self.sharding), self.mesh,
                 self.halo_spec, depth=self.decomp.halo)
-            self._tmask_np = np.asarray(self.tmask)
+            self._tmask_np = gather_to_host(self.tmask)
         else:
             self._tmask_np = stacked
             self.tmask = jax.device_put(stacked, self.sharding)

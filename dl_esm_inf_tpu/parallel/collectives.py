@@ -70,7 +70,16 @@ def masked_sum(data, mask) -> float:
 def gather_to_host(data):
     """Full host copy of a sharded array (reference gather,
 
-    parallel_utils_mod.f90:242-255 + reassembly).  jax.device_get
-    performs the all-gather to the host."""
+    parallel_utils_mod.f90:242-255 + reassembly).  Single-process:
+    jax.device_get performs the device->host gather.  MULTI-PROCESS
+    (jax.distributed across hosts): a process can only fetch its own
+    shards, so the cross-process all-gather rides
+    ``multihost_utils.process_allgather`` — every process receives the
+    full array (the reference gathers to rank 0 only; giving it to all
+    is the multi-controller idiom)."""
     import numpy as np
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(data,
+                                                            tiled=True))
     return np.asarray(jax.device_get(data))

@@ -57,9 +57,19 @@ def initialise(devices=None, multihost: bool | None = None) -> None:
         # Must run BEFORE any backend initialisation — do not probe
         # jax.process_count() first (it initialises the backend and
         # dooms distributed.initialize()); let the no-op/raise behaviour
-        # of a second initialize() handle re-entry instead.
+        # of a second initialize() handle re-entry instead.  jax itself
+        # only auto-reads the coordinator address; process count/id come
+        # from cluster autodetection (SLURM/TPU pods) OR from our env
+        # protocol below (the mpirun-style launch the multi-process
+        # tests use).
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError as e:
             if "already" not in str(e).lower():
                 raise

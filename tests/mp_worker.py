@@ -1,0 +1,78 @@
+"""Multi-process worker: one JAX process of a multi-controller run.
+
+Launched by tests/test_multiprocess.py as ``python mp_worker.py
+<process_id> <num_processes> <outfile>`` — the analogue of one MPI rank
+under the reference CI's ``mpirun -np N`` (makefile-test.yml:59).  Each
+process owns 4 virtual CPU devices; jax.distributed stitches them into
+one 2x4 global mesh, and the framework runs UNCHANGED: cross-process
+halo exchanges and reductions ride the same collectives (over Gloo here,
+over DCN on real pods).  Process 0 writes its results for the test to
+compare against a single-process run of the same program.
+"""
+import os
+import sys
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+pid, nproc, outfile = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+port = sys.argv[4] if len(sys.argv) > 4 else "12957"
+# environment.initialise()'s multihost autodetection keys on these:
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+os.environ["JAX_PROCESS_ID"] = str(pid)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+import dl_esm_inf_tpu as dl  # noqa: E402
+
+dl.initialise()          # runs jax.distributed.initialize() (multihost)
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 4 * nproc
+
+results = {}
+
+# --- hill halo oracle across the process boundary ----------------------
+gnx, gny = 24, 20
+grid = dl.Grid(dl.ARAKAWA_C,
+               (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+               dl.OFFSET_NE)
+grid.decompose(gnx, gny, ndomains=4 * nproc)
+dl.grid_init(grid, 1.0, 1.0)
+from dl_esm_inf_tpu.testing import init_field_hill  # noqa: E402
+
+fld = dl.Field(grid, dl.T_POINTS)
+init_field_hill(fld, -666.0)
+fld.halo_exchange(1)
+results["hill"] = fld.get_data()
+
+# --- checksum oracle (cross-process psum) ------------------------------
+ones = dl.Field(grid, dl.T_POINTS, init_global_data=np.ones((gny, gnx)))
+results["gsum"] = np.asarray(dl.field_checksum(ones))
+
+# --- scatter/gather round trip across processes ------------------------
+vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+f2 = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+f2.data = f2.data + 1.0
+results["roundtrip"] = f2.gather_inner_data()
+
+# --- the flagship model, 10 steps --------------------------------------
+from dl_esm_inf_tpu.models import nemolite2d as nl  # noqa: E402
+from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta  # noqa: E402
+
+m = nl.build(32, 32, ndomains=4 * nproc, open_north=True)
+m.set_initial_ssh(gaussian_eta(32, 32, amp=0.2))
+m.run(10)
+g = m.gather()
+for k, v in g.items():
+    results[f"nl_{k}"] = v
+
+if pid == 0:
+    np.savez(outfile, **results)
+print(f"[{pid}] MP WORKER DONE", flush=True)

@@ -1,0 +1,84 @@
+"""REAL multi-process execution — the reference CI's ``mpirun -np 2``
+analogue (makefile-test.yml:59), with jax.distributed stitching two
+4-device processes into one 8-device mesh.
+
+This is the only test that executes the multi-controller code paths for
+real: environment.initialise()'s jax.distributed bring-up, halo
+exchanges whose seams cross a PROCESS boundary, cross-process psum
+checksums, and the process_allgather-based gathers.  Results must equal
+this (single-process, 8-device) test process running the identical
+program.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.testing import init_field_hill
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+@pytest.fixture(scope="module")
+def mp_results(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mp") / "mp0.npz")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(HERE)] + sys.path)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "mp_worker.py"),
+         str(pid), "2", out, "12957"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        logs.append(o)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    return dict(np.load(out))
+
+
+def test_multiprocess_matches_single_process(mp_results):
+    """The 2-process 8-device run reproduces this process's own
+    single-controller 8-device run bit-for-bit."""
+    gnx, gny = 24, 20
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=8)
+    dl.grid_init(grid, 1.0, 1.0)
+    fld = dl.Field(grid, dl.T_POINTS)
+    init_field_hill(fld, -666.0)
+    fld.halo_exchange(1)
+    np.testing.assert_array_equal(mp_results["hill"], fld.get_data())
+
+    ones = dl.Field(grid, dl.T_POINTS,
+                    init_global_data=np.ones((gny, gnx)))
+    assert float(mp_results["gsum"]) == float(dl.field_checksum(ones))
+    assert float(mp_results["gsum"]) == gnx * gny
+
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    np.testing.assert_array_equal(mp_results["roundtrip"], vals + 1.0)
+
+
+def test_multiprocess_flagship_matches(mp_results):
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+    m = nl.build(32, 32, ndomains=8, open_north=True)
+    m.set_initial_ssh(gaussian_eta(32, 32, amp=0.2))
+    m.run(10)
+    g = m.gather()
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(mp_results[f"nl_{k}"], g[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
