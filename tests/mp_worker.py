@@ -73,6 +73,29 @@ g = m.gather()
 for k, v in g.items():
     results[f"nl_{k}"] = v
 
+# --- periodic wrap across the process boundary -------------------------
+pgrid = dl.Grid(dl.ARAKAWA_C,
+                (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
+                dl.OFFSET_NE)
+pgrid.decompose(16, 16, ndomains=4 * nproc)
+dl.grid_init(pgrid, 1.0, 1.0)
+pf = dl.Field(pgrid, dl.T_POINTS,
+              init_global_data=np.arange(256.0).reshape(16, 16))
+pf.halo_exchange(1)
+results["periodic"] = pf.get_data()
+
+# --- orbax sharded checkpoint: each process writes its own shards ------
+from dl_esm_inf_tpu.utils import checkpoint  # noqa: E402
+
+ckdir = os.path.join(os.path.dirname(outfile) or ".", "mp_ck")
+checkpoint.save_fields_orbax(ckdir, {"ssh": m.sshn_t}, step=10)
+fresh = dl.Field(m.grid, dl.T_POINTS)
+step = checkpoint.load_fields_orbax(ckdir, {"ssh": fresh})
+assert step == 10
+assert np.array_equal(fresh.gather_inner_data(),
+                      m.sshn_t.gather_inner_data())
+results["ck_ok"] = np.asarray(1.0)
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

@@ -71,6 +71,21 @@ def test_multiprocess_matches_single_process(mp_results):
     np.testing.assert_array_equal(mp_results["roundtrip"], vals + 1.0)
 
 
+def test_multiprocess_periodic_and_checkpoint(mp_results):
+    """Periodic wrap crossing the process boundary + the orbax
+    sharded checkpoint cycle (each process writes only its shards)."""
+    pgrid = dl.Grid(dl.ARAKAWA_C,
+                    (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
+                    dl.OFFSET_NE)
+    pgrid.decompose(16, 16, ndomains=8)
+    dl.grid_init(pgrid, 1.0, 1.0)
+    pf = dl.Field(pgrid, dl.T_POINTS,
+                  init_global_data=np.arange(256.0).reshape(16, 16))
+    pf.halo_exchange(1)
+    np.testing.assert_array_equal(mp_results["periodic"], pf.get_data())
+    assert float(mp_results["ck_ok"]) == 1.0
+
+
 def test_multiprocess_flagship_matches(mp_results):
     from dl_esm_inf_tpu.models import nemolite2d as nl
     from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
