@@ -51,6 +51,17 @@ def initialise(devices=None, multihost: bool | None = None) -> None:
     """
     global _devices, _initialised
     import os
+    force = os.environ.get("DL_ESM_FORCE_CPU_DEVICES")
+    if force and not _initialised:
+        # local multi-process testing (dl_esm_inf_tpu.launch
+        # --devices-per-process): claim N virtual CPU devices BEFORE
+        # the backend comes up; harmless no-op if it already has.
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", int(force))
+        except RuntimeError:
+            pass
     if multihost is None:
         multihost = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if multihost and not _initialised:

@@ -97,3 +97,39 @@ def test_multiprocess_flagship_matches(mp_results):
     for k in ("sshn", "un", "vn"):
         np.testing.assert_allclose(mp_results[f"nl_{k}"], g[k],
                                    rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_launcher(tmp_path):
+    """python -m dl_esm_inf_tpu.launch: the mpirun-style local launcher
+    spawns N processes that see one global mesh with zero platform
+    boilerplate in the user script."""
+    from dl_esm_inf_tpu.launch import launch
+    script = tmp_path / "prog.py"
+    script.write_text(
+        "import dl_esm_inf_tpu as dl\n"
+        "import jax, numpy as np\n"
+        "dl.initialise()\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "assert len(jax.devices()) == 4\n"
+        "grid = dl.Grid(dl.ARAKAWA_C,\n"
+        "               (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),\n"
+        "               dl.OFFSET_NE)\n"
+        "grid.decompose(8, 8, ndomains=4)\n"
+        "dl.grid_init(grid, 1.0, 1.0)\n"
+        "f = dl.Field(grid, dl.T_POINTS,\n"
+        "             init_global_data=np.ones((8, 8)))\n"
+        "assert dl.field_checksum(f) == 64.0\n")
+    env = dict(os.environ)
+    for k in list(env):
+        if k.startswith(("JAX_", "XLA_")):
+            env.pop(k)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(HERE)] + sys.path)
+    old = os.environ
+    os.environ = env            # launch() inherits os.environ
+    try:
+        rc = launch(str(script), [], num_processes=2,
+                    devices_per_process=2, port=12991)
+    finally:
+        os.environ = old
+    assert rc == 0
