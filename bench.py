@@ -117,24 +117,35 @@ def main():
         return (N * N / t) / (b * 1e9 / bytes_per_point)
 
     pairs = []
-    deadline = time.monotonic() + 200      # hard sampling cap
+    raw = []
+    deadline = time.monotonic() + 150      # hard sampling cap
     attempt = 0
     while time.monotonic() < deadline:
         if attempt:
             time.sleep(4)
         attempt += 1
         t = (_best(runs[n_hi]) - _best(runs[n_lo])) / (n_hi - n_lo)
+        raw.append(t)
         b = measure_membw(jnp, jax)
         if t >= floor and b > 0:
             pairs.append((t, b))
-            if ratio((t, b)) >= 0.85:      # uncontended window found
+            # stop once the FASTEST window seen also clears the bar:
+            # selection is by throughput, the ratio is computed from
+            # that same window's bandwidth (a congested window with a
+            # dipped bandwidth probe can have a flattering ratio but
+            # never a flattering step time)
+            if min(pairs)[0] == t and ratio((t, b)) >= 0.85:
                 break
+    fallback = not pairs
     if pairs:
-        per_step, bw = max(pairs, key=ratio)
+        per_step, bw = min(pairs)          # fastest window, paired bw
     else:
-        # fallback keeps the one-JSON-line contract even if every
-        # sample was corrupted by tenancy shifts
-        per_step, bw = 60e-6, 819.0   # v5e datasheet HBM bandwidth
+        # every probe was corrupted by tenancy shifts: report the most
+        # plausible REAL slope sample against the datasheet bandwidth,
+        # flagged as a fallback
+        good = [t for t in raw if t >= floor]
+        per_step = min(good) if good else abs(max(raw, key=abs))
+        bw = 819.0   # v5e datasheet HBM bandwidth
     mpts = N * N / per_step / 1e6
     roofline_mpts = bw * 1e9 / bytes_per_point / 1e6
     vs = mpts / roofline_mpts
@@ -163,6 +174,7 @@ def main():
             "backend": jax.default_backend(),
             "pallas": bool(m.use_pallas),
             "steps_per_sweep": m._sweep_K,
+            "fallback": fallback,
         },
     }))
 

@@ -21,14 +21,25 @@ import subprocess
 import sys
 
 
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def launch(script: str, args, num_processes: int = 2,
            devices_per_process: int | None = None,
-           port: int = 12975) -> int:
+           port: int | None = None, base_env: dict | None = None) -> int:
     """Spawn ``num_processes`` copies of ``script``; returns the first
-    nonzero exit code (0 if all succeed)."""
+    nonzero exit code (0 if all succeed).  ``port=None`` picks a free
+    coordinator port (concurrent launches on one box must not collide);
+    ``base_env`` overrides the inherited environment."""
+    if port is None:
+        port = _free_port()
     procs = []
     for pid in range(num_processes):
-        env = dict(os.environ)
+        env = dict(os.environ if base_env is None else base_env)
         env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
         env["JAX_NUM_PROCESSES"] = str(num_processes)
         env["JAX_PROCESS_ID"] = str(pid)
@@ -56,7 +67,8 @@ def main(argv=None):
                     help="force this many virtual CPU devices per "
                          "process (local testing); omit on real "
                          "accelerators")
-    ap.add_argument("--port", type=int, default=12975)
+    ap.add_argument("--port", type=int, default=None,
+                    help="coordinator port (default: pick a free one)")
     ap.add_argument("script")
     ap.add_argument("args", nargs=argparse.REMAINDER)
     ns = ap.parse_args(argv)

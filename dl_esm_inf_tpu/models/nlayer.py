@@ -206,16 +206,21 @@ class NLayerModel:
                 K = self._sweep_K
                 if (self.use_pallas or K > 1) and nsteps >= K:
                     if self.use_pallas:
+                        # flatten the level axis ONCE around the loop,
+                        # not per sweep: the exchange is layout-
+                        # agnostic, so the 3L 2D planes ride it directly
+                        flat0 = tuple([state[0][k] for k in range(L)]
+                                      + [state[1][k] for k in range(L)]
+                                      + [state[2][k] for k in range(L)])
+
                         def sweep(_, s):
-                            e, uu, vv = exchK(s)
-                            # unroll levels onto the n-field state
-                            flat = ([e[k] for k in range(L)]
-                                    + [uu[k] for k in range(L)]
-                                    + [vv[k] for k in range(L)])
-                            out = sweepK(*flat, codes)
-                            return (jnp.stack(out[:L]),
-                                    jnp.stack(out[L:2 * L]),
-                                    jnp.stack(out[2 * L:]))
+                            return tuple(sweepK(*exchK(s), codes))
+
+                        flat = lax.fori_loop(0, nsteps // K, sweep,
+                                             flat0)
+                        state = (jnp.stack(flat[:L]),
+                                 jnp.stack(flat[L:2 * L]),
+                                 jnp.stack(flat[2 * L:]))
                     else:
                         def sweep(_, s):   # jnp comm avoidance
                             s = exchK(s)
@@ -224,7 +229,8 @@ class NLayerModel:
                                                     v_wet)
                             return tuple(s)
 
-                    state = lax.fori_loop(0, nsteps // K, sweep, state)
+                        state = lax.fori_loop(0, nsteps // K, sweep,
+                                              state)
                     base = (nsteps // K) * K
                 if nsteps - base:
                     def one(i, s):
@@ -277,6 +283,10 @@ def build(gnx: int = 64, gny: int = 64, ndomains=None, dt: float = 0.02,
     model = NLayerModel(grid, dt=dt, layers=layers, **kw)
     if pallas:
         model.enable_pallas(steps_per_sweep=steps_per_sweep)
+    elif steps_per_sweep > 1:
+        # jnp comm avoidance (a silent no-op here would reintroduce the
+        # bug nemolite2d.build once had)
+        model.set_steps_per_exchange(steps_per_sweep)
     return model
 
 

@@ -75,6 +75,14 @@ def initialise(devices=None, multihost: bool | None = None) -> None:
         # tests use).
         kwargs = {}
         if os.environ.get("JAX_NUM_PROCESSES"):
+            missing = [k for k in ("JAX_COORDINATOR_ADDRESS",
+                                   "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                       if not os.environ.get(k)]
+            if missing:
+                raise RuntimeError(
+                    "multi-process env protocol incomplete: set all of "
+                    "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and "
+                    f"JAX_PROCESS_ID (missing: {', '.join(missing)})")
             kwargs = dict(
                 coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

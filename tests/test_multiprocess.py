@@ -125,11 +125,6 @@ def test_launcher(tmp_path):
             env.pop(k)
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(HERE)] + sys.path)
-    old = os.environ
-    os.environ = env            # launch() inherits os.environ
-    try:
-        rc = launch(str(script), [], num_processes=2,
-                    devices_per_process=2, port=12991)
-    finally:
-        os.environ = old
+    rc = launch(str(script), [], num_processes=2,
+                devices_per_process=2, base_env=env)
     assert rc == 0
