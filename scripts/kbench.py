@@ -95,15 +95,28 @@ def make_variant(ly, lx, dtype, p, dx, dy, fcor, depth, TY, mode):
                 c.wait()
 
             def body(i, _):
-                ssha, ua, va = step_math(
-                    w_ssh[0], w_un[0], w_vn[0], w_tm[0], p, dx, dy,
-                    fcor, depth, forcing=forcing_ref[0], exch_mid=None,
-                    recip=recip)
-                o_ssh[0] = ssha
-                o_ua[0] = ua
-                o_va[0] = va
+                # hoisted prep + hardware rolls, like the production
+                # kernel (a floor mule without them would overstate the
+                # compute floor by the per-step prep cost).  The outputs
+                # FEED BACK into the input windows: a loop whose body is
+                # loop-invariant gets hoisted out entirely (measured: an
+                # impossible 17 us "floor").
+                from dl_esm_inf_tpu.models.nemolite2d import make_prep
+                from dl_esm_inf_tpu.ops import stencils as st_mod
+                with st_mod.hw_rolls():
+                    prep = make_prep(w_tm[0], depth, p, jnp.float32)
+                    ssha, ua, va = step_math(
+                        w_ssh[0], w_un[0], w_vn[0], w_tm[0], p, dx, dy,
+                        fcor, depth, forcing=forcing_ref[0],
+                        exch_mid=None, recip=recip, prep=prep)
+                w_ssh[0] = ssha
+                w_un[0] = ua
+                w_vn[0] = va
                 return 0
             jax.lax.fori_loop(0, n_tiles, body, 0)
+            o_ssh[0] = w_ssh[0]
+            o_ua[0] = w_un[0]
+            o_va[0] = w_vn[0]
             ry, _, off = _rows(0)
             for c in out_dmas(0, 0):
                 c.start()
