@@ -40,5 +40,6 @@ from .parallel import collectives, halo  # noqa: F401
 from .parallel.environment import (  # noqa: F401
     finalise, get_num_ranks, get_rank, initialise, num_devices, on_master,
     stop)
+from .utils.logging import model_write_log  # noqa: F401
 
 __version__ = "0.1.0"
