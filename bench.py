@@ -118,7 +118,7 @@ def main():
 
     pairs = []
     raw = []
-    deadline = time.monotonic() + 150      # hard sampling cap
+    deadline = time.monotonic() + 120      # hard sampling cap
     attempt = 0
     while time.monotonic() < deadline:
         if attempt:
