@@ -153,11 +153,20 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         # neighbour — which also removes the need for x restores).
         # Here halo == d, so the west blocks start at column 0.
         from ..parallel import rdma as rdma_common
+        # west_send is the strip [d, 2d) inside block [0, WB): validating
+        # it too makes a too-deep halo (2d > WB) fail at build time
+        # instead of the merge reading past the landing buffer
         WB, geo = rdma_common.col_block_geometry(
-            lx, {"east_send": (w_, d), "east_halo": (d + w_, d)},
+            lx, {"east_send": (w_, d), "east_halo": (d + w_, d),
+                 "west_send": (d, d)},
             interpret or not do_x, "fused x-exchange")
         cs_e, os_e = geo["east_send"]
         cm_e, om_e = geo["east_halo"]
+        if do_x and 2 * d > WB:
+            raise ValueError(
+                f"fused x-exchange: halo depth {d} needs 2*depth <= the "
+                f"{WB}-lane landing block (local_nx={lx}); use a "
+                "shallower halo or the ppermute transport")
     else:
         d = 0
         do_x = do_y = need_yr = False
@@ -250,6 +259,17 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
             fence = rdma_common.make_fence(ready_sems, id_type, peer_id,
                                            interpret)
 
+            east = {"x": lax.rem(ix + one, pxc)}
+            west = {"x": lax.rem(ix + pxc - one, pxc)}
+            north = {"y": lax.rem(iy + one, pyc)}
+            south = {"y": lax.rem(iy + pyc - one, pyc)}
+            # cross-KERNEL safety: no fence/DMA traffic until every
+            # exchange neighbour has entered this kernel (rdma.py)
+            rdma_common.entry_barrier(
+                id_type, peer_id, interpret,
+                ([east, west] if do_x else []) +
+                ([north, south] if do_y else []))
+
             def rdma_ref(k, src_ref, dst_ref, dir_idx, peer):
                 return pltpu.make_async_remote_copy(
                     src_ref=src_ref, dst_ref=dst_ref,
@@ -269,8 +289,6 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                 c.wait()
 
             if do_x:
-                east = {"x": lax.rem(ix + one, pxc)}
-                west = {"x": lax.rem(ix + pxc - one, pxc)}
                 fence(0, east, west)
                 # ship full WB-lane column blocks into the peers' VMEM
                 # landing buffers (narrow column strips cannot be DMA'd
@@ -309,8 +327,6 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
 
             y_rs = []
             if do_y:
-                north = {"y": lax.rem(iy + one, pyc)}
-                south = {"y": lax.rem(iy + pyc - one, pyc)}
                 if need_yr:    # snapshot POST-x rows: border restores
                     for k in range(n_state):   # must keep the x-updated
                         copy(xf[k].at[pl.ds(0, d), :],       # corners
@@ -493,12 +509,16 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         out_shape=out_shape,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
-        # NOTE: no collective_id — the phase fence uses per-(phase,
-        # direction) REGULAR semaphores, not the global barrier, and
-        # Mosaic rejects collective_id without a barrier semaphore.
+        # collective_id names the entry barrier's system semaphore
+        # (parallel/rdma.py) — distinct per remote-DMA kernel.  (Mosaic
+        # does not allow skipping its own launch barrier when a custom
+        # barrier is used — measured on v5e — so both run.)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
-            **({"has_side_effects": True} if ex is not None else {})),
+            **({"has_side_effects": True} if ex is not None else {}),
+            **({"collective_id": rdma_common.COLLECTIVE_ID_SWEEP}
+               if ex is not None and (do_x or do_y) and not interpret
+               else {})),
         interpret=interpret,
     )
 

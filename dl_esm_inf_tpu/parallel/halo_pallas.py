@@ -146,9 +146,18 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         phase_fence = rdma_common.make_fence(ready_sems, id_type,
                                              peer_id, interpret)
 
+        east = {"x": lax.rem(ix + one, pxc)}
+        west = {"x": lax.rem(ix + pxc - one, pxc)}
+        north = {"y": lax.rem(iy + one, pyc)}
+        south = {"y": lax.rem(iy + pyc - one, pyc)}
+        # cross-KERNEL safety: no fence/DMA traffic until every exchange
+        # neighbour has entered this kernel (parallel/rdma.py)
+        rdma_common.entry_barrier(
+            id_type, peer_id, interpret,
+            ([east, west] if do_x else []) +
+            ([north, south] if do_y else []))
+
         if do_x:
-            east = {"x": lax.rem(ix + one, pxc)}
-            west = {"x": lax.rem(ix + pxc - one, pxc)}
             # my landing buffers must be ready before a peer writes them
             phase_fence(0, east, west)
             # eastward: block holding my east interior strip -> east
@@ -188,8 +197,6 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                 cpb.wait()
 
         if do_y:
-            north = {"y": lax.rem(iy + one, pyc)}
-            south = {"y": lax.rem(iy + pyc - one, pyc)}
             # snapshot the post-x-phase halo rows: a border restore must
             # reproduce them (corners included), not the pre-x input
             bk_s = pltpu.make_async_copy(
@@ -245,10 +252,16 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             out_specs=any_spec,
             out_shape=jax.ShapeDtypeStruct((ly, lx), dtype),
             scratch_shapes=scratch,
-            # no collective_id: the fence uses REGULAR semaphores (not
-            # the global barrier), and Mosaic rejects collective_id
-            # without a barrier semaphore
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            # collective_id names this kernel's system BARRIER semaphore
+            # (entry barrier, parallel/rdma.py); it must differ from
+            # every other remote-DMA kernel's id.  (Mosaic does not
+            # allow skipping its own launch barrier when a custom
+            # barrier is used — measured on v5e — so both run.)
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                **({} if interpret or not (do_x or do_y) else {
+                    "collective_id":
+                        rdma_common.COLLECTIVE_ID_EXCHANGE})),
             interpret=interpret,
         )
 

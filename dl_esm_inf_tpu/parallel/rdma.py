@@ -16,11 +16,32 @@ pieces, kept in ONE place so a fix cannot silently miss a copy:
   be satisfied by a signal of its own phase+direction — a skewed
   neighbour's y-phase (or next-call x-phase) signal cannot release an
   x-phase wait early, and counting semantics buffer arbitrary
-  multi-call skew.
+  multi-call skew;
+* the **entry barrier**: the fence semaphores are REGULAR *scratch*
+  semaphores, so a fence signal is only meaningful while the peer is
+  inside the SAME kernel — if a skewed peer were still inside a
+  *different* Pallas kernel (a standalone exchange interleaved with a
+  fused sweep, say), the signal would land on whatever that kernel's
+  scratch allocation put at the address: silent corruption.
+  :func:`entry_barrier` closes the hazard with the system BARRIER
+  semaphore (a per-``collective_id`` global resource, valid no matter
+  what the peer is running): each device signals every exchange
+  neighbour's barrier semaphore and waits for one signal per
+  neighbour before any fence traffic.  A peer's fence signals are sent
+  only after ITS barrier completes, which needs THIS device's
+  barrier signal — sent from inside this kernel — so fence signals
+  only ever fly between devices that have both entered it.  Each
+  distinct remote-DMA kernel must carry a distinct ``collective_id``
+  (see :data:`COLLECTIVE_ID_EXCHANGE` / :data:`COLLECTIVE_ID_SWEEP`).
 """
 from __future__ import annotations
 
 LANES = 128  # Mosaic lane tiling (f32/i32)
+
+# Distinct per-kernel barrier-semaphore ids (see module docstring):
+# kernels that may interleave on a mesh MUST NOT share one.
+COLLECTIVE_ID_EXCHANGE = 1   # parallel/halo_pallas.py standalone exchange
+COLLECTIVE_ID_SWEEP = 2      # ops/sweep.py fused-transport sweep
 
 
 def col_block_geometry(lx: int, strips: dict, interpret: bool,
@@ -61,6 +82,24 @@ def colblk_fn(ref_width: int, WB: int):
         return ref if WB == ref_width else ref.at[:, pl.ds(c0, WB)]
 
     return colblk
+
+
+def entry_barrier(id_type, peer_id, interpret: bool, peers):
+    """Cross-kernel safety barrier at remote-DMA kernel entry (see the
+    module docstring).  ``peers`` is the list of exchange-neighbour
+    coordinate dicts (plus+minus per active phase, wrap-indexed like the
+    fence, so edge devices stay SPMD-symmetric).  Interpret mode runs
+    devices in lock-step (and cannot lower the barrier semaphore), so
+    like the fence it is compiled-mode only."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret or not peers:
+        return
+    sem = pltpu.get_barrier_semaphore()
+    for p in peers:
+        pltpu.semaphore_signal(sem, inc=1, device_id=peer_id(p),
+                               device_id_type=id_type)
+    pltpu.semaphore_wait(sem, len(peers))
 
 
 def make_fence(ready_sems, id_type, peer_id, interpret: bool):
