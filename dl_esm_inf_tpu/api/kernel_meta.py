@@ -171,7 +171,7 @@ class KernelMeta:
 
 
 def kernel(args, iterates_over=GO_INTERNAL_PTS, index_offset=3,
-           name: str | None = None):
+           name: str | None = None, grid_type=GO_ORTHOGONAL_REGULAR):
     """Decorator binding PSyclone-style metadata to a block-level jnp fn.
 
     The function body receives, positionally: one local block per
@@ -179,11 +179,18 @@ def kernel(args, iterates_over=GO_INTERNAL_PTS, index_offset=3,
     values for scalar arguments; it returns the new blocks of its
     WRITE/READWRITE/INC arguments (in declaration order) — plus one
     scalar per reduction argument.
+
+    ``grid_type`` declares the mesh geometry the kernel's maths assumes
+    (kernel_mod.f90:43-44): a ``GO_ORTHOGONAL_CURVILINEAR`` kernel is
+    rejected unless the grid carries per-point scale factors
+    (:meth:`~...core.grid.Grid.set_scale_factors`) — serving it the
+    regular grid's constants would silently mis-state its metric terms.
     """
     def deco(fn):
         fn._meta = KernelMeta(name=name or fn.__name__, args=tuple(args),
                               iterates_over=iterates_over,
-                              index_offset=index_offset)
+                              index_offset=index_offset,
+                              grid_type=grid_type)
         return fn
     return deco
 
@@ -195,6 +202,16 @@ def _get_time_step(g):
             "grid's time step is unset; pass time_step= to grid.init() "
             "or assign grid.time_step")
     return g.time_step
+
+
+def _const_spacing(g, attr):
+    if g.is_curvilinear:
+        raise ValueError(
+            f"kernel requests the constant grid spacing GRID_{attr}_CONST "
+            "(argument_mod.f90:105-107) but the grid carries per-point "
+            "scale factors; request the per-point GRID_DX/DY_* array "
+            "properties instead")
+    return getattr(g, attr.lower())
 
 
 _GRID_PROP_GETTERS = {
@@ -211,8 +228,8 @@ _GRID_PROP_GETTERS = {
     GridProp.GRID_DY_V: lambda g: g.dy_v,
     GridProp.GRID_LAT_U: lambda g: g.gphiu,
     GridProp.GRID_LAT_V: lambda g: g.gphiv,
-    GridProp.GRID_DX_CONST: lambda g: g.dx,
-    GridProp.GRID_DY_CONST: lambda g: g.dy,
+    GridProp.GRID_DX_CONST: lambda g: _const_spacing(g, "DX"),
+    GridProp.GRID_DY_CONST: lambda g: _const_spacing(g, "DY"),
     # Local internal-region index bounds (argument_mod.f90:109-112).  The
     # shards are shape-uniform, so the template bounds are the same on
     # every device (half-open 0-based; the Fortran values are
@@ -286,6 +303,18 @@ def _bind_call(meta: KernelMeta, args):
     if not field_args:
         raise ValueError(f"kernel {meta.name} needs at least one Field arg")
     grid = field_args[0].grid
+    if (meta.grid_type == GO_ORTHOGONAL_CURVILINEAR
+            and not grid.is_curvilinear):
+        raise ValueError(
+            f"kernel {meta.name} declares GO_ORTHOGONAL_CURVILINEAR "
+            "(kernel_mod.f90:43-44) but the grid carries no per-point "
+            "scale factors; install them with grid.set_scale_factors() "
+            "— serving constants would mis-state the kernel's metric "
+            "terms")
+    if meta.grid_type not in (GO_ORTHOGONAL_REGULAR,
+                              GO_ORTHOGONAL_CURVILINEAR):
+        raise ValueError(
+            f"kernel {meta.name}: unknown grid_type {meta.grid_type!r}")
 
     records = []
     it = iter(args)

@@ -119,6 +119,7 @@ class Grid:
         self._tmask_np = None      # host copy for mask derivation
         self._initialised = False
         self._lazy = {}
+        self._curvi = {}           # per-point scale factors (curvilinear)
         self._region_masks = {}
 
     # ------------------------------------------------------------------
@@ -161,8 +162,12 @@ class Grid:
         """Decompose the global domain over the device mesh.
 
         Analogue of grid%decompose -> go_decompose (grid_mod.f90:183-211).
-        With no explicit sizing, uses every available device (the
-        reference uses every MPI rank).
+        With no explicit sizing, the ``GOCEAN_OMP_GRID`` environment
+        variable ("NxM") seeds an explicit (ndomainx, ndomainy) request
+        — the moral port of the reference's tiling-grid override
+        (field_mod.f90:1473-1503; malformed values are ignored exactly
+        like its success=.FALSE. path) — and otherwise every available
+        device is used (the reference uses every MPI rank).
         """
         if mesh is not None:
             if set(mesh.axis_names) != {"y", "x"}:
@@ -171,7 +176,13 @@ class Grid:
             ndomainy = mesh.shape["y"]
             ndomains = None
         elif ndomains is None and ndomainx is None and ndomainy is None:
-            ndomains = len(devices) if devices is not None else env.num_devices()
+            from ..utils.config import read_env
+            tile_grid = read_env().tile_grid
+            if tile_grid is not None:
+                ndomainx, ndomainy = tile_grid
+            else:
+                ndomains = (len(devices) if devices is not None
+                            else env.num_devices())
 
         self.decomp = _decompose(domainx, domainy, ndomains=ndomains,
                                  ndomainx=ndomainx, ndomainy=ndomainy,
@@ -184,6 +195,7 @@ class Grid:
         self.tmask = None
         self._tmask_np = None
         self._lazy.clear()
+        self._curvi.clear()
         self._region_masks.clear()
 
         # Validate the domain decomposition itself before requiring devices,
@@ -259,6 +271,7 @@ class Grid:
             self.tmask = jax.device_put(stacked, self.sharding)
         self._initialised = True
         self._lazy.clear()
+        self._curvi.clear()
         self._region_masks.clear()
 
     def get_tmask(self):
@@ -266,11 +279,13 @@ class Grid:
         return self.tmask
 
     # ------------------------------------------------------------------
-    # Lazily-materialised constant/affine grid arrays.  The reference
-    # allocates all of these eagerly per rank (grid_mod.f90:461-523); on
-    # TPU they would burn HBM for values kernels can derive from scalars,
-    # so they materialise on first use (curvilinear support would replace
-    # these with real arrays).
+    # Scale-factor / area / latitude arrays.  The reference allocates
+    # all of these eagerly per rank (grid_mod.f90:461-523, 121-134); on
+    # TPU the orthogonal-regular case would burn HBM for values kernels
+    # can derive from scalars, so constant arrays materialise lazily on
+    # first use — and :meth:`set_scale_factors` replaces any of them
+    # with real per-point arrays (GO_ORTHOGONAL_CURVILINEAR support,
+    # kernel_mod.f90:43-44).
     def _const_array(self, key: str, value: float):
         if key not in self._lazy:
             self._lazy[key] = jax.device_put(
@@ -278,35 +293,98 @@ class Grid:
                 self.sharding)
         return self._lazy[key]
 
+    def _scale_array(self, name: str, const_key: str, value: float):
+        if name in self._curvi:
+            return self._curvi[name]
+        return self._const_array(const_key, value)
+
+    #: per-point array names set_scale_factors accepts (the reference's
+    #: e1/e2/area/gphi families, grid_mod.f90:121-134)
+    SCALE_FACTOR_NAMES = ("dx_t", "dx_u", "dx_v", "dx_f",
+                          "dy_t", "dy_u", "dy_v", "dy_f",
+                          "area_t", "area_u", "area_v",
+                          "gphiu", "gphiv", "gphif")
+
     @property
-    def dx_t(self): return self._const_array("dx_c", self.dx)
+    def is_curvilinear(self) -> bool:
+        """True once per-point scale factors are installed — the grid
+        then honours kernels declaring GO_ORTHOGONAL_CURVILINEAR."""
+        return bool(self._curvi)
+
+    def set_scale_factors(self, **arrays) -> None:
+        """Install per-point scale factors / areas / latitudes.
+
+        The reference allocates per-point ``e1u/e2v/...`` arrays a
+        client could populate (grid_mod.f90:121-134, 461-523) and
+        declares ``GO_ORTHOGONAL_CURVILINEAR`` (kernel_mod.f90:43-44)
+        without ever filling them with anything non-constant; here the
+        surface is live: pass GLOBAL ``(global_ny, global_nx)`` arrays
+        for any of :data:`SCALE_FACTOR_NAMES` and they are scattered
+        over the mesh (edge-replicated into halos/padding like the
+        tmask) and served by the grid-property getters — flowing into
+        :func:`~..api.kernel_meta.invoke` kernels that request them.
+        Missing ``area_*`` entries are derived as ``dx_* * dy_*`` when
+        both are present (grid_mod.f90:505-510).
+
+        The fused Pallas fast paths take scalar spacings and are
+        unaffected; curvilinear physics runs on the jnp/invoke path.
+        """
+        if not self._initialised:
+            raise RuntimeError("call init() before set_scale_factors()")
+        unknown = sorted(set(arrays) - set(self.SCALE_FACTOR_NAMES))
+        if unknown:
+            raise ValueError(
+                f"unknown scale-factor name(s) {unknown}; valid names: "
+                f"{self.SCALE_FACTOR_NAMES}")
+        for name, arr in arrays.items():
+            arr = np.asarray(arr, dtype=kinds.np_wp())
+            if arr.shape != (self.global_ny, self.global_nx):
+                raise ValueError(
+                    f"{name} must be the GLOBAL array "
+                    f"({self.global_ny}, {self.global_nx}), got "
+                    f"{arr.shape}")
+            stacked = layout.stack_global(self.decomp, arr, mode="edge")
+            self._curvi[name] = jax.device_put(
+                stacked.astype(self.dtype), self.sharding)
+        for pt in ("t", "u", "v"):
+            if (f"area_{pt}" not in self._curvi
+                    and f"dx_{pt}" in self._curvi
+                    and f"dy_{pt}" in self._curvi):
+                self._curvi[f"area_{pt}"] = (self._curvi[f"dx_{pt}"]
+                                             * self._curvi[f"dy_{pt}"])
+
     @property
-    def dy_t(self): return self._const_array("dy_c", self.dy)
+    def dx_t(self): return self._scale_array("dx_t", "dx_c", self.dx)
     @property
-    def dx_u(self): return self._const_array("dx_c", self.dx)
+    def dy_t(self): return self._scale_array("dy_t", "dy_c", self.dy)
     @property
-    def dy_u(self): return self._const_array("dy_c", self.dy)
+    def dx_u(self): return self._scale_array("dx_u", "dx_c", self.dx)
     @property
-    def dx_v(self): return self._const_array("dx_c", self.dx)
+    def dy_u(self): return self._scale_array("dy_u", "dy_c", self.dy)
     @property
-    def dy_v(self): return self._const_array("dy_c", self.dy)
+    def dx_v(self): return self._scale_array("dx_v", "dx_c", self.dx)
     @property
-    def dx_f(self): return self._const_array("dx_c", self.dx)
+    def dy_v(self): return self._scale_array("dy_v", "dy_c", self.dy)
     @property
-    def dy_f(self): return self._const_array("dy_c", self.dy)
+    def dx_f(self): return self._scale_array("dx_f", "dx_c", self.dx)
     @property
-    def area_t(self): return self._const_array("area", self.dx * self.dy)
+    def dy_f(self): return self._scale_array("dy_f", "dy_c", self.dy)
     @property
-    def area_u(self): return self._const_array("area", self.dx * self.dy)
+    def area_t(self):
+        return self._scale_array("area_t", "area", self.dx * self.dy)
     @property
-    def area_v(self): return self._const_array("area", self.dx * self.dy)
+    def area_u(self):
+        return self._scale_array("area_u", "area", self.dx * self.dy)
+    @property
+    def area_v(self):
+        return self._scale_array("area_v", "area", self.dx * self.dy)
     #: f-plane latitude, constant 50 degrees (grid_mod.f90:512-523)
     @property
-    def gphiu(self): return self._const_array("gphi", 50.0)
+    def gphiu(self): return self._scale_array("gphiu", "gphi", 50.0)
     @property
-    def gphiv(self): return self._const_array("gphi", 50.0)
+    def gphiv(self): return self._scale_array("gphiv", "gphi", 50.0)
     @property
-    def gphif(self): return self._const_array("gphi", 50.0)
+    def gphif(self): return self._scale_array("gphif", "gphi", 50.0)
 
     def xt_1d(self) -> np.ndarray:
         """x coordinate of T points per stacked column (host array).

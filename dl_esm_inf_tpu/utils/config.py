@@ -20,8 +20,9 @@ class EnvConfig:
     #: contiguous-dimension padding multiple (DL_ESM_ALIGNMENT)
     alignment: int
     #: explicit thread/tile grid "NxM" (GOCEAN_OMP_GRID) or None.
-    #: The reference used it for OpenMP sub-tiling; here it seeds an
-    #: explicit process-grid request (ndomainx, ndomainy).
+    #: The reference used it for OpenMP sub-tiling; here
+    #: :meth:`~...core.grid.Grid.decompose` consults it when no explicit
+    #: sizing is given and uses it as the (ndomainx, ndomainy) request.
     tile_grid: tuple[int, int] | None
     #: test global domain size (JPIGLO/JPJGLO) or None
     jpiglo: int | None

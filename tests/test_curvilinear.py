@@ -1,0 +1,112 @@
+"""Curvilinear scale factors: the GO_ORTHOGONAL_CURVILINEAR surface.
+
+The reference allocates per-point dx/dy/area/gphi arrays a client could
+populate (grid_mod.f90:121-134, 461-523) and declares the curvilinear
+grid type (kernel_mod.f90:43-44) without ever making the surface
+reachable; here it is live — Grid.set_scale_factors installs global
+per-point arrays that flow through the grid-property getters and
+invoke kernels — and dishonest combinations are rejected.
+"""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.api.kernel_meta import (
+    GO_ORTHOGONAL_CURVILINEAR, GO_READ, GO_WRITE, GO_CT, GridProp,
+    go_arg, invoke, kernel)
+
+
+def make_grid(gnx=12, gny=8, ndom=4):
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=ndom)
+    dl.grid_init(grid, 2.0, 3.0)
+    return grid
+
+
+def varying(gny, gnx, base):
+    return base + np.arange(gny * gnx, dtype=float).reshape(gny, gnx)
+
+
+def test_set_scale_factors_flow_through_getters():
+    gnx, gny = 12, 8
+    grid = make_grid(gnx, gny)
+    assert not grid.is_curvilinear
+    dxu = varying(gny, gnx, 100.0)
+    dyu = varying(gny, gnx, 500.0)
+    grid.set_scale_factors(dx_u=dxu, dy_u=dyu)
+    assert grid.is_curvilinear
+    # internal points of the scattered arrays equal the global input
+    f = dl.Field(grid, dl.T_POINTS)
+    f.data = grid.dx_u
+    np.testing.assert_allclose(f.gather_inner_data(), dxu)
+    # area_u derived as dx_u * dy_u (grid_mod.f90:505-510)
+    f.data = grid.area_u
+    np.testing.assert_allclose(f.gather_inner_data(), dxu * dyu)
+    # untouched families still serve the regular-grid constants
+    f.data = grid.dx_t
+    np.testing.assert_allclose(f.gather_inner_data(),
+                               np.full((gny, gnx), 2.0))
+
+
+def test_curvilinear_kernel_uses_per_point_arrays():
+    gnx, gny = 12, 8
+    grid = make_grid(gnx, gny)
+    dxt = varying(gny, gnx, 10.0)
+    grid.set_scale_factors(dx_t=dxt)
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_DX_T)],
+            grid_type=GO_ORTHOGONAL_CURVILINEAR)
+    def scale_by_dx(out, x, dx_arr):
+        return x * dx_arr
+
+    vals = varying(gny, gnx, 1.0)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(scale_by_dx, out, a)
+    np.testing.assert_allclose(out.gather_inner_data(), vals * dxt)
+
+
+def test_curvilinear_kernel_rejected_on_regular_grid():
+    grid = make_grid()
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)],
+            grid_type=GO_ORTHOGONAL_CURVILINEAR)
+    def curv(out, x):
+        return x
+
+    a = dl.Field(grid, dl.T_POINTS)
+    with pytest.raises(ValueError, match="CURVILINEAR.*scale factors"):
+        invoke(curv, a, a)
+
+
+def test_const_spacing_rejected_on_curvilinear_grid():
+    gnx, gny = 12, 8
+    grid = make_grid(gnx, gny)
+    grid.set_scale_factors(dx_t=varying(gny, gnx, 1.0))
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_DX_CONST)])
+    def uses_const(out, x, dx):
+        return x * dx
+
+    a = dl.Field(grid, dl.T_POINTS)
+    with pytest.raises(ValueError, match="DX_CONST.*per-point"):
+        invoke(uses_const, a, a)
+
+
+def test_set_scale_factors_validation():
+    grid = make_grid()
+    with pytest.raises(ValueError, match="unknown scale-factor"):
+        grid.set_scale_factors(dx_q=np.ones((8, 12)))
+    with pytest.raises(ValueError, match="GLOBAL array"):
+        grid.set_scale_factors(dx_t=np.ones((4, 4)))
+    g2 = dl.Grid(dl.ARAKAWA_C,
+                 (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                 dl.OFFSET_NE)
+    g2.decompose(12, 8, ndomains=4)
+    with pytest.raises(RuntimeError, match="init"):
+        g2.set_scale_factors(dx_t=np.ones((8, 12)))

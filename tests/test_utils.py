@@ -141,6 +141,30 @@ def test_config_env(monkeypatch):
     assert config.parse_grid_dims("ax2") is None
 
 
+def test_gocean_omp_grid_seeds_decompose(monkeypatch):
+    # GOCEAN_OMP_GRID shapes the decomposition when no explicit sizing
+    # is given (the moral port of field_mod.f90:1473-1503)
+    monkeypatch.setenv("GOCEAN_OMP_GRID", "4x2")
+    g = dl.Grid(dl.ARAKAWA_C,
+                (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                dl.OFFSET_NE)
+    d = g.decompose(32, 24)
+    assert (d.nprocx, d.nprocy) == (4, 2)
+    # explicit arguments win over the environment
+    g2 = dl.Grid(dl.ARAKAWA_C,
+                 (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                 dl.OFFSET_NE)
+    d2 = g2.decompose(32, 24, ndomainx=2, ndomainy=2)
+    assert (d2.nprocx, d2.nprocy) == (2, 2)
+    # malformed values fall back to the all-devices default
+    monkeypatch.setenv("GOCEAN_OMP_GRID", "nonsense")
+    g3 = dl.Grid(dl.ARAKAWA_C,
+                 (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                 dl.OFFSET_NE)
+    d3 = g3.decompose(32, 24)
+    assert d3.nprocx * d3.nprocy == dl.parallel.environment.num_devices()
+
+
 def test_dump_field(tmp_path):
     m = build(ndom=4, gnx=8, gny=6)
     p = str(tmp_path / "fld.npz")
