@@ -228,8 +228,14 @@ def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
 
 
 def tidal_forcing(rtime, p: Params):
-    """The bc_ssh amplitude at model time ``rtime`` (scalar)."""
-    return p.amp * jnp.sin(2.0 * jnp.pi * rtime / p.tide_period)
+    """The bc_ssh amplitude at model time ``rtime`` (scalar).
+
+    Uses the working-precision sine (:mod:`..ops.trig`): XLA:TPU's own
+    f64 sin is only f32-accurate, and this boundary term injected per
+    step was the whole fp64-on-chip parity gap (scripts/f64_oracle.py).
+    """
+    from ..ops.trig import sin_wp
+    return p.amp * sin_wp(2.0 * jnp.pi * rtime / p.tide_period)
 
 
 def bc_ssh(ssha_t, bc_cells, forcing):

@@ -48,3 +48,24 @@ def test_float32_decomposition_invariance():
     for k in ("sshn", "un", "vn"):
         np.testing.assert_allclose(g6[k], g1[k], rtol=2e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_sin64_faithful():
+    """ops/trig: the faithful-f64 sine (XLA:TPU's own f64 sin is only
+    f32-accurate; this one is built from faithful add/mul, and carries
+    the fp64 parity of the tidal forcing on the chip)."""
+    from dl_esm_inf_tpu.ops import trig
+
+    xs = np.concatenate([
+        np.linspace(-20.0, 20.0, 4001),
+        np.array([0.0, 1e-12, -1e-12, np.pi / 4, np.pi / 2, np.pi,
+                  3 * np.pi / 2, 2 * np.pi, 1e5, -1e5]),
+    ])
+    np.testing.assert_allclose(np.asarray(trig.sin64(xs)), np.sin(xs),
+                               rtol=0, atol=2e-15)
+    np.testing.assert_allclose(np.asarray(trig.cos64(xs)), np.cos(xs),
+                               rtol=0, atol=2e-15)
+    # dispatch: f64 -> polynomial path, f32 -> jnp.sin untouched
+    assert trig.sin_wp(jnp.float32(1.0)).dtype == jnp.float32
+    assert trig.sin_wp(jnp.float64(1.0)).dtype == jnp.float64
+    assert trig.cos_wp(jnp.float32(1.0)).dtype == jnp.float32
