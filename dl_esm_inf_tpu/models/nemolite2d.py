@@ -722,7 +722,8 @@ class NemoLite2D:
             tile_rows=self._pallas_tile_rows,
             interpret=self._pallas_interpret, steps_per_sweep=K,
             variable_bathy=self._ht is not None,
-            exchange_spec=spec if self._transport == "fused" else None)
+            exchange_spec=spec if self._transport == "fused" else None,
+            repx=spec.repx, repy=spec.repy)
 
     def _block_sweep(self, exch, fused, K, istep0, sshn_t, un, vn,
                      mask_codes, dep=None):

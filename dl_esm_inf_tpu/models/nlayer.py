@@ -186,7 +186,8 @@ class NLayerModel:
             state_dtypes=(dtype,) * (3 * L), aux_dtypes=(jnp.int8,),
             n_scalars=0, steps_per_sweep=K, reach=1, prepare_fn=prepare,
             tile_rows=self._pallas_tile_rows,
-            interpret=self._pallas_interpret)
+            interpret=self._pallas_interpret,
+            repx=spec.repx, repy=spec.repy)
 
     # ------------------------------------------------------------------
     def step_program(self, nsteps: int):

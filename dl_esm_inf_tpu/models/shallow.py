@@ -112,7 +112,8 @@ class ShallowModel:
             state_dtypes=(dtype,) * 3, aux_dtypes=(), n_scalars=0,
             steps_per_sweep=K, reach=1,
             tile_rows=self._pallas_tile_rows,
-            interpret=self._pallas_interpret)
+            interpret=self._pallas_interpret,
+            repx=spec.repx, repy=spec.repy)
 
     def step_program(self, nsteps: int):
         if nsteps not in self._step_cache:

@@ -138,7 +138,8 @@ class TwoLayerModel:
             state_dtypes=(dtype,) * 6, aux_dtypes=(jnp.int8,),
             n_scalars=0, steps_per_sweep=K, reach=1, prepare_fn=prepare,
             tile_rows=self._pallas_tile_rows,
-            interpret=self._pallas_interpret)
+            interpret=self._pallas_interpret,
+            repx=spec.repx, repy=spec.repy)
 
     def step_program(self, nsteps: int):
         if nsteps not in self._step_cache:

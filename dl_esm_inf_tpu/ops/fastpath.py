@@ -18,11 +18,10 @@ def enable_fast_path(model, *, reach: int, interpret: bool = False,
     if not 1 <= K <= kmax:
         raise ValueError(
             f"steps_per_sweep must be in [1, {kmax}], got {K}")
-    hs = model.grid.halo_spec
-    if getattr(hs, "repx", 1) > 1 or getattr(hs, "repy", 1) > 1:
-        raise NotImplementedError(
-            "the fused Pallas path supports one tile per device; "
-            "over-decomposed grids run the jnp path")
+    # Over-decomposed grids (repx/repy > 1) are supported: the sweep
+    # runs once per logical tile and the ppermute exchange handles the
+    # intra-block seams (ops/sweep.py repx/repy).  Only the fused
+    # remote-DMA transport is one-tile-per-device (it raises there).
     need = max(K * reach, reach)
     if model.grid.halo_spec.halo < need:
         raise ValueError(

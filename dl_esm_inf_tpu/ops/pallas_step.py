@@ -34,7 +34,8 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
                     steps_per_sweep: int = 1, hoist_masks: bool = True,
                     variable_bathy: bool = False,
                     hardware_rolls: bool = True,
-                    exchange_spec=None, exchange_logical_ids: bool = False):
+                    exchange_spec=None, exchange_logical_ids: bool = False,
+                    repx: int = 1, repy: int = 1):
     """Build the fused step callable: (sshn, un, vn, tmask_i8, forcing
     [, ht]) -> (ssha, ua, va), all shaped (ly, lx) per shard block.
 
@@ -99,7 +100,7 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
         n_scalars=1, steps_per_sweep=K, reach=2, prepare_fn=prepare,
         tile_rows=tile_rows, interpret=interpret,
         hardware_rolls=hardware_rolls, exchange_spec=exchange_spec,
-        exchange_logical_ids=exchange_logical_ids)
+        exchange_logical_ids=exchange_logical_ids, repx=repx, repy=repy)
 
     def fused(sshn, un, vn, mask_codes_i8, forcing, ht=None):
         f = jnp.asarray(forcing, dtype).reshape((K, 1))

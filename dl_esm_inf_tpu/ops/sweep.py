@@ -55,6 +55,7 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                        prepare_fn=None, tile_rows: int | None = None,
                        interpret: bool = False, hardware_rolls: bool = True,
                        exchange_spec=None, exchange_logical_ids: bool = False,
+                       repx: int = 1, repy: int = 1,
                        vmem_limit_bytes: int = 100 * 1024 * 1024):
     """Build ``sweep(*state, *aux, scalars) -> state'`` for one shard block.
 
@@ -77,6 +78,15 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
     ``exchange_logical_ids`` addresses peers by scalar logical id —
     required under single-axis meshes in interpret mode (jax 0.9's
     remote-DMA emulation limitation; see parallel/halo_pallas.py).
+
+    ``repx``/``repy`` — OVER-DECOMPOSITION: the device block is a
+    (repy, repx) grid of logical (ly, lx) tiles, each with its own
+    halo ring (the layout of parallel/halo.py::_exchange_blocks); the
+    sweep kernel runs once per tile (a static Python loop — the tiles
+    are sequential on the core anyway) and the results reassemble into
+    the device block.  Halo refresh between sweeps stays with the
+    ppermute transport (intra-block seams are its local strip shifts);
+    the fused remote-DMA transport is one-tile-per-device only.
     """
     state_dtypes = tuple(jnp.dtype(d) for d in state_dtypes)
     aux_dtypes = tuple(jnp.dtype(d) for d in aux_dtypes)
@@ -110,6 +120,13 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         def prepare_fn(aux):
             return aux
 
+    repx, repy = int(repx), int(repy)
+    if (repx < 1 or repy < 1):
+        raise ValueError(f"repx/repy must be >= 1, got {repx}/{repy}")
+    if (repx > 1 or repy > 1) and exchange_spec is not None:
+        raise NotImplementedError(
+            "the fused transport supports one tile per device; "
+            "over-decomposed grids use the ppermute exchange")
     ex = exchange_spec
     if ex is not None:
         if (ex.local_ny, ex.local_nx) != (ly, lx):
@@ -533,7 +550,26 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         if len(arrays) != n_in:
             raise ValueError(f"expected {n_in} arrays, got {len(arrays)}")
         sc = jnp.asarray(scalars).reshape((K, max(n_scalars, 1)))
-        out = call(sc, *arrays)
-        return out[:n_state] if ex is not None else out
+
+        def one(arrs):
+            out = call(sc, *arrs)
+            return out[:n_state] if ex is not None else out
+
+        if repx == 1 and repy == 1:
+            return one(arrays)
+        # over-decomposition: one kernel invocation per logical tile
+        # (static loop), results reassembled into the device block
+        if arrays[0].shape != (repy * ly, repx * lx):
+            raise ValueError(
+                f"over-decomposed sweep expects device blocks of "
+                f"({repy * ly}, {repx * lx}), got {arrays[0].shape}")
+        tiles = [[one([a[ty * ly:(ty + 1) * ly, tx * lx:(tx + 1) * lx]
+                       for a in arrays])
+                  for tx in range(repx)] for ty in range(repy)]
+        return tuple(
+            jnp.concatenate(
+                [jnp.concatenate([tiles[ty][tx][k] for tx in range(repx)],
+                                 axis=1) for ty in range(repy)], axis=0)
+            for k in range(n_state))
 
     return sweep

@@ -107,3 +107,46 @@ def test_depth_guard():
     with pytest.raises(ValueError, match="depth"):
         exchange_pallas(a, grid.mesh, grid.halo_spec, depth=2,
                         interpret=True)
+
+
+@pytest.mark.parametrize("wrap", [False, True])
+def test_composed_xy_phases_match_2d_exchange_depth8(wrap):
+    """Adversarial 2D evidence on a single-axis-interpret backend
+    (round-2 verdict #3): the 2D remote-DMA kernel IS "x phase to
+    completion, then full-width y rows" — so composing the 1D x-split
+    kernel over each shard row with the 1D y-split kernel over each
+    shard column must reproduce the 2D ppermute exchange EXACTLY,
+    corners included, at full halo depth.  Today's per-axis tests pin
+    each phase alone; this pins their sequencing semantics."""
+    gnx = gny = 48
+    depth = 8
+    grid = make_grid(gnx, gny, 2, 2, wrap=wrap, halo=depth)
+    spec = grid.halo_spec
+    a = unique_field(grid)
+    want = np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=depth))
+
+    ly, lx = spec.local_ny, spec.local_nx
+    cur = np.asarray(a).copy()
+
+    # x phase: the 1D x-kernel on each logical shard ROW.  A 2x1
+    # decomposition of the half-height domain has EXACTLY the 2D
+    # spec's x-phase geometry (same tile/local sizes, wrap_x).
+    grid_x = make_grid(gnx, gny // 2, 2, 1, wrap=wrap, halo=depth)
+    assert (grid_x.halo_spec.local_nx, grid_x.halo_spec.local_ny,
+            grid_x.halo_spec.wrap_x) == (lx, ly, spec.wrap_x)
+    for r in range(2):
+        cur[r * ly:(r + 1) * ly, :] = run_1d(
+            grid_x, jnp.asarray(cur[r * ly:(r + 1) * ly, :]),
+            depth=depth)
+
+    # y phase AFTER x: the 1D y-kernel on each logical shard COLUMN
+    # (its post-x snapshot/restore is exactly the 2D kernel's)
+    grid_y = make_grid(gnx // 2, gny, 1, 2, wrap=wrap, halo=depth)
+    assert (grid_y.halo_spec.local_nx, grid_y.halo_spec.local_ny,
+            grid_y.halo_spec.wrap_y) == (lx, ly, spec.wrap_y)
+    for c in range(2):
+        cur[:, c * lx:(c + 1) * lx] = run_1d(
+            grid_y, jnp.asarray(cur[:, c * lx:(c + 1) * lx]),
+            depth=depth)
+
+    np.testing.assert_array_equal(cur, want)

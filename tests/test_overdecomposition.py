@@ -143,12 +143,39 @@ def test_checkpoint_roundtrip_overdecomposed(tmp_path):
                                       err_msg=k)
 
 
+def test_flagship_pallas_overdecomposed():
+    """The sweep ENGINE on an over-decomposed grid (one kernel pass per
+    logical tile, ppermute exchange between sweeps): 32 tiles on 8
+    devices equal the 1-shard jnp run to fp64 roundoff, with K=2
+    temporal blocking so the deep-halo schedule also crosses the
+    intra-device tile seams."""
+    gnx, gny = 64, 48
+    m1 = nl.build(gnx, gny, ndomains=1, open_north=True)
+    mo = nl.build(gnx, gny, ndomains=32, open_north=True, pallas=True,
+                  steps_per_sweep=2)
+    mo.enable_pallas(interpret=True, steps_per_sweep=2)
+    spec = mo.grid.halo_spec
+    assert spec.repx * spec.repy > 1     # genuinely over-decomposed
+    ssh0 = gaussian_eta(gnx, gny, amp=0.5)
+    m1.set_initial_ssh(ssh0)
+    mo.set_initial_ssh(ssh0)
+    m1.run(24)
+    mo.run(24)
+    g1, go = m1.gather(), mo.gather()
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(go[k], g1[k], rtol=1e-12, atol=1e-13,
+                                   err_msg=k)
+
+
 def test_pallas_paths_guard():
-    """The Pallas transports/engine honestly refuse over-decomposed
-    grids (they run the jnp/ppermute path)."""
+    """The REMOTE-DMA transports stay one-tile-per-device and refuse
+    over-decomposed grids honestly (the engine itself now supports
+    them via the per-tile sweep + ppermute exchange)."""
     m = nl.build(64, 64, ndomains=32, halo_width=8)
+    m.enable_pallas(interpret=True)          # engine: supported
+    assert m.use_pallas
     with pytest.raises(NotImplementedError, match="tile per device"):
-        m.enable_pallas(interpret=True)
+        m.enable_pallas(interpret=True, transport="fused")
     from dl_esm_inf_tpu.parallel.halo_pallas import exchange_pallas
     with pytest.raises(NotImplementedError, match="tile per device"):
         exchange_pallas(m.sshn_t.data, m.grid.mesh, m.grid.halo_spec,
