@@ -66,23 +66,37 @@ def measure_membw(jnp, jax) -> float:
     return 2 * nbytes / per_pass / 1e9
 
 
-def _slope_rate(make_prog, step_state, n_lo=50, n_hi=250, reps=3):
+def _slope_rate(make_prog, step_state, n_lo=50, n_hi=250, reps=3,
+                tries=4):
     """us/step via the two-chain slope for a sweep-engine client.
 
     ``make_prog(n)`` compiles an n-step program; ``step_state(prog)``
     runs it feeding state forward (unique inputs per call — the tunnel
-    may deduplicate identical repeats) and blocks on a scalar."""
-    best = {}
+    may deduplicate identical repeats) and blocks on a scalar.  A
+    tenancy-window shift between the two chains can produce a negative
+    or absurd slope (CLAUDE.md timing rules): sample up to ``tries``
+    times and keep the best PLAUSIBLE (positive) slope; None if every
+    try was corrupted."""
+    runs = {}
     for n in (n_lo, n_hi):
-        run = step_state(make_prog(n))
-        run()                       # compile + warm
-        b = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run()
-            b = min(b, time.perf_counter() - t0)
-        best[n] = b
-    return (best[n_hi] - best[n_lo]) / (n_hi - n_lo)
+        runs[n] = step_state(make_prog(n))
+        runs[n]()                   # compile + warm
+    good = []
+    for _ in range(tries):
+        best = {}
+        for n in (n_lo, n_hi):
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                runs[n]()
+                b = min(b, time.perf_counter() - t0)
+            best[n] = b
+        t = (best[n_hi] - best[n_lo]) / (n_hi - n_lo)
+        if t > 0:
+            good.append(t)
+            if len(good) >= 2:
+                break
+    return min(good) if good else None
 
 
 def measure_client_models(jax, jnp, N=1024):
@@ -106,8 +120,10 @@ def measure_client_models(jax, jnp, N=1024):
         return run
 
     t = _slope_rate(m.step_program, gw_run)
-    out["gravity_wave_K8"] = {"us_per_step": round(t * 1e6, 1),
-                              "gpts_per_s": round(N * N / t / 1e9, 1)}
+    out["gravity_wave_K8"] = (
+        {"us_per_step": round(t * 1e6, 1),
+         "gpts_per_s": round(N * N / t / 1e9, 1)}
+        if t else {"skipped": "all slope samples tenancy-corrupted"})
 
     m2 = tl.build(N, N, pallas=True, steps_per_sweep=8)
     st2 = [(m2.eta1.data, m2.eta2.data, m2.u1.data, m2.v1.data,
@@ -121,8 +137,10 @@ def measure_client_models(jax, jnp, N=1024):
         return run
 
     t = _slope_rate(m2.step_program, tl_run)
-    out["twolayer_K8"] = {"us_per_step": round(t * 1e6, 1),
-                          "gpts_per_s": round(N * N / t / 1e9, 1)}
+    out["twolayer_K8"] = (
+        {"us_per_step": round(t * 1e6, 1),
+         "gpts_per_s": round(N * N / t / 1e9, 1)}
+        if t else {"skipped": "all slope samples tenancy-corrupted"})
     return out
 
 
@@ -194,12 +212,14 @@ def main():
         b = measure_membw(jnp, jax)
         if t >= floor and b > 0:
             pairs.append((t, b))
-            # stop once the FASTEST window seen clears the CONTRACT:
-            # selection is by throughput, the ratio is computed from
-            # that same window's bandwidth (a congested window with a
-            # dipped bandwidth probe can have a flattering ratio but
-            # never a flattering step time)
-            if min(pairs)[0] == t and ratio((t, b)) >= 0.802:
+            # stop once the FASTEST window seen is comfortably above
+            # the 0.80 contract (stopping AT the bar would record a
+            # mediocre window when a fast one was minutes away; typical
+            # uncontended windows measure 0.9+).  Selection is by
+            # throughput, the ratio from that same window's bandwidth
+            # (a congested window with a dipped bandwidth probe can
+            # have a flattering ratio but never a flattering step time)
+            if min(pairs)[0] == t and ratio((t, b)) >= 0.88:
                 break
     fallback = not pairs
     if pairs:

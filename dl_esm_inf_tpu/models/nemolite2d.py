@@ -163,13 +163,13 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
     term_y = w_y - st.ym(w_y)                 # rdt*(adv_y + vis_y)
 
     # --- Coriolis (f-plane from latitude; 0.25 of the 4-point average
-    # folded into the scalar prefactor) -----------------------------------
-    cor = (0.25 * p.rdt * fcor) * (wv + st.ym(wv)) * dep_u
-
-    # --- pressure gradient on the NEW ssh (forward-backward scheme:
-    # continuity first, momentum sees the updated surface — gravity-wave
-    # stable up to c*dt*sqrt(2)/dx ~ 1) -----------------------------------
-    hpg = (-p.rdt * p.g / dx) * dep_u * (st.xp(ssha_t) - ssha_t)
+    # folded into the scalar prefactor) + pressure gradient on the NEW
+    # ssh (forward-backward scheme: continuity first, momentum sees the
+    # updated surface — gravity-wave stable up to c*dt*sqrt(2)/dx ~ 1).
+    # Both terms carry the SAME dep_u factor, so it is applied once to
+    # their sum (one fewer vector multiply; the step is VPU-bound) -------
+    corhpg = ((0.25 * p.rdt * fcor) * (wv + st.ym(wv))
+              + (-p.rdt * p.g / dx) * (st.xp(ssha_t) - ssha_t)) * dep_u
 
     # --- time update with semi-implicit linear bottom friction.
     # (un*dep + T)/dep is applied as un + T/dep: one fewer multiply and
@@ -179,7 +179,7 @@ def momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu, depv, *, p: Params,
     rd = recip(dep_u) if recip is not None else 1.0 / dep_u
     if fric is None:
         fric = 1.0 / (1.0 + p.cbfr * p.rdt)
-    ua = (un + (term_x + term_y + cor + hpg) * rd) * fric
+    ua = (un + (term_x + term_y + corhpg) * rd) * fric
     return ua
 
 
@@ -216,14 +216,15 @@ def momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv, depu, *, p: Params,
            + (0.5 * p.rdt * p.visc / (dx * dx)) * (xpv - vn)) * dep_f2
     term_x = w_x - st.xm(w_x)
 
-    cor = (-0.25 * p.rdt * fcor) * (wu + st.xm(wu)) * dep_v
-
-    hpg = (-p.rdt * p.g / dy) * dep_v * (st.yp(ssha_t) - ssha_t)
+    # Coriolis + pressure gradient share the dep_v factor (see
+    # momentum_u)
+    corhpg = ((-0.25 * p.rdt * fcor) * (wu + st.xm(wu))
+              + (-p.rdt * p.g / dy) * (st.yp(ssha_t) - ssha_t)) * dep_v
 
     rd = recip(dep_v) if recip is not None else 1.0 / dep_v
     if fric is None:
         fric = 1.0 / (1.0 + p.cbfr * p.rdt)
-    va = (vn + (term_y + term_x + cor + hpg) * rd) * fric
+    va = (vn + (term_y + term_x + corhpg) * rd) * fric
     return va
 
 
