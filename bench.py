@@ -145,6 +145,7 @@ def measure_client_models(jax, jnp, N=1024):
 
 
 def main():
+    t_start = time.monotonic()
     import jax
     import jax.numpy as jnp
     from dl_esm_inf_tpu.models import nemolite2d as nl
@@ -239,9 +240,14 @@ def main():
     g = m.gather()
     assert all(np.isfinite(v).all() for v in g.values()), "non-finite state"
 
-    # secondary sweep-engine clients (temporal-blocking generality)
+    # secondary sweep-engine clients (temporal-blocking generality).
+    # Guarded by a wall-clock budget: on a cold compile cache the
+    # headline already cost ~4-8 min and the secondary models add four
+    # more program compiles — the driver must always get its JSON line.
     if jax.default_backend() == "cpu":
         models = {"skipped": "cpu backend"}
+    elif time.monotonic() - t_start > 480:
+        models = {"skipped": "time budget (cold compile cache)"}
     else:
         try:
             models = measure_client_models(jax, jnp)
