@@ -590,9 +590,15 @@ class Schedule:
 
             n_red = sum(1 for a in meta.args if _is_reduction(a))
             _PROGRAM_FNS[id(kern)] = kern
+            # intrinsic off-point read depth of this call (independent
+            # of staleness) — the fused sweep's validity-erosion unit
+            depth_i = max((a.stencil.depth() for k_, v_, a in records
+                           if k_ == "field" and _reads_off_point(a)),
+                          default=0)
             self._steps.append(dict(
                 fn_id=id(kern), meta=meta, binding=tuple(binding),
-                written=tuple(written), exch=exch, n_red=n_red))
+                written=tuple(written), exch=exch, n_red=n_red,
+                depth=depth_i))
 
         key = tuple((s["fn_id"], s["binding"], s["written"], s["exch"],
                      s["n_red"]) for s in self._steps)
@@ -600,8 +606,9 @@ class Schedule:
             key, self._grid.mesh, self._grid.halo_spec,
             tuple(f.data.ndim - 2 for f in self._slots),
             len(self._consts), len(self._scalar_src), len(self._masks))
+        self._fused_cache: dict = {}
 
-    def __call__(self, scalars=None):
+    def _user_scalar_vector(self, scalars):
         n_user = sum(1 for k, _ in self._scalar_src if k == "user")
         if scalars is None:
             user = [v for k, v in self._scalar_src if k == "user"]
@@ -612,7 +619,11 @@ class Schedule:
                     f"schedule binds {n_user} user scalars, got "
                     f"{len(user)}")
         it = iter(user)
-        sc = [next(it) if k == "user" else v for k, v in self._scalar_src]
+        return [next(it) if k == "user" else v
+                for k, v in self._scalar_src]
+
+    def __call__(self, scalars=None):
+        sc = self._user_scalar_vector(scalars)
         outs = self._prog(tuple(f.data for f in self._slots),
                           tuple(self._consts), tuple(sc),
                           tuple(self._masks))
@@ -623,6 +634,145 @@ class Schedule:
         if len(reds) == 1:
             return reds[0]
         return reds or None
+
+    # ------------------------------------------------------------------
+    # The fused (Pallas sweep-engine) execution of a whole schedule.
+    # ------------------------------------------------------------------
+    def fused(self, scalars=None, *, repeats: int = 1,
+              interpret: bool = False, tile_rows: int | None = None):
+        """Run the WHOLE kernel sequence as ONE Pallas sweep kernel —
+        the communication-avoiding transform of a kernel schedule.
+
+        The jnp schedule exchanges between dependent kernels; this form
+        performs ONE coalesced exchange at the sequence's total
+        stencil-erosion depth up front and computes halo values
+        redundantly inside the kernel (the deep-halo argument the
+        client models' fast paths use), so the entire sequence — all
+        kernels, masked writes, ``repeats`` applications — is a single
+        HBM pass per repeat batch with zero mid-chain communication.
+        PSyclone's generated layer cannot express this; here the same
+        metadata drives it.
+
+        Requirements (validated with clear errors): no reduction
+        arguments, 2D fields of one dtype, ``halo_width >=
+        repeats * sum(call depths)`` (and <= 8, the window ring), and
+        8-row-aligned shard blocks (``decompose(align_y=8)``; compiled
+        mode additionally needs 128-lane alignment — interpret mode
+        does not).  Semantics match calling the schedule ``repeats``
+        times (pinned by tests on internal points; halo cells hold
+        window-wrapped garbage exactly like the model fast paths).
+        """
+        key = (int(repeats), bool(interpret), tile_rows)
+        if key not in self._fused_cache:
+            self._fused_cache[key] = self._build_fused(*key)
+        prog = self._fused_cache[key]
+        sc = self._user_scalar_vector(scalars)
+        outs = prog(tuple(f.data for f in self._slots), tuple(sc))
+        for f, nb in zip(self._slots, outs):
+            f.data = nb
+        return None
+
+    def _build_fused(self, repeats: int, interpret: bool, tile_rows):
+        from ..ops.sweep import make_stencil_sweep
+        from ..parallel.halo import _exchange_blocks, exchange
+
+        grid = self._grid
+        spec = grid.halo_spec
+        if any(s["n_red"] for s in self._steps):
+            raise NotImplementedError(
+                "fused schedules do not support reduction arguments; "
+                "run the jnp schedule (reductions need a mesh "
+                "collective per call)")
+        if any(f.data.ndim != 2 for f in self._slots):
+            raise NotImplementedError(
+                "fused schedules support 2D fields; multi-level "
+                "fields run the jnp schedule")
+        dts = {jnp.dtype(f.data.dtype) for f in self._slots}
+        if len(dts) != 1:
+            raise ValueError(
+                f"fused schedules need one field dtype, got {dts}")
+        dtype = next(iter(dts))
+        total_reach = sum(s["depth"] for s in self._steps)
+        K = int(repeats)
+        if K < 1:
+            raise ValueError(f"repeats must be >= 1, got {K}")
+        depth_needed = K * total_reach
+        if depth_needed > spec.halo:
+            raise ValueError(
+                f"fused schedule: {K} repeat(s) of a depth-"
+                f"{total_reach} sequence need halo_width >= "
+                f"{depth_needed} (decompose(halo_width="
+                f"{depth_needed}, align_y=8))")
+
+        # Redundant-compute write masks: the jnp schedule's space masks
+        # are zero on halo cells (reduction semantics), but the fused
+        # form must PERSIST writes to halo cells that mirror a
+        # neighbour's internal cells — one halo exchange of each mask
+        # marks exactly those.
+        fmasks = [exchange(m, grid.mesh, spec, depth=spec.halo)
+                  for m in self._masks]
+        n_slots, n_masks = len(self._slots), len(fmasks)
+        n_consts, n_sc = len(self._consts), len(self._scalar_src)
+        steps = self._steps
+
+        def stepf(state, prepared, scalars):
+            cur = list(state)
+            masks = prepared[:n_masks]
+            consts = prepared[n_masks:]
+            for s in steps:
+                fn = _PROGRAM_FNS[s["fn_id"]]
+                call_args = [cur[i] if kind == "f"
+                             else consts[i] if kind == "c"
+                             else scalars[i]
+                             for kind, i in s["binding"] if kind != "r"]
+                outs = fn(*call_args)
+                if not isinstance(outs, tuple):
+                    outs = (outs,)
+                for (si, mi), nb in zip(s["written"], outs):
+                    cur[si] = jnp.where(masks[mi] > 0,
+                                        nb.astype(dtype), cur[si])
+            return tuple(cur)
+
+        sweep = make_stencil_sweep(
+            stepf, ly=spec.local_ny, lx=spec.local_nx,
+            state_dtypes=(dtype,) * n_slots,
+            aux_dtypes=tuple(jnp.dtype(m.dtype) for m in fmasks)
+            + tuple(jnp.dtype(c.dtype) for c in self._consts),
+            n_scalars=n_sc, steps_per_sweep=K,
+            reach=max(total_reach, 1), tile_rows=tile_rows,
+            interpret=interpret, repx=spec.repx, repy=spec.repy)
+
+        blk = P("y", "x")
+
+        def body(slots, masks, consts, sc):
+            if depth_needed:
+                slots = _exchange_blocks(tuple(slots), spec,
+                                         depth_needed)
+            args = list(slots) + list(masks) + list(consts)
+            if n_sc:
+                args.append(sc)
+            return sweep(*args)
+
+        smapped = jax.shard_map(
+            body, mesh=grid.mesh,
+            in_specs=(tuple([blk] * n_slots), tuple([blk] * n_masks),
+                      tuple([blk] * n_consts), P()),
+            out_specs=tuple([blk] * n_slots), check_vma=False)
+        jprog = jax.jit(smapped)
+
+        def prog(slot_datas, sc_vals):
+            # per-sub-step SMEM scalars: the same user/grid values for
+            # every repeat (shape (K, n))
+            if n_sc:
+                sc = jnp.tile(jnp.asarray(
+                    [float(v) for v in sc_vals],
+                    dtype).reshape(1, n_sc), (K, 1))
+            else:
+                sc = jnp.zeros((K, 1), jnp.float32)   # unused
+            return jprog(slot_datas, tuple(fmasks),
+                         tuple(self._consts), sc)
+
+        return prog
 
 
 @functools.lru_cache(maxsize=None)

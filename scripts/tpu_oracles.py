@@ -127,6 +127,38 @@ def main():
         got2 = np.asarray(fn(a)[0])
         np.testing.assert_array_equal(got2, want)
         print("fused-transport sweep  OK (compiled, self-loopback wrap)")
+
+        # --- fused SCHEDULE (whole kernel sequence as one Mosaic
+        # kernel) compiled against its jnp form ------------------------
+        def fgrid():
+            g = dl.Grid(dl.ARAKAWA_C,
+                        (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                        dl.OFFSET_NE)
+            g.decompose(64, 64, ndomains=1, halo_width=4, align=128,
+                        align_y=8)
+            dl.grid_init(g, 1.0, 1.0)
+            v = np.arange(64.0 * 64).reshape(64, 64)
+            return (dl.Field(g, dl.T_POINTS, init_global_data=v),
+                    dl.Field(g, dl.T_POINTS), dl.Field(g, dl.T_POINTS))
+
+        @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                      go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))])
+        def east_k(out, x):
+            return st.xp(x)
+
+        @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)])
+        def dbl(out, x):
+            return 2.0 * x
+
+        fa1, fb1, fc1 = fgrid()
+        fa2, fb2, fc2 = fgrid()
+        Schedule((east_k, fb1, fa1), (dbl, fc1, fb1),
+                 (east_k, fc1, fc1))()
+        Schedule((east_k, fb2, fa2), (dbl, fc2, fb2),
+                 (east_k, fc2, fc2)).fused()           # COMPILED
+        np.testing.assert_allclose(fc2.gather_inner_data(),
+                                   fc1.gather_inner_data(), rtol=1e-6)
+        print("fused schedule         OK (compiled == jnp schedule)")
     print("ALL TPU ORACLES PASS")
 
 

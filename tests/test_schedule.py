@@ -208,3 +208,107 @@ def test_flagship_kernel_in_schedule():
                      fb["vn"], fb["depu"], fb["depv"], 20.0))
     np.testing.assert_array_equal(fb["ssha"].gather_inner_data(),
                                   fa["ssha"].gather_inner_data())
+
+
+# ---------------------------------------------------------------------------
+# Fused (Pallas sweep-engine) schedule execution
+# ---------------------------------------------------------------------------
+
+def make_fused_grid(gnx=32, gny=32, ndom=4, halo=4):
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=ndom, halo_width=halo, align_y=8)
+    dl.grid_init(grid, 1.0, 1.0)
+    return grid
+
+
+def fused_chain_fields(grid):
+    gny, gnx = grid.global_ny, grid.global_nx
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    b = dl.Field(grid, dl.T_POINTS)
+    c = dl.Field(grid, dl.T_POINTS)
+    return a, b, c
+
+
+def test_fused_schedule_matches_jnp_schedule():
+    """The whole kernel sequence as ONE Pallas sweep (single up-front
+    exchange, redundant halo compute) == the jnp schedule with its
+    mid-chain exchanges, on internal points, across shard seams."""
+    g1, g2 = make_fused_grid(), make_fused_grid()
+    a1, b1, c1 = fused_chain_fields(g1)
+    a2, b2, c2 = fused_chain_fields(g2)
+    calls = lambda a, b, c: ((east_plus, b, a, 3.0),
+                             (double, c, b),
+                             (east_plus, c, c, 0.5))
+    Schedule(*calls(a1, b1, c1))()
+    Schedule(*calls(a2, b2, c2)).fused(interpret=True)
+    for f1, f2 in ((b1, b2), (c1, c2)):
+        np.testing.assert_allclose(f2.gather_inner_data(),
+                                   f1.gather_inner_data(),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_fused_schedule_repeats_and_scalars():
+    """repeats=K applies the sequence K times per single exchange (the
+    comm-avoiding transform); per-call user scalars still rebind."""
+    g1, g2 = make_fused_grid(halo=8), make_fused_grid(halo=8)
+    a1, b1, _ = fused_chain_fields(g1)
+    a2, b2, _ = fused_chain_fields(g2)
+    # sequence: b = xp(a) + s ; a = 2*b   (depth 1 per repeat)
+    s1 = Schedule((east_plus, b1, a1, 1.5), (double, a1, b1))
+    s2 = Schedule((east_plus, b2, a2, 1.5), (double, a2, b2))
+    for _ in range(3):
+        s1(scalars=[2.5])
+    s2.fused(scalars=[2.5], repeats=3, interpret=True)
+    for f1, f2 in ((a1, a2), (b1, b2)):
+        np.testing.assert_allclose(f2.gather_inner_data(),
+                                   f1.gather_inner_data(),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_fused_schedule_grid_property_array():
+    """garray constants (per-point grid properties) stream as aux
+    windows into the fused kernel."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_AREA_T)])
+    def scale_area(out, x, area):
+        return x * area
+
+    g1, g2 = make_fused_grid(), make_fused_grid()
+    a1, b1, _ = fused_chain_fields(g1)
+    a2, b2, _ = fused_chain_fields(g2)
+    Schedule((scale_area, b1, a1))()
+    Schedule((scale_area, b2, a2)).fused(interpret=True)
+    np.testing.assert_allclose(b2.gather_inner_data(),
+                               b1.gather_inner_data(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fused_schedule_guards():
+    grid = make_fused_grid(halo=1)
+    a, b, c = fused_chain_fields(grid)
+    # reductions are jnp-schedule-only
+    with pytest.raises(NotImplementedError, match="reduction"):
+        Schedule((total, a)).fused(interpret=True)
+    # halo too shallow for the sequence's total erosion depth
+    sched = Schedule((east_plus, b, a, 1.0), (east_plus, c, b, 1.0))
+    with pytest.raises(ValueError, match="halo_width >= 2"):
+        sched.fused(interpret=True)
+
+
+def test_fused_schedule_overdecomposed():
+    """Fused schedules ride the per-tile sweep on over-decomposed
+    grids too (16 logical tiles on <= 8 devices)."""
+    g1 = make_fused_grid(ndom=1)
+    g2 = make_fused_grid(ndom=16)
+    assert g2.halo_spec.repx * g2.halo_spec.repy > 1
+    a1, b1, c1 = fused_chain_fields(g1)
+    a2, b2, c2 = fused_chain_fields(g2)
+    calls = lambda a, b, c: ((east_plus, b, a, 3.0), (double, c, b))
+    Schedule(*calls(a1, b1, c1))()
+    Schedule(*calls(a2, b2, c2)).fused(interpret=True)
+    np.testing.assert_allclose(c2.gather_inner_data(),
+                               c1.gather_inner_data(),
+                               rtol=1e-12, atol=1e-12)
