@@ -312,3 +312,79 @@ def test_fused_schedule_overdecomposed():
     np.testing.assert_allclose(c2.gather_inner_data(),
                                c1.gather_inner_data(),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_fused_schedule_fuzz():
+    """Seeded random kernel chains (random shifts/scalars/space masks,
+    random grids incl. over-decomposition and periodic wrap) pinned
+    against the jnp schedule on internal points."""
+    import jax.numpy as jnp
+    from dl_esm_inf_tpu.api.kernel_meta import (GO_ALL_PTS,
+                                                GO_INTERNAL_PTS)
+
+    rng = np.random.default_rng(42)
+    shifts = {  # (stencil, fn) pairs of matching depth
+        "E": (go_stencil(0, 11, 0), st.xp),
+        "W": (go_stencil(0, 110, 0), st.xm),
+        "N": (go_stencil(10, 10, 0), st.yp),
+        "S": (go_stencil(0, 10, 10), st.ym),
+        "EE": (go_stencil(0, 12, 0), lambda a: st.xp(st.xp(a))),
+    }
+    for trial in range(6):
+        wrap = bool(rng.integers(0, 2))
+        gnx = int(rng.choice([24, 32, 40]))
+        gny = int(rng.choice([24, 32, 40]))
+        ndom = int(rng.choice([1, 4, 8, 16]))
+        n_calls = int(rng.integers(1, 4))
+        names = rng.choice(list(shifts), size=n_calls)
+        depth_total = sum(2 if n == "EE" else 1 for n in names)
+        halo = max(depth_total, 1)
+
+        def build():
+            bcs = ((dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE) if wrap
+                   else (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE))
+            g = dl.Grid(dl.ARAKAWA_C, bcs, dl.OFFSET_NE)
+            g.decompose(gnx, gny, ndomains=ndom, halo_width=halo,
+                        align_y=8)
+            dl.grid_init(g, 1.0, 1.0)
+            vals = rng.standard_normal((gny, gnx))
+            return (dl.Field(g, dl.T_POINTS, init_global_data=vals),
+                    dl.Field(g, dl.T_POINTS))
+
+        try:
+            fa1, fb1 = build()
+            fa2, fb2 = build()
+        except ValueError:
+            continue   # indivisible periodic decomposition etc.
+
+        # identical initial data for both builds
+        fa2.data = jnp.asarray(np.asarray(fa1.data))
+
+        calls1, calls2 = [], []
+        cur1, cur2 = fa1, fa2
+        scal = []
+        for nm in names:
+            sten, fn = shifts[nm]
+            s = float(rng.uniform(-1, 1))
+            scal.append(s)
+            space = (GO_ALL_PTS if rng.integers(0, 3) == 0
+                     else GO_INTERNAL_PTS)
+
+            @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                          go_arg(GO_READ, GO_CT, sten),
+                          go_arg(GO_READ, GO_R_SCALAR)],
+                    iterates_over=space, name=f"fz_{trial}_{nm}")
+            def kf(out, x, a, fn=fn):
+                return fn(x) + a
+
+            calls1.append((kf, fb1, cur1, s))
+            calls2.append((kf, fb2, cur2, s))
+            cur1, cur2 = fb1, fb2
+
+        Schedule(*calls1)()
+        Schedule(*calls2).fused(interpret=True)
+        np.testing.assert_allclose(
+            fb2.gather_inner_data(), fb1.gather_inner_data(),
+            rtol=1e-12, atol=1e-12,
+            err_msg=f"trial {trial}: {list(names)} wrap={wrap} "
+                    f"ndom={ndom} {gnx}x{gny}")
