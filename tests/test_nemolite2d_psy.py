@@ -1,0 +1,61 @@
+"""The PSy-style flagship (pure metadata kernels + one Schedule) vs
+the production model.
+
+models/nemolite2d_psy.py is the GOcean-client shape: every kernel
+declared with go_arg metadata, the step bound as one Schedule.  All
+three execution tiers must reproduce the production jnp model, which
+is itself pinned to the independent NumPy golden — so the metadata
+layer's exchange planning, masking and fused-sweep transform are all
+under the golden transitively."""
+import numpy as np
+import pytest
+
+from dl_esm_inf_tpu.models import nemolite2d as nl
+from dl_esm_inf_tpu.models.nemolite2d_psy import NemoLite2DPsy
+from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+GNX, GNY, NSTEPS = 34, 30, 30
+
+
+def production(ndom=4):
+    m = nl.build(GNX, GNY, ndomains=ndom)
+    m.set_initial_ssh(gaussian_eta(GNX, GNY, amp=0.2))
+    m.run(NSTEPS)
+    return m.gather()
+
+
+@pytest.fixture(scope="module")
+def prod():
+    return production()
+
+
+def check(got, want, tol=1e-10):
+    for k in ("sshn", "un", "vn"):
+        assert np.all(np.isfinite(got[k])), k
+        np.testing.assert_allclose(got[k], want[k], rtol=tol, atol=tol,
+                                   err_msg=k)
+
+
+def run_psy(ndom=4, **run_kw):
+    m = NemoLite2DPsy(GNX, GNY, ndomains=ndom)
+    m.set_initial_ssh(gaussian_eta(GNX, GNY, amp=0.2))
+    m.run(NSTEPS, **run_kw)
+    return m.gather()
+
+
+def test_psy_jnp_schedule_matches_production(prod):
+    """Tier 2: one jnp program per step, exchanges planned statically
+    from the metadata."""
+    check(run_psy(), prod)
+
+
+def test_psy_fused_schedule_matches_production(prod):
+    """Tier 3: the whole step as ONE Pallas sweep kernel (single
+    up-front exchange at the sequence's total erosion depth 5)."""
+    check(run_psy(fused=True, interpret=True), prod)
+
+
+def test_psy_single_shard_matches(prod):
+    """Serial (1x1 mesh) == distributed — the stub/MPI duality at the
+    metadata layer."""
+    check(run_psy(ndom=1), prod)
