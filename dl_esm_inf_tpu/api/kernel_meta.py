@@ -666,8 +666,19 @@ class Schedule:
         if key not in self._fused_cache:
             self._fused_cache[key] = self._build_fused(*key)
         prog = self._fused_cache[key]
-        sc = self._user_scalar_vector(scalars)
-        outs = prog(tuple(f.data for f in self._slots), tuple(sc))
+        # ``scalars`` may be a sequence of PER-REPEAT rows (length ==
+        # repeats — e.g. a time-varying forcing), or one flat row
+        # applied to every repeat.
+        if (scalars is not None and len(scalars)
+                and hasattr(scalars[0], "__len__")):
+            if len(scalars) != int(repeats):
+                raise ValueError(
+                    f"per-repeat scalars need {repeats} rows, got "
+                    f"{len(scalars)}")
+            rows = [self._user_scalar_vector(r) for r in scalars]
+        else:
+            rows = [self._user_scalar_vector(scalars)] * int(repeats)
+        outs = prog(tuple(f.data for f in self._slots), rows)
         for f, nb in zip(self._slots, outs):
             f.data = nb
         return None
@@ -760,13 +771,12 @@ class Schedule:
             out_specs=tuple([blk] * n_slots), check_vma=False)
         jprog = jax.jit(smapped)
 
-        def prog(slot_datas, sc_vals):
-            # per-sub-step SMEM scalars: the same user/grid values for
-            # every repeat (shape (K, n))
+        def prog(slot_datas, sc_rows):
+            # per-sub-step SMEM scalars: one row per repeat (grid
+            # scalars repeat; user scalars may vary per row)
             if n_sc:
-                sc = jnp.tile(jnp.asarray(
-                    [float(v) for v in sc_vals],
-                    dtype).reshape(1, n_sc), (K, 1))
+                sc = jnp.asarray([[float(v) for v in row]
+                                  for row in sc_rows], dtype)
             else:
                 sc = jnp.zeros((K, 1), jnp.float32)   # unused
             return jprog(slot_datas, tuple(fmasks),

@@ -388,3 +388,24 @@ def test_fused_schedule_fuzz():
             rtol=1e-12, atol=1e-12,
             err_msg=f"trial {trial}: {list(names)} wrap={wrap} "
                     f"ndom={ndom} {gnx}x{gny}")
+
+
+def test_fused_schedule_per_repeat_scalars():
+    """scalars may be one row PER REPEAT (e.g. a time-varying
+    forcing): fused(repeats=K) == K sequential jnp-schedule calls with
+    the per-step values."""
+    g1, g2 = make_fused_grid(halo=8), make_fused_grid(halo=8)
+    a1, b1, _ = fused_chain_fields(g1)
+    a2, b2, _ = fused_chain_fields(g2)
+    s1 = Schedule((east_plus, b1, a1, 0.0), (double, a1, b1))
+    s2 = Schedule((east_plus, b2, a2, 0.0), (double, a2, b2))
+    series = [[0.25], [-1.0], [3.5]]
+    for row in series:
+        s1(scalars=row)
+    s2.fused(scalars=series, repeats=3, interpret=True)
+    for f1, f2 in ((a1, a2), (b1, b2)):
+        np.testing.assert_allclose(f2.gather_inner_data(),
+                                   f1.gather_inner_data(),
+                                   rtol=1e-12, atol=1e-12)
+    with pytest.raises(ValueError, match="per-repeat scalars"):
+        s2.fused(scalars=[[1.0]], repeats=3, interpret=True)
