@@ -23,6 +23,8 @@ import functools
 from dataclasses import dataclass
 from enum import IntEnum
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -205,12 +207,16 @@ def _get_time_step(g):
 
 
 def _const_spacing(g, attr):
-    if g.is_curvilinear:
+    # Reject only when THIS spacing family is per-point: a grid with,
+    # say, only per-point latitudes installed still has a genuinely
+    # constant dx/dy and must keep serving it.
+    prefix = attr.lower() + "_"
+    if any(name.startswith(prefix) for name in getattr(g, "_curvi", ())):
         raise ValueError(
             f"kernel requests the constant grid spacing GRID_{attr}_CONST "
             "(argument_mod.f90:105-107) but the grid carries per-point "
-            "scale factors; request the per-point GRID_DX/DY_* array "
-            "properties instead")
+            f"{attr.lower()} scale factors; request the per-point "
+            "GRID_DX/DY_* array properties instead")
     return getattr(g, attr.lower())
 
 
@@ -531,6 +537,17 @@ class Schedule:
             self._slots.append(f)
             return len(self._slots) - 1
 
+        def const_of(val):
+            """Dedup grid-property arrays by identity (getters return
+            cached objects): without this every requesting kernel
+            would add another copy — and the fused sweep would stream
+            one redundant aux plane per duplicate into every tile."""
+            for i, c in enumerate(self._consts):
+                if c is val:
+                    return i
+            self._consts.append(val)
+            return len(self._consts) - 1
+
         clean_depth: dict = {}          # slot -> halo depth known fresh
 
         for ci, call in enumerate(calls):
@@ -555,8 +572,7 @@ class Schedule:
                     binding.append(("s", len(self._scalar_src)))
                     self._scalar_src.append(("user", val))
                 elif kind == "garray":
-                    binding.append(("c", len(self._consts)))
-                    self._consts.append(val)
+                    binding.append(("c", const_of(val)))
                 elif kind == "reduction":
                     binding.append(("r", None))
                 else:
@@ -668,9 +684,14 @@ class Schedule:
         prog = self._fused_cache[key]
         # ``scalars`` may be a sequence of PER-REPEAT rows (length ==
         # repeats — e.g. a time-varying forcing), or one flat row
-        # applied to every repeat.
-        if (scalars is not None and len(scalars)
-                and hasattr(scalars[0], "__len__")):
+        # applied to every repeat.  Detect by dimensionality, not by
+        # element type: a flat row may hold 0-d array values (which
+        # expose __len__ on their type but are not rows).
+        try:
+            nd = int(np.ndim(scalars)) if scalars is not None else 0
+        except Exception:   # noqa: BLE001 — ragged nesting etc.
+            nd = 1
+        if nd == 2:
             if len(scalars) != int(repeats):
                 raise ValueError(
                     f"per-repeat scalars need {repeats} rows, got "

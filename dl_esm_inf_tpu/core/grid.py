@@ -120,6 +120,7 @@ class Grid:
         self._initialised = False
         self._lazy = {}
         self._curvi = {}           # per-point scale factors (curvilinear)
+        self._curvi_derived: set = set()   # area_* entries derived here
         self._region_masks = {}
 
     # ------------------------------------------------------------------
@@ -196,6 +197,7 @@ class Grid:
         self._tmask_np = None
         self._lazy.clear()
         self._curvi.clear()
+        self._curvi_derived.clear()
         self._region_masks.clear()
 
         # Validate the domain decomposition itself before requiring devices,
@@ -272,6 +274,7 @@ class Grid:
         self._initialised = True
         self._lazy.clear()
         self._curvi.clear()
+        self._curvi_derived.clear()
         self._region_masks.clear()
 
     def get_tmask(self):
@@ -344,14 +347,32 @@ class Grid:
                     f"({self.global_ny}, {self.global_nx}), got "
                     f"{arr.shape}")
             stacked = layout.stack_global(self.decomp, arr, mode="edge")
-            self._curvi[name] = jax.device_put(
-                stacked.astype(self.dtype), self.sharding)
+            dev = jax.device_put(stacked.astype(self.dtype),
+                                 self.sharding)
+            if self.wrap_x or self.wrap_y:
+                # Periodic seams: halo cells must hold the WRAP
+                # partner's metric values, not edge replication —
+                # stencil reads of grid-property arrays cross the seam
+                # (same treatment as the tmask in init()).
+                from ..parallel import halo as halo_mod
+                dev = halo_mod.exchange(dev, self.mesh, self.halo_spec,
+                                        depth=self.decomp.halo)
+            self._curvi[name] = dev
+            # an explicitly-supplied array is authoritative; a derived
+            # one must be re-derived below if its inputs changed
+            self._curvi_derived.discard(name)
         for pt in ("t", "u", "v"):
-            if (f"area_{pt}" not in self._curvi
+            area = f"area_{pt}"
+            inputs_changed = (f"dx_{pt}" in arrays or f"dy_{pt}" in arrays)
+            if (area in self._curvi_derived and inputs_changed):
+                del self._curvi[area]          # stale derivation
+                self._curvi_derived.discard(area)
+            if (area not in self._curvi
                     and f"dx_{pt}" in self._curvi
                     and f"dy_{pt}" in self._curvi):
-                self._curvi[f"area_{pt}"] = (self._curvi[f"dx_{pt}"]
-                                             * self._curvi[f"dy_{pt}"])
+                self._curvi[area] = (self._curvi[f"dx_{pt}"]
+                                     * self._curvi[f"dy_{pt}"])
+                self._curvi_derived.add(area)
 
     @property
     def dx_t(self): return self._scale_array("dx_t", "dx_c", self.dx)

@@ -110,3 +110,63 @@ def test_set_scale_factors_validation():
     g2.decompose(12, 8, ndomains=4)
     with pytest.raises(RuntimeError, match="init"):
         g2.set_scale_factors(dx_t=np.ones((8, 12)))
+
+
+def test_latitude_only_grid_keeps_constant_spacing():
+    """Installing only per-point latitudes must not break kernels that
+    request the (still genuinely constant) GRID_DX/DY_CONST."""
+    gnx, gny = 12, 8
+    grid = make_grid(gnx, gny)
+    grid.set_scale_factors(gphiu=varying(gny, gnx, 10.0))
+    assert grid.is_curvilinear
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_DX_CONST)])
+    def uses_const(out, x, dx):
+        return x * dx
+
+    vals = varying(gny, gnx, 1.0)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(uses_const, out, a)
+    np.testing.assert_allclose(out.gather_inner_data(), vals * 2.0)
+
+
+def test_rederived_area_tracks_dx_update():
+    """A derived area_* must be re-derived when its dx/dy inputs are
+    replaced in a later call (no silently stale products)."""
+    gnx, gny = 12, 8
+    grid = make_grid(gnx, gny)
+    A = varying(gny, gnx, 100.0)
+    B = varying(gny, gnx, 500.0)
+    grid.set_scale_factors(dx_t=A, dy_t=B)
+    C = varying(gny, gnx, 900.0)
+    grid.set_scale_factors(dx_t=C)
+    f = dl.Field(grid, dl.T_POINTS)
+    f.data = grid.area_t
+    np.testing.assert_allclose(f.gather_inner_data(), C * B)
+    # an explicitly supplied area is authoritative and never re-derived
+    E = varying(gny, gnx, 7.0)
+    grid.set_scale_factors(area_t=E)
+    grid.set_scale_factors(dx_t=A)
+    f.data = grid.area_t
+    np.testing.assert_allclose(f.gather_inner_data(), E)
+
+
+def test_periodic_seam_scale_factors():
+    """On a periodic grid the halo cells of a per-point scale-factor
+    array must hold the WRAP partner's values (stencil reads cross the
+    seam), not edge replication."""
+    gnx, gny = 16, 8
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_PERIODIC, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=1, halo_width=1)
+    dl.grid_init(grid, 2.0, 3.0)
+    dxu = varying(gny, gnx, 100.0)
+    grid.set_scale_factors(dx_u=dxu)
+    arr = np.asarray(grid.dx_u)
+    h = grid.decomp.halo
+    # west halo column mirrors the global EAST column, row-aligned
+    np.testing.assert_allclose(arr[h:h + gny, h - 1], dxu[:, -1])
+    np.testing.assert_allclose(arr[h:h + gny, h + gnx], dxu[:, 0])

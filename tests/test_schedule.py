@@ -409,3 +409,38 @@ def test_fused_schedule_per_repeat_scalars():
                                    rtol=1e-12, atol=1e-12)
     with pytest.raises(ValueError, match="per-repeat scalars"):
         s2.fused(scalars=[[1.0]], repeats=3, interpret=True)
+
+
+def test_fused_schedule_flat_scalars_with_0d_values():
+    """A flat scalar row holding 0-d array values must NOT be
+    misdetected as per-repeat rows (review finding)."""
+    import jax.numpy as jnp
+    g1, g2 = make_fused_grid(), make_fused_grid()
+    a1, b1, _ = fused_chain_fields(g1)
+    a2, b2, _ = fused_chain_fields(g2)
+    s1 = Schedule((east_plus, b1, a1, 0.0))
+    s2 = Schedule((east_plus, b2, a2, 0.0))
+    s1(scalars=[5.0])
+    s2.fused(scalars=[jnp.float64(5.0)], interpret=True)
+    np.testing.assert_allclose(b2.gather_inner_data(),
+                               b1.gather_inner_data(), rtol=1e-12)
+
+
+def test_schedule_consts_deduplicated():
+    """Grid-property arrays requested by several kernels bind ONE
+    const slot (the fused sweep would otherwise stream duplicate aux
+    planes into every tile)."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_AREA_T)])
+    def area_scale(out, x, area):
+        return x * area
+
+    grid = make_fused_grid()
+    a, b, c = fused_chain_fields(grid)
+    sched = Schedule((area_scale, b, a), (area_scale, c, b),
+                     (area_scale, c, c))
+    assert len(sched._consts) == 1
+    sched()
+    # dx = dy = 1 here so area == 1: the chain is three identity scales
+    np.testing.assert_allclose(c.gather_inner_data(),
+                               a.gather_inner_data(), rtol=1e-12)
