@@ -159,6 +159,26 @@ def main():
         np.testing.assert_allclose(fc2.gather_inner_data(),
                                    fc1.gather_inner_data(), rtol=1e-6)
         print("fused schedule         OK (compiled == jnp schedule)")
+
+        # --- PSy-style flagship: 13 metadata kernels as ONE compiled
+        # Mosaic kernel, vs the production model -----------------------
+        from dl_esm_inf_tpu.models import nemolite2d as nl2
+        from dl_esm_inf_tpu.models.nemolite2d_psy import NemoLite2DPsy
+        from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+        prod = nl2.build(64, 48, ndomains=1)
+        prod.set_initial_ssh(gaussian_eta(64, 48, amp=0.2))
+        prod.run(10)
+        want_p = prod.gather()
+        psy = NemoLite2DPsy(64, 48, ndomains=1, align=128)
+        psy.set_initial_ssh(gaussian_eta(64, 48, amp=0.2))
+        psy.run(10, fused=True)                        # COMPILED
+        got_p = psy.gather()
+        for k2 in ("sshn", "un", "vn"):
+            np.testing.assert_allclose(got_p[k2], want_p[k2],
+                                       rtol=2e-5, atol=1e-6)
+        print("PSy fused flagship     OK (compiled metadata step == "
+              "production)")
     print("ALL TPU ORACLES PASS")
 
 
