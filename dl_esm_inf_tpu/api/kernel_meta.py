@@ -678,15 +678,65 @@ class Schedule:
         times (pinned by tests on internal points; halo cells hold
         window-wrapped garbage exactly like the model fast paths).
         """
-        key = (int(repeats), bool(interpret), tile_rows)
+        prog, written, ro = self._fused_prog(1, repeats, interpret,
+                                             tile_rows)
+        rows = self._repeat_rows(scalars, repeats)
+        outs = prog(tuple(self._slots[i].data for i in written),
+                    tuple(self._slots[i].data for i in ro), [rows])
+        for i, nb in zip(written, outs):
+            self._slots[i].data = nb
+        return None
+
+    def fused_program(self, nsteps: int, *, repeats: int = 1,
+                      interpret: bool = False,
+                      tile_rows: int | None = None):
+        """Whole-run fused driver: ``nsteps`` sequence applications
+        (each of ``repeats`` in-kernel repeats) in ONE dispatch — an
+        outer ``lax.fori_loop`` of exchange+sweep inside one jitted
+        program, so per-call host/RPC latency is paid once per run,
+        not per step.  Returns ``run(scalars=None)``: ``scalars`` may
+        be None / one flat row (the same values throughout), a
+        length-``nsteps`` sequence of flat rows (per-step values), or
+        a length-``nsteps`` sequence of ``repeats``-row groups.
+        Written fields update in place, like :meth:`fused`."""
+        prog, written, ro = self._fused_prog(nsteps, repeats, interpret,
+                                             tile_rows)
+
+        def run(scalars=None):
+            try:
+                nd = int(np.ndim(scalars)) if scalars is not None else 0
+            except Exception:   # noqa: BLE001 — ragged nesting
+                nd = 2
+            if nd <= 1:
+                rows = [self._repeat_rows(scalars, repeats)] \
+                    * int(nsteps)
+            else:
+                if len(scalars) != int(nsteps):
+                    raise ValueError(
+                        f"need {nsteps} per-step scalar entries, got "
+                        f"{len(scalars)}")
+                rows = [self._repeat_rows(item, repeats)
+                        for item in scalars]
+            outs = prog(tuple(self._slots[i].data for i in written),
+                        tuple(self._slots[i].data for i in ro), rows)
+            for i, nb in zip(written, outs):
+                self._slots[i].data = nb
+
+        return run
+
+    def _fused_prog(self, nsteps, repeats, interpret, tile_rows):
+        key = (int(nsteps), int(repeats), bool(interpret), tile_rows)
         if key not in self._fused_cache:
-            self._fused_cache[key] = self._build_fused(*key)
-        prog = self._fused_cache[key]
-        # ``scalars`` may be a sequence of PER-REPEAT rows (length ==
-        # repeats — e.g. a time-varying forcing), or one flat row
-        # applied to every repeat.  Detect by dimensionality, not by
-        # element type: a flat row may hold 0-d array values (which
-        # expose __len__ on their type but are not rows).
+            self._fused_cache[key] = self._build_fused(
+                int(repeats), bool(interpret), tile_rows,
+                nsteps=int(nsteps))
+        return self._fused_cache[key]
+
+    def _repeat_rows(self, scalars, repeats):
+        """K user-scalar rows from one flat row (broadcast) or a
+        K-row sequence.  Detection is by dimensionality, not element
+        type: a flat row may hold 0-d array values (which expose
+        ``__len__`` on their type but are not rows)."""
         try:
             nd = int(np.ndim(scalars)) if scalars is not None else 0
         except Exception:   # noqa: BLE001 — ragged nesting etc.
@@ -696,15 +746,12 @@ class Schedule:
                 raise ValueError(
                     f"per-repeat scalars need {repeats} rows, got "
                     f"{len(scalars)}")
-            rows = [self._user_scalar_vector(r) for r in scalars]
-        else:
-            rows = [self._user_scalar_vector(scalars)] * int(repeats)
-        outs = prog(tuple(f.data for f in self._slots), rows)
-        for f, nb in zip(self._slots, outs):
-            f.data = nb
-        return None
+            return [self._user_scalar_vector(r) for r in scalars]
+        return [self._user_scalar_vector(scalars)] * int(repeats)
 
-    def _build_fused(self, repeats: int, interpret: bool, tile_rows):
+    def _build_fused(self, repeats: int, interpret: bool, tile_rows,
+                     nsteps: int = 1):
+        from jax import lax
         from ..ops.sweep import make_stencil_sweep
         from ..parallel.halo import _exchange_blocks, exchange
 
@@ -736,6 +783,17 @@ class Schedule:
                 f"{depth_needed} (decompose(halo_width="
                 f"{depth_needed}, align_y=8))")
 
+        # Slots a kernel writes are sweep STATE (stream in and out);
+        # never-written slots (e.g. bathymetry) are time-invariant and
+        # stream IN only, as aux planes — half their HBM traffic.
+        written_set = sorted({si for s in self._steps
+                              for si, _ in s["written"]})
+        state_pos = {si: i for i, si in enumerate(written_set)}
+        ro_slots = [si for si in range(len(self._slots))
+                    if si not in state_pos]
+        ro_pos = {si: i for i, si in enumerate(ro_slots)}
+        n_state, n_ro = len(written_set), len(ro_slots)
+
         # Redundant-compute write masks: the jnp schedule's space masks
         # are zero on halo cells (reduction semantics), but the fused
         # form must PERSIST writes to halo cells that mirror a
@@ -743,67 +801,86 @@ class Schedule:
         # marks exactly those.
         fmasks = [exchange(m, grid.mesh, spec, depth=spec.halo)
                   for m in self._masks]
-        n_slots, n_masks = len(self._slots), len(fmasks)
+        n_masks = len(fmasks)
         n_consts, n_sc = len(self._consts), len(self._scalar_src)
         steps = self._steps
 
         def stepf(state, prepared, scalars):
             cur = list(state)
             masks = prepared[:n_masks]
-            consts = prepared[n_masks:]
+            consts = prepared[n_masks:n_masks + n_consts]
+            ros = prepared[n_masks + n_consts:]
             for s in steps:
                 fn = _PROGRAM_FNS[s["fn_id"]]
-                call_args = [cur[i] if kind == "f"
-                             else consts[i] if kind == "c"
-                             else scalars[i]
-                             for kind, i in s["binding"] if kind != "r"]
+                call_args = [
+                    (cur[state_pos[i]] if i in state_pos
+                     else ros[ro_pos[i]]) if kind == "f"
+                    else consts[i] if kind == "c"
+                    else scalars[i]
+                    for kind, i in s["binding"] if kind != "r"]
                 outs = fn(*call_args)
                 if not isinstance(outs, tuple):
                     outs = (outs,)
                 for (si, mi), nb in zip(s["written"], outs):
-                    cur[si] = jnp.where(masks[mi] > 0,
-                                        nb.astype(dtype), cur[si])
+                    cur[state_pos[si]] = jnp.where(masks[mi] > 0,
+                                                   nb.astype(dtype),
+                                                   cur[state_pos[si]])
             return tuple(cur)
 
         sweep = make_stencil_sweep(
             stepf, ly=spec.local_ny, lx=spec.local_nx,
-            state_dtypes=(dtype,) * n_slots,
+            state_dtypes=(dtype,) * n_state,
             aux_dtypes=tuple(jnp.dtype(m.dtype) for m in fmasks)
-            + tuple(jnp.dtype(c.dtype) for c in self._consts),
+            + tuple(jnp.dtype(c.dtype) for c in self._consts)
+            + (dtype,) * n_ro,
             n_scalars=n_sc, steps_per_sweep=K,
             reach=max(total_reach, 1), tile_rows=tile_rows,
             interpret=interpret, repx=spec.repx, repy=spec.repy)
 
         blk = P("y", "x")
 
-        def body(slots, masks, consts, sc):
-            if depth_needed:
-                slots = _exchange_blocks(tuple(slots), spec,
-                                         depth_needed)
-            args = list(slots) + list(masks) + list(consts)
-            if n_sc:
-                args.append(sc)
-            return sweep(*args)
+        def body(state, ros, masks, consts, sc):
+            # read-only slots: one exchange makes their halos valid for
+            # every step (nothing rewrites them)
+            if depth_needed and n_ro:
+                ros = _exchange_blocks(tuple(ros), spec, depth_needed)
+
+            def one(st, sc_k):
+                if depth_needed:
+                    st = _exchange_blocks(tuple(st), spec, depth_needed)
+                args = (list(st) + list(masks) + list(consts)
+                        + list(ros))
+                if n_sc:
+                    args.append(sc_k)
+                return tuple(sweep(*args))
+
+            if nsteps == 1:
+                return one(tuple(state), sc[0])
+            return lax.fori_loop(0, nsteps,
+                                 lambda i, st: one(st, sc[i]),
+                                 tuple(state))
 
         smapped = jax.shard_map(
             body, mesh=grid.mesh,
-            in_specs=(tuple([blk] * n_slots), tuple([blk] * n_masks),
-                      tuple([blk] * n_consts), P()),
-            out_specs=tuple([blk] * n_slots), check_vma=False)
+            in_specs=(tuple([blk] * n_state), tuple([blk] * n_ro),
+                      tuple([blk] * n_masks), tuple([blk] * n_consts),
+                      P()),
+            out_specs=tuple([blk] * n_state), check_vma=False)
         jprog = jax.jit(smapped)
 
-        def prog(slot_datas, sc_rows):
-            # per-sub-step SMEM scalars: one row per repeat (grid
-            # scalars repeat; user scalars may vary per row)
+        def prog(state_datas, ro_datas, sc_steps):
+            # SMEM scalars: (nsteps, K, n) — one row per repeat per
+            # step (grid scalars repeat; user scalars may vary)
             if n_sc:
-                sc = jnp.asarray([[float(v) for v in row]
-                                  for row in sc_rows], dtype)
+                sc = jnp.asarray(
+                    [[[float(v) for v in row] for row in rows]
+                     for rows in sc_steps], dtype)
             else:
-                sc = jnp.zeros((K, 1), jnp.float32)   # unused
-            return jprog(slot_datas, tuple(fmasks),
+                sc = jnp.zeros((max(nsteps, 1), K, 1), jnp.float32)
+            return jprog(state_datas, ro_datas, tuple(fmasks),
                          tuple(self._consts), sc)
 
-        return prog
+        return prog, written_set, ro_slots
 
 
 @functools.lru_cache(maxsize=None)

@@ -252,10 +252,10 @@ class NemoLite2DPsy:
             (copy_code, self.vn, self.va),
         )
 
-    def _scalars(self):
-        """Per-step user-scalar vector (forcing varies with time)."""
+    def _scalars_at(self, step: int):
+        """User-scalar vector for one step (forcing varies with time)."""
         p, fc = self.p, self.fcor
-        t = (self._step + 1) * p.rdt
+        t = (step + 1) * p.rdt
         forcing = float(p.amp * np.sin(2.0 * np.pi * t / p.tide_period))
         mom = [p.rdt, p.visc, p.cbfr, fc]
         return [p.rdt, forcing, *mom, *mom, p.g, p.g]
@@ -266,12 +266,16 @@ class NemoLite2DPsy:
 
     def run(self, nsteps: int, *, fused: bool = False,
             interpret: bool = False) -> None:
+        if fused:
+            # whole-run driver: nsteps Mosaic-fused steps in ONE
+            # dispatch, with the per-step forcing series bound up front
+            runp = self._sched.fused_program(nsteps, interpret=interpret)
+            runp(scalars=[self._scalars_at(self._step + k)
+                          for k in range(nsteps)])
+            self._step += nsteps
+            return
         for _ in range(nsteps):
-            sc = self._scalars()
-            if fused:
-                self._sched.fused(sc, interpret=interpret)
-            else:
-                self._sched(sc)
+            self._sched(self._scalars_at(self._step))
             self._step += 1
 
     def gather(self) -> dict:
