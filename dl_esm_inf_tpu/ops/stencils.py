@@ -120,6 +120,11 @@ def pack_mask_bits(masks) -> jnp.ndarray:
     """Pack 0/1 masks (constant in time) into one int8 bitfield: one
     byte per point of HBM traffic instead of one float array per mask
     (roofline economics); decoded roll-free on the VPU."""
+    masks = list(masks)
+    if len(masks) > 8:
+        raise ValueError(
+            f"pack_mask_bits holds at most 8 masks in the int8 code, "
+            f"got {len(masks)}; split into two codes")
     code = sum((jnp.asarray(m).astype(jnp.int32) << k)
                for k, m in enumerate(masks))
     return code.astype(jnp.int8)

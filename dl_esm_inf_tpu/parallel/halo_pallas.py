@@ -71,6 +71,11 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
     ly, lx = spec.local_ny, spec.local_nx
     do_x = px > 1 or spec.wrap_x
     do_y = py > 1 or spec.wrap_y
+    # border restores (and their pre-y snapshot) exist only when a
+    # non-periodic y edge can receive a wrapped non-neighbour delivery
+    # — on fully periodic meshes the backup DMAs would be dead weight
+    # on every exchange (mirrors ops/sweep.py's need_yr)
+    need_yr = do_y and not spec.wrap_y
 
     # x-phase lane-block geometry + merge strategy: see parallel/rdma.py
     # (Mosaic cannot DMA narrow column strips, so whole WB-lane blocks
@@ -90,7 +95,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         it = iter(scratch)
         copy_sem, send_sems, recv_sems, ready_sems = (
             next(it), next(it), next(it), next(it))
-        ybackup = next(it) if do_y else None
+        ybackup = next(it) if need_yr else None
         if do_x:
             land_w, land_e, mbuf = next(it), next(it), next(it)
         # whole-block local copy: the exchange is functional like the
@@ -197,18 +202,20 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                 cpb.wait()
 
         if do_y:
-            # snapshot the post-x-phase halo rows: a border restore must
-            # reproduce them (corners included), not the pre-x input
-            bk_s = pltpu.make_async_copy(
-                out_hbm.at[pl.ds(h - d, d), :],
-                ybackup.at[pl.ds(0, d), :], copy_sem)
-            bk_n = pltpu.make_async_copy(
-                out_hbm.at[pl.ds(h + hgt, d), :],
-                ybackup.at[pl.ds(d, d), :], copy_sem)
-            bk_s.start()
-            bk_s.wait()
-            bk_n.start()
-            bk_n.wait()
+            if need_yr:
+                # snapshot the post-x-phase halo rows: a border restore
+                # must reproduce them (corners included), not the
+                # pre-x input
+                bk_s = pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(h - d, d), :],
+                    ybackup.at[pl.ds(0, d), :], copy_sem)
+                bk_n = pltpu.make_async_copy(
+                    out_hbm.at[pl.ds(h + hgt, d), :],
+                    ybackup.at[pl.ds(d, d), :], copy_sem)
+                bk_s.start()
+                bk_s.wait()
+                bk_n.start()
+                bk_n.wait()
             # my x-phase corner writes/restores must land before a
             # y-peer's full-width row delivery overlaps them
             phase_fence(1, north, south)
@@ -222,15 +229,16 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             r_n.wait()
             r_s.wait()
 
-            @pl.when(jnp.logical_not(has_s))
-            def _():
-                restore((pl.ds(h - d, d), slice(None)),
-                        src=ybackup.at[pl.ds(0, d), :])
+            if need_yr:
+                @pl.when(jnp.logical_not(has_s))
+                def _():
+                    restore((pl.ds(h - d, d), slice(None)),
+                            src=ybackup.at[pl.ds(0, d), :])
 
-            @pl.when(jnp.logical_not(has_n))
-            def _():
-                restore((pl.ds(h + hgt, d), slice(None)),
-                        src=ybackup.at[pl.ds(d, d), :])
+                @pl.when(jnp.logical_not(has_n))
+                def _():
+                    restore((pl.ds(h + hgt, d), slice(None)),
+                            src=ybackup.at[pl.ds(d, d), :])
 
     def build(dtype):
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -240,7 +248,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.REGULAR((2, 2)),      # [phase, direction]
         ]
-        if do_y:
+        if need_yr:
             scratch.append(pltpu.VMEM((2 * depth, lx), dtype))  # y snap
         if do_x:
             scratch += [pltpu.VMEM((ly, WB), dtype),  # west landing

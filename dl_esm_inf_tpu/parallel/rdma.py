@@ -33,6 +33,17 @@ pieces, kept in ONE place so a fix cannot silently miss a copy:
   only ever fly between devices that have both entered it.  Each
   distinct remote-DMA kernel must carry a distinct ``collective_id``
   (see :data:`COLLECTIVE_ID_EXCHANGE` / :data:`COLLECTIVE_ID_SWEEP`).
+
+MAINTENANCE NOTE — the phase BODIES are deliberately twin-coded, not
+shared: :mod:`.halo_pallas` (standalone, out_hbm target, unconditional
+restores) and :mod:`..ops.sweep` ``run_exchange`` (fused, aliased
+input target, y-phase only *started* so tiles overlap it) integrate
+into different pipelines and their bodies cannot be one function
+without parameterising away exactly the scheduling differences that
+make the fused path fast.  What CAN drift silently is centralised
+here (geometry, fence, barrier, ids).  When touching either phase
+body, diff it against its twin:
+``halo_pallas.py kernel`` x/y phases <-> ``sweep.py run_exchange``.
 """
 from __future__ import annotations
 

@@ -117,6 +117,14 @@ def main():
         np.testing.assert_array_equal(got, want)
         print("remote-DMA exchange    OK (compiled, self-loopback wrap)")
 
+        # depth 1: NON-8-aligned strip offsets — Mosaic accepts static
+        # remote-copy offsets at any row (measured; the 8-row rule is
+        # for the sweep's dynamic window DMAs), pin that it stays true
+        want1 = np.asarray(exchange(a, wgrid.mesh, spec, depth=1))
+        got1 = np.asarray(exchange_pallas(a, wgrid.mesh, spec, depth=1))
+        np.testing.assert_array_equal(got1, want1)
+        print("remote-DMA depth-1     OK (compiled, unaligned offsets)")
+
         sweep = make_stencil_sweep(
             lambda s, p, c: s, ly=spec.local_ny, lx=spec.local_nx,
             state_dtypes=(jnp.float32,), exchange_spec=spec)
