@@ -309,6 +309,11 @@ def _bind_call(meta: KernelMeta, args):
     if not field_args:
         raise ValueError(f"kernel {meta.name} needs at least one Field arg")
     grid = field_args[0].grid
+    if any(f.grid is not grid for f in field_args):
+        raise ValueError(
+            f"kernel {meta.name}: all Field arguments must share one "
+            "grid (mixed grids would exchange with the wrong mesh/"
+            "halo geometry)")
     if (meta.grid_type == GO_ORTHOGONAL_CURVILINEAR
             and not grid.is_curvilinear):
         raise ValueError(
@@ -432,10 +437,13 @@ def invoke(kern, *args, exchange_halos: bool = True):
         need = []
         depth = 0
         for kind, val, a in records:
-            if (kind == "field" and _reads_off_point(a)
-                    and all(val is not f for f in need)):
-                need.append(val)
+            if kind == "field" and _reads_off_point(a):
+                # depth accumulates over EVERY off-point read — also
+                # when the same Field is bound to several args (the
+                # dedup below only controls the exchange list)
                 depth = max(depth, a.stencil.depth())
+                if all(val is not f for f in need):
+                    need.append(val)
         if need:
             from ..parallel.halo import exchange_multi
             fresh = exchange_multi([f.data for f in need], grid.mesh,
@@ -821,6 +829,11 @@ class Schedule:
                 outs = fn(*call_args)
                 if not isinstance(outs, tuple):
                     outs = (outs,)
+                if len(outs) != len(s["written"]):
+                    raise ValueError(
+                        f"kernel {s['meta'].name} returned {len(outs)} "
+                        f"output(s); its metadata declares "
+                        f"{len(s['written'])} written field(s)")
                 for (si, mi), nb in zip(s["written"], outs):
                     cur[state_pos[si]] = jnp.where(masks[mi] > 0,
                                                    nb.astype(dtype),
@@ -907,6 +920,12 @@ def _build_schedule(key, mesh, spec, slot_leads, n_consts, n_scalars,
             outs = fn(*call_args)
             if not isinstance(outs, tuple):
                 outs = (outs,)
+            if len(outs) != len(written) + n_red:
+                raise ValueError(
+                    f"kernel {_PROGRAM_FNS[fn_id]._meta.name} returned "
+                    f"{len(outs)} output(s); its metadata declares "
+                    f"{len(written)} written field(s) + {n_red} "
+                    f"reduction(s)")
             for (si, mi), nb in zip(written, outs[:len(written)]):
                 cur[si] = jnp.where(masks[mi] > 0,
                                     nb.astype(cur[si].dtype), cur[si])

@@ -185,10 +185,38 @@ class Grid:
                 ndomains = (len(devices) if devices is not None
                             else env.num_devices())
 
-        self.decomp = _decompose(domainx, domainy, ndomains=ndomains,
-                                 ndomainx=ndomainx, ndomainy=ndomainy,
-                                 halo_width=halo_width, align=align,
-                                 align_y=align_y)
+        # Build and VALIDATE everything locally before mutating self:
+        # a failed decompose must not leave the grid torn between the
+        # new decomposition and a stale (or absent) mesh/halo_spec.
+        decomp = _decompose(domainx, domainy, ndomains=ndomains,
+                            ndomainx=ndomainx, ndomainy=ndomainy,
+                            halo_width=halo_width, align=align,
+                            align_y=align_y)
+        # Validate the domain decomposition itself before requiring devices,
+        # so configuration errors surface with the most specific message.
+        for axis, wrap, nproc, tile, glob in (
+                ("x", self.wrap_x, decomp.nprocx, decomp.tile_nx,
+                 domainx),
+                ("y", self.wrap_y, decomp.nprocy, decomp.tile_ny,
+                 domainy)):
+            if wrap and nproc * tile != glob:
+                raise ValueError(
+                    f"periodic {axis} axis requires the global extent "
+                    f"({glob}) to divide evenly into {nproc} tiles "
+                    f"(got tile={tile}); choose a divisible size or a "
+                    "different process grid")
+
+        if mesh is None:
+            mesh = _make_mesh(decomp.nprocx, decomp.nprocy, devices)
+        mx, my = mesh.shape["x"], mesh.shape["y"]
+        if decomp.nprocx % mx or decomp.nprocy % my:
+            raise ValueError(
+                f"process grid {decomp.nprocx}x{decomp.nprocy} "
+                f"does not divide over the {mx}x{my} device mesh")
+
+        # commit (nothing below can fail)
+        self.decomp = decomp
+        self.mesh = mesh
         self.global_nx = domainx
         self.global_ny = domainy
         # a re-decomposition invalidates everything built on the old one
@@ -199,37 +227,13 @@ class Grid:
         self._curvi.clear()
         self._curvi_derived.clear()
         self._region_masks.clear()
-
-        # Validate the domain decomposition itself before requiring devices,
-        # so configuration errors surface with the most specific message.
-        for axis, wrap, nproc, tile, glob in (
-                ("x", self.wrap_x, self.decomp.nprocx, self.decomp.tile_nx,
-                 domainx),
-                ("y", self.wrap_y, self.decomp.nprocy, self.decomp.tile_ny,
-                 domainy)):
-            if wrap and nproc * tile != glob:
-                raise ValueError(
-                    f"periodic {axis} axis requires the global extent "
-                    f"({glob}) to divide evenly into {nproc} tiles "
-                    f"(got tile={tile}); choose a divisible size or a "
-                    "different process grid")
-
-        if mesh is None:
-            mesh = _make_mesh(self.decomp.nprocx, self.decomp.nprocy, devices)
-        self.mesh = mesh
-        mx, my = mesh.shape["x"], mesh.shape["y"]
-        if self.decomp.nprocx % mx or self.decomp.nprocy % my:
-            raise ValueError(
-                f"process grid {self.decomp.nprocx}x{self.decomp.nprocy} "
-                f"does not divide over the {mx}x{my} device mesh")
-
         self.halo_spec = HaloSpec(
-            nprocx=self.decomp.nprocx, nprocy=self.decomp.nprocy,
-            halo=self.decomp.halo,
-            tile_nx=self.decomp.tile_nx, tile_ny=self.decomp.tile_ny,
-            local_nx=self.decomp.local_nx, local_ny=self.decomp.local_ny,
+            nprocx=decomp.nprocx, nprocy=decomp.nprocy,
+            halo=decomp.halo,
+            tile_nx=decomp.tile_nx, tile_ny=decomp.tile_ny,
+            local_nx=decomp.local_nx, local_ny=decomp.local_ny,
             wrap_x=self.wrap_x, wrap_y=self.wrap_y,
-            repx=self.decomp.nprocx // mx, repy=self.decomp.nprocy // my)
+            repx=decomp.nprocx // mx, repy=decomp.nprocy // my)
         return self.decomp
 
     # ------------------------------------------------------------------
@@ -257,7 +261,7 @@ class Grid:
         # Boundary strips / halos replicate the nearest edge value
         # (grid_mod.f90:415-431); padding cells likewise.
         stacked = layout.stack_global(self.decomp, tmask, mode="edge")
-        if self.wrap_x or self.wrap_y:
+        if (self.wrap_x or self.wrap_y) and self.decomp.halo > 0:
             # Periodic axes: seam/wrap halo cells must hold the WRAP
             # partner's values, not edge replication — stencil masks
             # (derived face wetness) read neighbour tmask across the seam.  One
@@ -340,7 +344,9 @@ class Grid:
                 f"unknown scale-factor name(s) {unknown}; valid names: "
                 f"{self.SCALE_FACTOR_NAMES}")
         for name, arr in arrays.items():
-            arr = np.asarray(arr, dtype=kinds.np_wp())
+            # cast straight to the GRID's dtype (a Grid(dtype=float64)
+            # must not round-trip through a narrower working precision)
+            arr = np.asarray(arr, dtype=np.dtype(self.dtype))
             if arr.shape != (self.global_ny, self.global_nx):
                 raise ValueError(
                     f"{name} must be the GLOBAL array "

@@ -71,7 +71,8 @@ def load_fields(path: str, fields: dict) -> dict:
                     stacked = layout.stack_global(fld.grid.decomp, g,
                                                   mode="zeros", dtype=dt)
                 fld.set_data(stacked)
-                fld.halo_exchange(1)
+                if fld.grid.decomp.halo > 0:
+                    fld.halo_exchange(1)
             else:
                 # plain arrays round-trip symmetrically with save_fields
                 loaded[name] = g
@@ -203,5 +204,6 @@ def load_fields_orbax(path: str, fields: dict) -> int:
     restored = ckptr.restore(os.path.abspath(path), target)
     for name, fld in fields.items():
         fld.data = _stack_device(fld, restored[name])
-        fld.halo_exchange(1)
+        if fld.grid.decomp.halo > 0:
+            fld.halo_exchange(1)
     return int(restored["__step__"])

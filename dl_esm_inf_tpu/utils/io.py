@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core import layout
 from ..core.field import Field
 
 
@@ -31,8 +32,11 @@ def dump_field(field: Field, path: str, halo_depth: int = 0,
     if fmt == "npz":
         extra = {}
         if halo_depth > 0:
+            # ONE host gather, sliced per rank (field.local_view would
+            # re-gather the whole stacked array for every rank)
+            stacked = field.get_data()
             extra["local_views"] = np.stack(
-                [np.asarray(field.local_view(r))
+                [np.asarray(layout.shard_view(d, stacked, r))
                  for r in range(d.ndomains)])
         np.savez_compressed(path, x=x, y=y, data=g, **extra)
     elif fmt == "dat":

@@ -305,3 +305,41 @@ def test_all_pts_iteration():
     out = dl.Field(grid, dl.T_POINTS)
     invoke(fill7, out)
     assert np.all(out.get_data() == 7.0)
+
+
+def test_invoke_same_field_two_stencils_uses_deepest():
+    """The same Field bound to two off-point args must exchange at the
+    DEEPEST stencil's depth (review finding: the dedup used to skip
+    the depth update)."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0)),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 12, 0))])
+    def east1_plus_east2(out, x1, x2):
+        return st.xp(x1) + st.xp(st.xp(x2))
+
+    gnx, gny = 16, 8
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomainx=2, ndomainy=1, halo_width=2)
+    dl.grid_init(grid, 1.0, 1.0)
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    out = dl.Field(grid, dl.T_POINTS)
+    invoke(east1_plus_east2, out, a, a)     # SAME field twice
+    g = out.gather_inner_data()
+    np.testing.assert_array_equal(g[:, :-2], vals[:, 1:-1] + vals[:, 2:])
+
+
+def test_invoke_rejects_mixed_grids():
+    grid1 = make_grid()
+    grid2 = make_grid()
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)])
+    def copy2(out, x):
+        return x
+
+    a = dl.Field(grid1, dl.T_POINTS)
+    b = dl.Field(grid2, dl.T_POINTS)
+    with pytest.raises(ValueError, match="share one grid"):
+        invoke(copy2, b, a)

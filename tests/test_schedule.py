@@ -444,3 +444,17 @@ def test_schedule_consts_deduplicated():
     # dx = dy = 1 here so area == 1: the chain is three identity scales
     np.testing.assert_allclose(c.gather_inner_data(),
                                a.gather_inner_data(), rtol=1e-12)
+
+
+def test_schedule_rejects_wrong_kernel_arity():
+    """A kernel body returning fewer outputs than its declared WRITE
+    args must raise, not silently drop writes (review finding)."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT)])
+    def forgot_second(out1, out2, x):
+        return 2.0 * x          # should return a 2-tuple
+
+    grid = make_grid()
+    a, b, c = setup(grid)
+    with pytest.raises(ValueError, match="declares 2 written"):
+        Schedule((forgot_second, b, c, a))()
