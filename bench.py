@@ -66,23 +66,26 @@ def measure_membw(jnp, jax) -> float:
     return 2 * nbytes / per_pass / 1e9
 
 
-def _slope_rate(make_prog, step_state, n_lo=50, n_hi=250, reps=3,
-                tries=4):
+def _slope_rate(make_prog, step_state, floor_s, n_lo=50, n_hi=250,
+                reps=3, tries=4, deadline=None):
     """us/step via the two-chain slope for a sweep-engine client.
 
     ``make_prog(n)`` compiles an n-step program; ``step_state(prog)``
     runs it feeding state forward (unique inputs per call — the tunnel
     may deduplicate identical repeats) and blocks on a scalar.  A
     tenancy-window shift between the two chains can produce a negative
-    or absurd slope (CLAUDE.md timing rules): sample up to ``tries``
-    times and keep the best PLAUSIBLE (positive) slope; None if every
-    try was corrupted."""
+    or impossibly fast slope (CLAUDE.md timing rules): samples below
+    the physical HBM ``floor_s`` are rejected like the headline's, and
+    the best plausible slope of up to ``tries`` samples is kept (None
+    if every try was corrupted or the ``deadline`` passed)."""
     runs = {}
     for n in (n_lo, n_hi):
         runs[n] = step_state(make_prog(n))
         runs[n]()                   # compile + warm
     good = []
     for _ in range(tries):
+        if deadline is not None and time.monotonic() > deadline:
+            break
         best = {}
         for n in (n_lo, n_hi):
             b = float("inf")
@@ -92,55 +95,58 @@ def _slope_rate(make_prog, step_state, n_lo=50, n_hi=250, reps=3,
                 b = min(b, time.perf_counter() - t0)
             best[n] = b
         t = (best[n_hi] - best[n_lo]) / (n_hi - n_lo)
-        if t > 0:
+        if t >= floor_s:
             good.append(t)
             if len(good) >= 2:
                 break
     return min(good) if good else None
 
 
-def measure_client_models(jax, jnp, N=1024):
+def measure_client_models(jax, jnp, deadline, N=1024):
     """Secondary sweep-engine clients for detail.models (round-2 verdict
     #6: the temporal-blocking generality must live in the artifact, not
     in uncommitted script runs).  Shared-tenancy single samples — the
-    headline's paired-roofline rigor is not repeated here."""
+    headline's paired-roofline rigor is not repeated here — but floor-
+    and deadline-guarded like it."""
     out = {}
     from dl_esm_inf_tpu.models import gravity_wave as gw
     from dl_esm_inf_tpu.models import twolayer as tl
 
-    m = gw.build(N, N, dt=0.005, pallas=True, steps_per_sweep=8)
-    m.set_initial_eta(gw.gaussian_eta(N, N, amp=0.1))
-    st8 = [(m.eta.data, m.u.data, m.v.data)]
-    aux = (m._t_upd, m._u_wet, m._v_wet, m._mask_codes)
+    gwm = gw.build(N, N, dt=0.005, pallas=True, steps_per_sweep=8)
+    gwm.set_initial_eta(gw.gaussian_eta(N, N, amp=0.1))
+    tlm = tl.build(N, N, pallas=True, steps_per_sweep=8)
+    configs = (
+        ("gravity_wave_K8", gwm, 3,
+         (gwm.eta.data, gwm.u.data, gwm.v.data),
+         (gwm._t_upd, gwm._u_wet, gwm._v_wet, gwm._mask_codes)),
+        ("twolayer_K8", tlm, 6,
+         (tlm.eta1.data, tlm.eta2.data, tlm.u1.data, tlm.v1.data,
+          tlm.u2.data, tlm.v2.data),
+         (tlm._t_upd, tlm._u_wet, tlm._v_wet, tlm._mask_codes)),
+    )
+    for name, m, n_fields, state0, aux in configs:
+        if time.monotonic() > deadline:
+            out[name] = {"skipped": "time budget"}
+            continue
+        state = [state0]
 
-    def gw_run(prog):
-        def run():
-            st8[0] = prog(*st8[0], *aux)
-            _ = float(st8[0][0][16, 16])
-        return run
+        def runner(prog, state=state, aux=aux):
+            def run():
+                state[0] = prog(*state[0], *aux)
+                _ = float(state[0][0][16, 16])
+            return run
 
-    t = _slope_rate(m.step_program, gw_run)
-    out["gravity_wave_K8"] = (
-        {"us_per_step": round(t * 1e6, 1),
-         "gpts_per_s": round(N * N / t / 1e9, 1)}
-        if t else {"skipped": "all slope samples tenancy-corrupted"})
-
-    m2 = tl.build(N, N, pallas=True, steps_per_sweep=8)
-    st2 = [(m2.eta1.data, m2.eta2.data, m2.u1.data, m2.v1.data,
-            m2.u2.data, m2.v2.data)]
-    aux2 = (m2._t_upd, m2._u_wet, m2._v_wet, m2._mask_codes)
-
-    def tl_run(prog):
-        def run():
-            st2[0] = prog(*st2[0], *aux2)
-            _ = float(st2[0][0][16, 16])
-        return run
-
-    t = _slope_rate(m2.step_program, tl_run)
-    out["twolayer_K8"] = (
-        {"us_per_step": round(t * 1e6, 1),
-         "gpts_per_s": round(N * N / t / 1e9, 1)}
-        if t else {"skipped": "all slope samples tenancy-corrupted"})
+        # physical floor: (read+write of every state field + mask)/K
+        # per point at a generous 1 TB/s — anything faster is a
+        # tenancy-shift artifact
+        floor = N * N * ((n_fields * 8 + 1) / m._sweep_K) / 1e12
+        t = _slope_rate(m.step_program, runner, floor,
+                        deadline=deadline)
+        out[name] = (
+            {"us_per_step": round(t * 1e6, 1),
+             "gpts_per_s": round(N * N / t / 1e9, 1)}
+            if t else {"skipped": "samples tenancy-corrupted or over "
+                                  "time budget"})
     return out
 
 
@@ -177,17 +183,17 @@ def main():
 
     # The chip can be time-shared: per-run speed varies by ~2x between
     # multi-minute tenancy windows.  Sample both the step slope AND the
-    # HBM bandwidth several times across ~1.5 min and take each at its
-    # best, so numerator and denominator both reflect the uncontended
-    # hardware.
+    # HBM bandwidth repeatedly (adaptive horizon below) and take each
+    # at its best, so numerator and denominator both reflect the
+    # uncontended hardware.
     # Physical floor: a K-step sweep moves ~26.6/K B/pt; even at a
     # generous 1 TB/s a slope sample below this is a measurement
     # artifact (tenancy window shifted between the lo and hi timings).
     floor = N * N * (26.6 / m._sweep_K) / 1e12
     bytes_per_point = 3 * 4 + 3 * 4 + 1      # read ssh,u,v; write 3; mask
-    # ~2.5 min of sampling: tenancy windows last minutes, so a longer
-    # horizon raises the chance of catching the uncontended chip.  Each
-    # step sample is PAIRED with an adjacent bandwidth probe so the
+    # Tenancy windows last minutes, so a longer horizon raises the
+    # chance of catching the uncontended chip (adaptive cap below).
+    # Each step sample is PAIRED with an adjacent bandwidth probe so the
     # throughput and its roofline reflect the SAME hardware state —
     # dividing a congested-window step time by a fast-window bandwidth
     # (or vice versa) would mis-state the ratio either way.
@@ -228,9 +234,13 @@ def main():
     else:
         # every probe was corrupted by tenancy shifts: report the most
         # plausible REAL slope sample against the datasheet bandwidth,
-        # flagged as a fallback
+        # flagged as a fallback.  With nothing above the floor, the
+        # least-corrupted candidate is the largest positive sample
+        # (closest to plausible from below) — never a negative one.
         good = [t for t in raw if t >= floor]
-        per_step = min(good) if good else abs(max(raw, key=abs))
+        pos = [t for t in raw if t > 0]
+        per_step = (min(good) if good
+                    else max(pos) if pos else floor)
         bw = 819.0   # v5e datasheet HBM bandwidth
     mpts = N * N / per_step / 1e6
     roofline_mpts = bw * 1e9 / bytes_per_point / 1e6
@@ -250,7 +260,10 @@ def main():
         models = {"skipped": "time budget (cold compile cache)"}
     else:
         try:
-            models = measure_client_models(jax, jnp)
+            # the deadline also bounds the section itself (compiles +
+            # sampling), not just its start
+            models = measure_client_models(
+                jax, jnp, deadline=t_start + 660)
         except Exception as e:  # noqa: BLE001 — secondary evidence
             models = {"error": repr(e)[:200]}  # never sink the headline
 

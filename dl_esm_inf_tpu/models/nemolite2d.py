@@ -239,6 +239,13 @@ def tidal_forcing(rtime, p: Params):
     return p.amp * sin_wp(2.0 * jnp.pi * rtime / p.tide_period)
 
 
+def tidal_forcing_host(rtime: float, p: Params) -> float:
+    """Host-side (NumPy) twin of :func:`tidal_forcing` for callers that
+    precompute per-step forcing series (e.g. the PSy flagship's scalar
+    rows).  ONE formula, two evaluators: change them together."""
+    return float(p.amp * np.sin(2.0 * np.pi * rtime / p.tide_period))
+
+
 def bc_ssh(ssha_t, bc_cells, forcing):
     """Prescribed ssh at open-boundary wet cells (the NEMOLite2D bc_ssh
     tidal forcing); ``forcing`` is the scalar boundary value."""

@@ -111,12 +111,16 @@ def bc_ssh_code(ssha_t, forcing, tmask):
               Arg(GO_READ, GO_CT, _E),
               Arg(GO_READ, GO_R_SCALAR), Arg(GO_READ, GO_R_SCALAR),
               Arg(GO_READ, GO_R_SCALAR), Arg(GO_READ, GO_R_SCALAR),
+              Arg(GO_READ, GO_R_SCALAR),
               Arg(GO_READ, GridProp.GRID_DX_CONST),
               Arg(GO_READ, GridProp.GRID_DY_CONST)],
         name="momentum_u_code")
 def momentum_u_code(ua, un, vn, sshn_t, ssha_t, sshn_u, sshn_v,
-                    hu, hv, ht, rdt, visc, cbfr, fcor, dx, dy):
-    p = nl.Params(rdt=rdt, cbfr=cbfr, visc=visc)
+                    hu, hv, ht, rdt, visc, cbfr, fcor, g, dx, dy):
+    # every Params field the momentum maths reads must come from the
+    # caller (a partial Params would silently mix default g into the
+    # pressure gradient while the Flather BCs use the user's)
+    p = nl.Params(rdt=rdt, cbfr=cbfr, visc=visc, g=g)
     return nl.momentum_u(un, vn, sshn_t, ssha_t, sshn_u, ht, hu,
                          hv + sshn_v, p=p, dx=dx, dy=dy, fcor=fcor)
 
@@ -129,12 +133,13 @@ def momentum_u_code(ua, un, vn, sshn_t, ssha_t, sshn_u, sshn_v,
               Arg(GO_READ, GO_CT, _N),
               Arg(GO_READ, GO_R_SCALAR), Arg(GO_READ, GO_R_SCALAR),
               Arg(GO_READ, GO_R_SCALAR), Arg(GO_READ, GO_R_SCALAR),
+              Arg(GO_READ, GO_R_SCALAR),
               Arg(GO_READ, GridProp.GRID_DX_CONST),
               Arg(GO_READ, GridProp.GRID_DY_CONST)],
         name="momentum_v_code")
 def momentum_v_code(va, un, vn, sshn_t, ssha_t, sshn_v, sshn_u,
-                    hv, hu, ht, rdt, visc, cbfr, fcor, dx, dy):
-    p = nl.Params(rdt=rdt, cbfr=cbfr, visc=visc)
+                    hv, hu, ht, rdt, visc, cbfr, fcor, g, dx, dy):
+    p = nl.Params(rdt=rdt, cbfr=cbfr, visc=visc, g=g)
     return nl.momentum_v(un, vn, sshn_t, ssha_t, sshn_v, ht, hv,
                          hu + sshn_u, p=p, dx=dx, dy=dy, fcor=fcor)
 
@@ -229,7 +234,7 @@ class NemoLite2DPsy:
 
     def _build_schedule(self) -> Schedule:
         p, fc = self.p, self.fcor
-        mom_sc = (p.rdt, p.visc, p.cbfr, fc)
+        mom_sc = (p.rdt, p.visc, p.cbfr, fc, p.g)
         return Schedule(
             (next_sshu_code, self.sshn_u, self.sshn_t),
             (next_sshv_code, self.sshn_v, self.sshn_t),
@@ -255,9 +260,8 @@ class NemoLite2DPsy:
     def _scalars_at(self, step: int):
         """User-scalar vector for one step (forcing varies with time)."""
         p, fc = self.p, self.fcor
-        t = (step + 1) * p.rdt
-        forcing = float(p.amp * np.sin(2.0 * np.pi * t / p.tide_period))
-        mom = [p.rdt, p.visc, p.cbfr, fc]
+        forcing = nl.tidal_forcing_host((step + 1) * p.rdt, p)
+        mom = [p.rdt, p.visc, p.cbfr, fc, p.g]
         return [p.rdt, forcing, *mom, *mom, p.g, p.g]
 
     def set_initial_ssh(self, eta0) -> None:

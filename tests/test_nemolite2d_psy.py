@@ -59,3 +59,17 @@ def test_psy_single_shard_matches(prod):
     """Serial (1x1 mesh) == distributed — the stub/MPI duality at the
     metadata layer."""
     check(run_psy(ndom=1), prod)
+
+
+def test_psy_non_default_params():
+    """Non-default physics constants (incl. g) flow into EVERY psy
+    kernel — a partial Params in the momentum wrappers once mixed the
+    default g into the pressure gradient (review finding)."""
+    p = nl.Params(g=1.62, visc=0.3, cbfr=0.001, amp=0.15)
+    m1 = nl.build(GNX, GNY, ndomains=4, params=p)
+    m1.set_initial_ssh(gaussian_eta(GNX, GNY, amp=0.2))
+    m1.run(20)
+    m2 = NemoLite2DPsy(GNX, GNY, ndomains=4, params=p)
+    m2.set_initial_ssh(gaussian_eta(GNX, GNY, amp=0.2))
+    m2.run(20)
+    check(m2.gather(), m1.gather())
