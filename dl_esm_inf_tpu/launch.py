@@ -19,6 +19,7 @@ import argparse
 import os
 import subprocess
 import sys
+import time
 
 
 def _free_port() -> int:
@@ -51,10 +52,38 @@ def launch(script: str, args, num_processes: int = 2,
             env["DL_ESM_FORCE_CPU_DEVICES"] = str(devices_per_process)
         procs.append(subprocess.Popen(
             [sys.executable, script, *args], env=env))
+    # Poll the whole gang: if any rank dies with a nonzero status,
+    # terminate the rest immediately (an mpirun-style abort) instead
+    # of letting survivors block in distributed init until the JAX
+    # coordinator timeout; on interrupt, no orphans are left holding
+    # the coordinator port.
     rc = 0
-    for p in procs:
-        p.wait()
-        rc = rc or p.returncode
+    try:
+        live = list(procs)
+        while live:
+            time.sleep(0.2)
+            still = []
+            for p in live:
+                code = p.poll()
+                if code is None:
+                    still.append(p)
+                elif code != 0:
+                    rc = rc or code
+            live = still
+            if rc:                       # first failure aborts the gang
+                break
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+    if rc == 0:
+        rc = next((p.returncode for p in procs if p.returncode), 0)
     return rc
 
 

@@ -128,3 +128,22 @@ def test_launcher(tmp_path):
     rc = launch(str(script), [], num_processes=2,
                 devices_per_process=2, base_env=env)
     assert rc == 0
+
+
+def test_launch_aborts_gang_on_rank_failure(tmp_path):
+    """A dying rank terminates the rest immediately (mpirun-style
+    abort), instead of survivors blocking until a coordinator
+    timeout."""
+    import time as _time
+    from dl_esm_inf_tpu.launch import launch
+
+    script = tmp_path / "boom.py"
+    script.write_text(
+        "import os, sys, time\n"
+        "if os.environ['JAX_PROCESS_ID'] == '1':\n"
+        "    sys.exit(3)\n"
+        "time.sleep(120)\n")
+    t0 = _time.monotonic()
+    rc = launch(str(script), [], num_processes=2)
+    assert rc == 3
+    assert _time.monotonic() - t0 < 60
