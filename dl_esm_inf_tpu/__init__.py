@@ -38,8 +38,8 @@ from .core.kinds import set_working_precision, wp  # noqa: F401
 from .core.region import Halo, Region, Subdomain  # noqa: F401
 from .parallel import collectives, halo  # noqa: F401
 from .parallel.environment import (  # noqa: F401
-    finalise, get_num_ranks, get_rank, initialise, num_devices, on_master,
-    stop)
+    GOceanStop, finalise, get_num_ranks, get_rank, initialise,
+    num_devices, on_master, stop)
 from .utils.logging import model_write_log  # noqa: F401
 
 __version__ = "0.1.0"
