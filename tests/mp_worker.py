@@ -96,6 +96,33 @@ assert np.array_equal(fresh.gather_inner_data(),
                       m.sshn_t.gather_inner_data())
 results["ck_ok"] = np.asarray(1.0)
 
+# --- fused kernel SCHEDULE across the process boundary -----------------
+# (the metadata fast tier: per-device Pallas sweep in interpret mode,
+# ppermute exchange crossing the process seam)
+from dl_esm_inf_tpu.api.kernel_meta import (GO_READ, GO_WRITE, GO_CT,  # noqa: E402
+                                            Schedule, go_arg,
+                                            go_stencil, kernel)
+from dl_esm_inf_tpu.ops import stencils as st  # noqa: E402
+
+
+@kernel(args=[go_arg(GO_WRITE, GO_CT),
+              go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))])
+def mp_east(out, x):
+    return st.xp(x)
+
+
+fgrid = dl.Grid(dl.ARAKAWA_C,
+                (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                dl.OFFSET_NE)
+fgrid.decompose(32, 32, ndomains=4 * nproc, halo_width=2, align_y=8)
+dl.grid_init(fgrid, 1.0, 1.0)
+fa = dl.Field(fgrid, dl.T_POINTS,
+              init_global_data=np.arange(32.0 * 32).reshape(32, 32))
+fb = dl.Field(fgrid, dl.T_POINTS)
+fsched = Schedule((mp_east, fb, fa), (mp_east, fb, fb))
+fsched.fused(interpret=True)
+results["fused_sched"] = fb.gather_inner_data()
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

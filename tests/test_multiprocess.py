@@ -147,3 +147,29 @@ def test_launch_aborts_gang_on_rank_failure(tmp_path):
     rc = launch(str(script), [], num_processes=2)
     assert rc == 3
     assert _time.monotonic() - t0 < 60
+
+
+def test_multiprocess_fused_schedule_matches(mp_results):
+    """The fused (Pallas-sweep) schedule tier across REAL process
+    boundaries == the same program single-process."""
+    from dl_esm_inf_tpu.api.kernel_meta import (GO_READ, GO_WRITE,
+                                                GO_CT, Schedule, go_arg,
+                                                go_stencil, kernel)
+    from dl_esm_inf_tpu.ops import stencils as st
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))])
+    def sp_east(out, x):
+        return st.xp(x)
+
+    fgrid = dl.Grid(dl.ARAKAWA_C,
+                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                    dl.OFFSET_NE)
+    fgrid.decompose(32, 32, ndomains=8, halo_width=2, align_y=8)
+    dl.grid_init(fgrid, 1.0, 1.0)
+    fa = dl.Field(fgrid, dl.T_POINTS,
+                  init_global_data=np.arange(32.0 * 32).reshape(32, 32))
+    fb = dl.Field(fgrid, dl.T_POINTS)
+    Schedule((sp_east, fb, fa), (sp_east, fb, fb)).fused(interpret=True)
+    np.testing.assert_array_equal(mp_results["fused_sched"],
+                                  fb.gather_inner_data())
