@@ -806,18 +806,26 @@ class Schedule:
         # are zero on halo cells (reduction semantics), but the fused
         # form must PERSIST writes to halo cells that mirror a
         # neighbour's internal cells — one halo exchange of each mask
-        # marks exactly those.
+        # marks exactly those.  The (time-constant, 0/1) masks stream
+        # as ONE packed int8 plane and decode once per VMEM tile
+        # (1 B/pt instead of n_masks float planes).
+        from ..ops import stencils as st_ops
         fmasks = [exchange(m, grid.mesh, spec, depth=spec.halo)
                   for m in self._masks]
         n_masks = len(fmasks)
+        mask_codes = st_ops.pack_mask_bits(fmasks)
         n_consts, n_sc = len(self._consts), len(self._scalar_src)
         steps = self._steps
 
+        def prepare(aux):
+            masks = st_ops.unpack_mask_bits(aux[0], n_masks, dtype)
+            return (masks,) + tuple(aux[1:])
+
         def stepf(state, prepared, scalars):
             cur = list(state)
-            masks = prepared[:n_masks]
-            consts = prepared[n_masks:n_masks + n_consts]
-            ros = prepared[n_masks + n_consts:]
+            masks = prepared[0]
+            consts = prepared[1:1 + n_consts]
+            ros = prepared[1 + n_consts:]
             for s in steps:
                 fn = _PROGRAM_FNS[s["fn_id"]]
                 call_args = [
@@ -843,16 +851,16 @@ class Schedule:
         sweep = make_stencil_sweep(
             stepf, ly=spec.local_ny, lx=spec.local_nx,
             state_dtypes=(dtype,) * n_state,
-            aux_dtypes=tuple(jnp.dtype(m.dtype) for m in fmasks)
+            aux_dtypes=(jnp.dtype(jnp.int8),)
             + tuple(jnp.dtype(c.dtype) for c in self._consts)
             + (dtype,) * n_ro,
-            n_scalars=n_sc, steps_per_sweep=K,
+            n_scalars=n_sc, steps_per_sweep=K, prepare_fn=prepare,
             reach=max(total_reach, 1), tile_rows=tile_rows,
             interpret=interpret, repx=spec.repx, repy=spec.repy)
 
         blk = P("y", "x")
 
-        def body(state, ros, masks, consts, sc):
+        def body(state, ros, codes, consts, sc):
             # read-only slots: one exchange makes their halos valid for
             # every step (nothing rewrites them)
             if depth_needed and n_ro:
@@ -861,7 +869,7 @@ class Schedule:
             def one(st, sc_k):
                 if depth_needed:
                     st = _exchange_blocks(tuple(st), spec, depth_needed)
-                args = (list(st) + list(masks) + list(consts)
+                args = (list(st) + [codes] + list(consts)
                         + list(ros))
                 if n_sc:
                     args.append(sc_k)
@@ -876,8 +884,7 @@ class Schedule:
         smapped = jax.shard_map(
             body, mesh=grid.mesh,
             in_specs=(tuple([blk] * n_state), tuple([blk] * n_ro),
-                      tuple([blk] * n_masks), tuple([blk] * n_consts),
-                      P()),
+                      blk, tuple([blk] * n_consts), P()),
             out_specs=tuple([blk] * n_state), check_vma=False)
         jprog = jax.jit(smapped)
 
@@ -890,7 +897,7 @@ class Schedule:
                      for rows in sc_steps], dtype)
             else:
                 sc = jnp.zeros((max(nsteps, 1), K, 1), jnp.float32)
-            return jprog(state_datas, ro_datas, tuple(fmasks),
+            return jprog(state_datas, ro_datas, mask_codes,
                          tuple(self._consts), sc)
 
         return prog, written_set, ro_slots
