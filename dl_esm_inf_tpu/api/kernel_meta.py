@@ -631,6 +631,7 @@ class Schedule:
             tuple(f.data.ndim - 2 for f in self._slots),
             len(self._consts), len(self._scalar_src), len(self._masks))
         self._fused_cache: dict = {}
+        self._fused_mask_codes = None   # packed+exchanged, built once
 
     def _user_scalar_vector(self, scalars):
         n_user = sum(1 for k, _ in self._scalar_src if k == "user")
@@ -807,19 +808,30 @@ class Schedule:
         # form must PERSIST writes to halo cells that mirror a
         # neighbour's internal cells — one halo exchange of each mask
         # marks exactly those.  The (time-constant, 0/1) masks stream
-        # as ONE packed int8 plane and decode once per VMEM tile
-        # (1 B/pt instead of n_masks float planes).
+        # as packed int8 planes (8 masks per plane, chunked — no limit
+        # on schedule size) decoded once per VMEM tile, instead of one
+        # float plane per mask.  Exchanged+packed ONCE per Schedule
+        # (shared by every fused-cache key; they do not depend on
+        # nsteps/repeats/interpret/tile_rows).
         from ..ops import stencils as st_ops
-        fmasks = [exchange(m, grid.mesh, spec, depth=spec.halo)
-                  for m in self._masks]
-        n_masks = len(fmasks)
-        mask_codes = st_ops.pack_mask_bits(fmasks)
+        n_masks = len(self._masks)
+        if self._fused_mask_codes is None:
+            fmasks = [exchange(m, grid.mesh, spec, depth=spec.halo)
+                      for m in self._masks]
+            self._fused_mask_codes = tuple(
+                st_ops.pack_mask_bits(fmasks[i:i + 8])
+                for i in range(0, n_masks, 8))
+        mask_codes = self._fused_mask_codes
+        n_codes = len(mask_codes)
         n_consts, n_sc = len(self._consts), len(self._scalar_src)
         steps = self._steps
 
         def prepare(aux):
-            masks = st_ops.unpack_mask_bits(aux[0], n_masks, dtype)
-            return (masks,) + tuple(aux[1:])
+            masks = []
+            for i, c in enumerate(aux[:n_codes]):
+                masks.extend(st_ops.unpack_mask_bits(
+                    c, min(8, n_masks - 8 * i), dtype))
+            return (tuple(masks),) + tuple(aux[n_codes:])
 
         def stepf(state, prepared, scalars):
             cur = list(state)
@@ -851,7 +863,7 @@ class Schedule:
         sweep = make_stencil_sweep(
             stepf, ly=spec.local_ny, lx=spec.local_nx,
             state_dtypes=(dtype,) * n_state,
-            aux_dtypes=(jnp.dtype(jnp.int8),)
+            aux_dtypes=(jnp.dtype(jnp.int8),) * n_codes
             + tuple(jnp.dtype(c.dtype) for c in self._consts)
             + (dtype,) * n_ro,
             n_scalars=n_sc, steps_per_sweep=K, prepare_fn=prepare,
@@ -869,7 +881,7 @@ class Schedule:
             def one(st, sc_k):
                 if depth_needed:
                     st = _exchange_blocks(tuple(st), spec, depth_needed)
-                args = (list(st) + [codes] + list(consts)
+                args = (list(st) + list(codes) + list(consts)
                         + list(ros))
                 if n_sc:
                     args.append(sc_k)
@@ -884,7 +896,8 @@ class Schedule:
         smapped = jax.shard_map(
             body, mesh=grid.mesh,
             in_specs=(tuple([blk] * n_state), tuple([blk] * n_ro),
-                      blk, tuple([blk] * n_consts), P()),
+                      tuple([blk] * n_codes), tuple([blk] * n_consts),
+                      P()),
             out_specs=tuple([blk] * n_state), check_vma=False)
         jprog = jax.jit(smapped)
 

@@ -82,8 +82,6 @@ def launch(script: str, args, num_processes: int = 2,
             except subprocess.TimeoutExpired:
                 p.kill()
                 p.wait()
-    if rc == 0:
-        rc = next((p.returncode for p in procs if p.returncode), 0)
     return rc
 
 

@@ -458,3 +458,30 @@ def test_schedule_rejects_wrong_kernel_arity():
     a, b, c = setup(grid)
     with pytest.raises(ValueError, match="declares 2 written"):
         Schedule((forgot_second, b, c, a))()
+
+
+def test_fused_schedule_more_than_eight_masks():
+    """More than 8 write masks chunk into several packed planes (the
+    int8 code holds 8 — review regression)."""
+    grid = make_fused_grid()
+    gny, gnx = grid.global_ny, grid.global_nx
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    src = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+    outs1 = [dl.Field(grid, dl.T_POINTS) for _ in range(9)]
+    outs2 = [dl.Field(grid, dl.T_POINTS) for _ in range(9)]
+
+    kerns = []
+    for k in range(9):
+        @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)],
+                name=f"scale9_{k}")
+        def kf(out, x, k=k):
+            return (k + 1.0) * x
+        kerns.append(kf)
+
+    Schedule(*[(kf, o, src) for kf, o in zip(kerns, outs1)])()
+    Schedule(*[(kf, o, src) for kf, o in zip(kerns, outs2)]).fused(
+        interpret=True)
+    for k, (o1, o2) in enumerate(zip(outs1, outs2)):
+        np.testing.assert_allclose(o2.gather_inner_data(),
+                                   o1.gather_inner_data(),
+                                   rtol=1e-12, err_msg=str(k))
