@@ -114,13 +114,13 @@ def main():
 
     # --- cost: f64 vs f32 per-step time, same program shape -----------
     # 258^2 jnp path; unique istep0 per call defeats tunnel dedup.
+    # The two dtypes are sampled ADJACENTLY INTERLEAVED (CLAUDE.md
+    # timing rules: only adjacent configs on the time-shared chip are
+    # comparable), and the slowdown is the median of per-round ratios.
     seq = iter(range(10 ** 6))
-    times = {}
-    for name, dt in (("float64", None), ("float32", "float32")):
-        if dt is None:
-            kinds.set_working_precision("float64")
-        else:
-            kinds.set_working_precision(dt)
+    runners = {}
+    for name, dt in (("float64", "float64"), ("float32", "float32")):
+        kinds.set_working_precision(dt)
         mm = nl.build(258, 258, ndomains=1)
         mm.set_initial_ssh(gaussian_eta(258, 258, amp=0.2))
         progs = {n: mm.step_program(n) for n in (10, 60)}
@@ -131,24 +131,37 @@ def main():
             _ = float(np.asarray(o[0])[16, 16])
 
         run(10), run(60)     # compile + warm
-        # tenancy shifts can corrupt a slope sample (CLAUDE.md): retry
-        # until positive, keep the median of 3 positive samples
-        samples = []
-        for _ in range(8):
-            t = slope_time(run, 10, 60)
-            if t > 0:
-                samples.append(t)
-            if len(samples) >= 3:
-                break
-        times[name] = sorted(samples)[len(samples) // 2] if samples \
-            else float("nan")
-        print(f"{name}: {times[name] * 1e6:.0f} us/step (258^2 jnp)")
-    out["cost_258sq_jnp"] = {
-        "f64_us_per_step": round(times["float64"] * 1e6, 1),
-        "f32_us_per_step": round(times["float32"] * 1e6, 1),
-        "slowdown": round(times["float64"] / times["float32"], 2)}
-    print(f"f64/f32 slowdown: {out['cost_258sq_jnp']['slowdown']}x")
+        runners[name] = run
+
+    rounds = []
+    for _ in range(8):
+        t64 = slope_time(runners["float64"], 10, 60)
+        t32 = slope_time(runners["float32"], 10, 60)
+        if t64 > 0 and t32 > 0:
+            rounds.append((t64, t32))
+        if len(rounds) >= 3:
+            break
+    if rounds:
+        ratios = sorted(t64 / t32 for t64, t32 in rounds)
+        t64_m = sorted(r[0] for r in rounds)[len(rounds) // 2]
+        t32_m = sorted(r[1] for r in rounds)[len(rounds) // 2]
+        out["cost_258sq_jnp"] = {
+            "f64_us_per_step": round(t64_m * 1e6, 1),
+            "f32_us_per_step": round(t32_m * 1e6, 1),
+            "slowdown": round(ratios[len(ratios) // 2], 2),
+            "rounds": len(rounds)}
+        print(f"f64 {t64_m * 1e6:.0f} us/step, f32 {t32_m * 1e6:.0f} "
+              f"us/step, f64/f32 slowdown "
+              f"{out['cost_258sq_jnp']['slowdown']}x "
+              f"({len(rounds)} interleaved rounds)")
+    else:
+        out["cost_258sq_jnp"] = {
+            "failed": "every interleaved round tenancy-corrupted"}
+        print("cost measurement failed (tenancy-corrupted)")
     _write(out)
+    if not ok:
+        sys.exit(1)          # wrong ANSWERS are a failure; an honest
+        # platform rejection (probe path) still exits 0
 
 
 def _write(out):

@@ -132,16 +132,26 @@ def negative_child():
 
 def _poll_output(path, proc, markers, deadline):
     """Wait for any of ``markers`` in the child's output file (or child
-    exit); returns (marker_or_None, output)."""
-    while time.time() < deadline:
-        out = open(path).read()
+    exit); returns (marker_or_None, output).  The final read after an
+    exit is re-scanned: a marker printed just before a fast exit must
+    not be lost."""
+    def scan(out):
         for m in markers:
             if m in out:
-                return m, out
+                return m
+        return None
+
+    while time.time() < deadline:
+        out = open(path).read()
+        m = scan(out)
+        if m:
+            return m, out
         if proc.poll() is not None:
-            return None, open(path).read()
+            out = open(path).read()
+            return scan(out), out
         time.sleep(5)
-    return None, open(path).read()
+    out = open(path).read()
+    return scan(out), out
 
 
 def main():
@@ -174,6 +184,14 @@ def main():
             print(out[-1500:])
             print("fence NEGATIVE oracle  FAIL: a phase-0 wait was "
                   "released by other-slot signals (aliasing)")
+            sys.exit(1)
+        if proc.poll() is not None:
+            # crashed (tenancy conflict, tunnel drop, ...) rather than
+            # blocked on the wait: proves nothing either way
+            print(out[-1500:])
+            print(f"fence NEGATIVE oracle  INCONCLUSIVE: armed child "
+                  f"exited with {proc.returncode} instead of "
+                  "deadlocking — rerun")
             sys.exit(1)
         print(f"fence NEGATIVE oracle  OK (armed wait deadlocked as "
               f"required; killed after {time.time() - t0:.0f}s)")
