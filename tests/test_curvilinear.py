@@ -170,3 +170,34 @@ def test_periodic_seam_scale_factors():
     # west halo column mirrors the global EAST column, row-aligned
     np.testing.assert_allclose(arr[h:h + gny, h - 1], dxu[:, -1])
     np.testing.assert_allclose(arr[h:h + gny, h + gnx], dxu[:, 0])
+
+
+def test_curvilinear_kernel_in_fused_schedule():
+    """Per-point scale-factor arrays stream as aux planes through the
+    FUSED schedule tier too."""
+    from dl_esm_inf_tpu.api.kernel_meta import Schedule
+
+    gnx, gny = 32, 32
+    def build():
+        g = dl.Grid(dl.ARAKAWA_C,
+                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                    dl.OFFSET_NE)
+        g.decompose(gnx, gny, ndomains=4, halo_width=2, align_y=8)
+        dl.grid_init(g, 2.0, 3.0)
+        g.set_scale_factors(dx_t=varying(gny, gnx, 10.0))
+        a = dl.Field(g, dl.T_POINTS,
+                     init_global_data=varying(gny, gnx, 1.0))
+        return g, a, dl.Field(g, dl.T_POINTS)
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT),
+                  go_arg(GO_READ, GridProp.GRID_DX_T)],
+            grid_type=GO_ORTHOGONAL_CURVILINEAR)
+    def scale_dx(out, x, dxa):
+        return x * dxa
+
+    g1, a1, b1 = build()
+    g2, a2, b2 = build()
+    Schedule((scale_dx, b1, a1))()
+    Schedule((scale_dx, b2, a2)).fused(interpret=True)
+    np.testing.assert_allclose(b2.gather_inner_data(),
+                               b1.gather_inner_data(), rtol=1e-12)
