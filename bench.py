@@ -21,6 +21,9 @@ device program) and take the slope; a scalar readback fences each call.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -150,22 +153,58 @@ def measure_client_models(jax, jnp, deadline, N=1024):
     return out
 
 
+def _tpu_reachable(budget_s: float = 420.0) -> bool:
+    """Probe the axon tunnel in a SUBPROCESS before touching jax here.
+
+    A tunnel outage makes backend init HANG (not fail): jax.devices()
+    blocks indefinitely, and once the parent process has started the
+    axon backend there is no in-process way to abandon it.  So probe in
+    a killable child, retry across tenancy windows for up to
+    ``budget_s``, and let the caller fall back to the CPU backend if
+    the chip never answers — the driver must ALWAYS get its JSON line."""
+    if os.environ.get("JAX_PLATFORMS", "axon") == "cpu":
+        return False
+    t_end = time.monotonic() + budget_s
+    probe = ("import jax; jax.devices(); import jax.numpy as jnp; "
+             "assert float(jnp.ones((8, 128)).sum()) == 1024.0")
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=max(60.0, min(240.0, t_end - time.monotonic())))
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() + 90 > t_end:
+            print("bench: TPU tunnel unreachable, falling back to CPU",
+                  file=sys.stderr)
+            return False
+        time.sleep(30)
+
+
 def main():
     t_start = time.monotonic()
+    on_tpu = _tpu_reachable()
     import jax
+    if not on_tpu:
+        # switch in-process (JAX_PLATFORMS env is pinned by the axon
+        # site hook; config.update works — CLAUDE.md environment rules)
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from dl_esm_inf_tpu.models import nemolite2d as nl
     from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
 
-    N = 1024
-    m = nl.build(N, N, pallas=jax.default_backend() != "cpu",
-                 steps_per_sweep=4)
+    # CPU fallback (tunnel down / no accelerator): a small jnp-path run
+    # so the line appears in minutes, flagged by backend+fallback below.
+    N = 1024 if on_tpu else 256
+    m = nl.build(N, N, pallas=on_tpu, steps_per_sweep=4 if on_tpu else 1)
     if not m.use_pallas:
-        # CPU fallback (smoke): jnp path, tiny run
         m = nl.build(N, N, halo_width=2)
     m.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
 
-    n_lo, n_hi = 100, 600
+    n_lo, n_hi = (100, 600) if on_tpu else (10, 40)
     state0 = (m.sshn_t.data, m.un.data, m.vn.data)
     runs = {}
     seq = iter(range(10 ** 6))
@@ -208,7 +247,7 @@ def main():
     # sampling while the best window seen is still below the bar and
     # time remains, and stop the moment the bar is cleared.  The hard
     # cap only bounds a pathologically congested session.
-    deadline = time.monotonic() + 300
+    deadline = time.monotonic() + (300 if on_tpu else 20)
     attempt = 0
     while time.monotonic() < deadline:
         if attempt:
@@ -216,7 +255,10 @@ def main():
         attempt += 1
         t = (_best(runs[n_hi]) - _best(runs[n_lo])) / (n_hi - n_lo)
         raw.append(t)
-        b = measure_membw(jnp, jax)
+        # CPU fallback: no HBM to probe — score against the v5e
+        # datasheet bandwidth (the ratio is meaningless off-chip and
+        # the line is flagged fallback=true below)
+        b = measure_membw(jnp, jax) if on_tpu else 819.0
         if t >= floor and b > 0:
             pairs.append((t, b))
             # stop once the FASTEST window seen is comfortably above
@@ -228,7 +270,7 @@ def main():
             # have a flattering ratio but never a flattering step time)
             if min(pairs)[0] == t and ratio((t, b)) >= 0.88:
                 break
-    fallback = not pairs
+    fallback = (not pairs) or not on_tpu
     if pairs:
         per_step, bw = min(pairs)          # fastest window, paired bw
     else:
@@ -268,7 +310,7 @@ def main():
             models = {"error": repr(e)[:200]}  # never sink the headline
 
     print(json.dumps({
-        "metric": "nemolite2d-1024sq-f32-fused-step-throughput",
+        "metric": f"nemolite2d-{N}sq-f32-fused-step-throughput",
         "value": round(mpts, 1),
         "unit": "Mpt/s/chip",
         "vs_baseline": round(vs, 4),

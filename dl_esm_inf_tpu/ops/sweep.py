@@ -49,6 +49,26 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def auto_tile_rows(ly: int) -> int:
+    """Default VMEM-tile height for a ``ly``-row block.
+
+    The row loop clamps its last tile (``ry = min(i*TY, ly-TY)``), so a
+    TY that does not divide ``ly`` re-runs up to TY-1 already-computed
+    rows in a full extra tile pass.  Measured on the v5e (1040-row
+    flagship block, scripts/abk4.py, interleaved): even dividers 80 and
+    104 beat the old fixed 64 in 10/10 and ~6/8 adjacent rounds
+    (~8-15%); 104 vs 80 is a coin toss, so prefer the LARGEST even
+    divider in [64, 128] (fewer tiles amortise the 2*RING window ring
+    and the per-tile prep).  No even divider -> the measured-good 64."""
+    best = None
+    for ty in range(64, 129, 8):
+        if ty > ly:
+            break
+        if ly % ty == 0:
+            best = ty
+    return best if best is not None else min(64, ly)
+
+
 def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
                        aux_dtypes=(), n_scalars: int = 0,
                        steps_per_sweep: int = 1, reach: int = 2,
@@ -188,7 +208,7 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         d = 0
         do_x = do_y = need_yr = False
 
-    TY = tile_rows or min(64, ly)
+    TY = tile_rows or auto_tile_rows(ly)
     TY = min(TY, ly)
     if TY % 8 != 0:
         raise ValueError(f"tile_rows must be a multiple of 8, got {TY}")

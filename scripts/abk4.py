@@ -26,8 +26,12 @@ def main():
     ap.add_argument("--tys", default="64,128")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--rolls", default="hw,sw",
+                    help="comma list from {hw,sw}: fewer variants = "
+                         "tighter interleaved adjacency")
     args = ap.parse_args()
     tys = [int(t) for t in args.tys.split(",")]
+    rolls = [r == "hw" for r in args.rolls.split(",")]
 
     N = args.n
     K = 4
@@ -43,7 +47,7 @@ def main():
 
     variants = {}
     for ty in tys:
-        for hw in (True, False):
+        for hw in rolls:
             name = f"TY{ty}-{'hw' if hw else 'sw'}roll"
             fused = make_fused_step(ly, lx, "float32", p, dx, dy, fcor,
                                     depth, tile_rows=ty, steps_per_sweep=K,

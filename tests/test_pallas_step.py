@@ -136,6 +136,24 @@ def test_fused_step_guards():
         m.step_program(4, overlap=True)
 
 
+def test_auto_tile_rows():
+    """Default TY prefers the largest multiple-of-8 even divider in
+    [64, 128] (a non-divider re-runs up to TY-1 rows in a clamped tail
+    tile); falls back to the measured-good 64 when nothing divides."""
+    from dl_esm_inf_tpu.ops.sweep import auto_tile_rows
+    assert auto_tile_rows(1040) == 104   # flagship 1024+2*8 block
+    assert auto_tile_rows(1024) == 128
+    assert auto_tile_rows(512) == 128
+    assert auto_tile_rows(520) == 104
+    assert auto_tile_rows(1000) == 64    # no even divider in range
+    assert auto_tile_rows(64) == 64
+    assert auto_tile_rows(48) == 48      # ly below the search range
+    for ly in range(8, 2064, 8):
+        ty = auto_tile_rows(ly)
+        assert ty % 8 == 0 and 0 < ty <= ly
+        assert ly % ty == 0 or ty == min(64, ly)
+
+
 @pytest.mark.parametrize("model", ["gravity_wave", "shallow", "twolayer"])
 def test_jnp_comm_avoidance_reach1_models(model):
     """set_steps_per_exchange (K jnp steps per depth-K exchange) must
