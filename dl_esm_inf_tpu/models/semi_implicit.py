@@ -1,0 +1,191 @@
+"""Semi-implicit (theta-method) free-surface gravity-wave model.
+
+The capability class the explicit clients cannot demonstrate: an
+ELLIPTIC SOLVE inside the time step.  Real semi-implicit ocean codes
+(the lineage the reference serves — NEMO's free-surface ancestors)
+treat the fast gravity-wave terms implicitly so the time step is not
+CFL-limited by sqrt(g*H); each step then requires solving a Helmholtz
+problem for the new surface elevation.  On MPI that is a hand-written
+CG with halo exchanges in the matvec and ``global_sum`` dot products
+(parallel_utils_mod.f90:230-238); here the WHOLE step — exchange, rhs,
+CG (``ops/solvers.pcg_block``: psum dots + ``lax.while_loop``),
+velocity update — is ONE jitted shard_map program.
+
+Discretisation (theta in (0.5, 1]; 0.5 = Crank-Nicolson, second order
+and energy-conserving; 1.0 = backward Euler, dissipative)::
+
+    u' = u - g dt d/dx(theta eta' + (1-theta) eta)        on U faces
+    v' = v - g dt d/dy(theta eta' + (1-theta) eta)        on V faces
+    eta' = eta - H dt div(theta (u',v') + (1-theta) (u,v)) on T points
+
+Eliminating (u', v') gives the Helmholtz problem::
+
+    (I + lam*L) eta' = eta - H dt div(u,v)
+                       + g H theta (1-theta) dt^2 Lm eta
+
+with ``lam_x = g H (theta dt)^2 / dx^2`` and ``L = -Lm`` the masked
+5-point Laplacian whose faces conduct only between wet in-domain cells
+(no-flux walls via the tmask, grid_mod.f90:94-102).  Unconditional
+stability lets dt exceed the explicit limit by orders of magnitude;
+``tests/test_solvers.py`` runs wave CFL ~ 8 stably and pins mass
+conservation and the small-dt agreement with the explicit model.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+import dl_esm_inf_tpu as dl
+from ..core import layout
+from ..ops import stencils as st
+from ..ops.solvers import (helmholtz_coefficients, make_helmholtz_matvec,
+                           pcg_block)
+from ..parallel.halo import exchange_fn, exchange_multi_fn
+from .gravity_wave import default_tmask, gaussian_eta  # noqa: F401 (re-export)
+
+
+class SemiImplicitModel:
+    """eta/u/v fields + a fused, jitted multi-step implicit program."""
+
+    def __init__(self, grid: dl.Grid, dt: float, theta: float = 0.5,
+                 g: float = 9.81, depth: float = 100.0,
+                 tol: float | None = None, maxiter: int | None = None):
+        if not 0.5 <= theta <= 1.0:
+            raise ValueError(f"theta must be in [0.5, 1], got {theta}"
+                             " (below 0.5 the scheme is unstable)")
+        self.grid = grid
+        self.dt = float(dt)
+        self.theta = float(theta)
+        self.g = float(g)
+        self.depth = float(depth)
+        from ..ops.solvers import default_tol
+        self.tol = float(tol if tol is not None
+                         else default_tol(grid.dtype))
+        d = grid.decomp
+        self.maxiter = int(maxiter if maxiter is not None
+                           else 4 * (d.global_nx + d.global_ny))
+
+        self.eta = dl.Field(grid, dl.T_POINTS)
+        self.u = dl.Field(grid, dl.U_POINTS)
+        self.v = dl.Field(grid, dl.V_POINTS)
+
+        dtype = self.eta.dtype
+        tm = grid.tmask
+        wet_t = (tm == 1)
+        gx = layout.global_x_index(d)
+        gy = layout.global_y_index(d)
+        geo = jnp.asarray(((gy >= 0) & (gy < d.global_ny))[:, None]
+                          & ((gx >= 0) & (gx < d.global_nx))[None, :])
+        self._t_upd = (wet_t & geo).astype(dtype)
+        self._u_wet = (wet_t & (st.xp(tm) == 1)).astype(dtype)
+        self._v_wet = (wet_t & (st.yp(tm) == 1)).astype(dtype)
+
+        lam_x = g * depth * (self.theta * dt) ** 2 / grid.dx ** 2
+        lam_y = g * depth * (self.theta * dt) ** 2 / grid.dy ** 2
+        coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
+        self._coeffs = tuple(
+            jax.device_put(jnp.asarray(c), grid.sharding) for c in coeffs)
+        self._inv_diag = jax.device_put(
+            jnp.asarray(1.0 / coeffs[4]), grid.sharding)
+        self._weight = jax.device_put(
+            jnp.asarray(layout.internal_mask(d).astype(np.dtype(dtype))),
+            grid.sharding)
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------
+    def set_initial_eta(self, eta_global: np.ndarray) -> None:
+        stacked = layout.stack_global(self.grid.decomp,
+                                      np.asarray(eta_global), mode="zeros",
+                                      dtype=np.dtype(self.eta.dtype))
+        self.eta.set_data(stacked)
+        self.eta.halo_exchange(1)
+
+    # ------------------------------------------------------------------
+    def step_program(self, nsteps: int = 1):
+        """Compiled program advancing (eta, u, v) by ``nsteps`` implicit
+        steps; also returns the total CG iteration count."""
+        if nsteps not in self._step_cache:
+            grid = self.grid
+            spec = grid.halo_spec
+            exch3 = exchange_multi_fn(spec, depth=1)
+            exch1 = exchange_fn(spec, depth=1)
+            g, H, dt, th = self.g, self.depth, self.dt, self.theta
+            dx, dy = grid.dx, grid.dy
+
+            def body(eta, u, v, t_upd, u_wet, v_wet, wgt,
+                     e, w, n, s, diag, invd):
+                mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
+
+                def one(_, carry):
+                    eta, u, v, its = carry
+                    eta, u, v = exch3((eta, u, v))
+                    div = st.ddx_back(u, dx) + st.ddy_back(v, dy)
+                    lap = (st.ddx_back(u_wet * st.ddx(eta, dx), dx)
+                           + st.ddy_back(v_wet * st.ddy(eta, dy), dy))
+                    rhs = (eta - H * dt * div
+                           + g * H * th * (1.0 - th) * dt ** 2 * lap)
+                    rhs = jnp.where(t_upd > 0, rhs, eta)
+                    sol, k, _rel = pcg_block(
+                        mv, rhs, eta, wgt, tol=self.tol,
+                        maxiter=self.maxiter, inv_diag=invd)
+                    eta_new = exch1(jnp.where(t_upd > 0, sol, eta))
+                    eta_mix = th * eta_new + (1.0 - th) * eta
+                    u_new = u_wet * (u - g * dt * st.ddx(eta_mix, dx))
+                    v_new = v_wet * (v - g * dt * st.ddy(eta_mix, dy))
+                    return eta_new, u_new, v_new, its + k
+
+                eta, u, v, its = lax.fori_loop(
+                    0, nsteps, one,
+                    (eta, u, v, jnp.zeros((), jnp.int32)))
+                return eta, u, v, its
+
+            smapped = jax.shard_map(
+                body, mesh=grid.mesh,
+                in_specs=(P("y", "x"),) * 13,
+                out_specs=((P("y", "x"),) * 3 + (P(),)), check_vma=False)
+            self._step_cache[nsteps] = jax.jit(smapped)
+        return self._step_cache[nsteps]
+
+    def run(self, nsteps: int) -> dict:
+        prog = self.step_program(nsteps)
+        eta, u, v, its = prog(self.eta.data, self.u.data, self.v.data,
+                              self._t_upd, self._u_wet, self._v_wet,
+                              self._weight, *self._coeffs, self._inv_diag)
+        self.eta.data, self.u.data, self.v.data = eta, u, v
+        return {"cg_iterations": int(its),
+                "cg_iterations_per_step": int(its) / max(nsteps, 1)}
+
+    # ------------------------------------------------------------------
+    def checksums(self) -> dict:
+        return {"eta": self.eta.checksum(), "u": self.u.checksum(),
+                "v": self.v.checksum()}
+
+    def mass(self) -> float:
+        """Total surface elevation over wet cells (conserved by the
+        scheme up to solver tolerance — no-flux walls telescope)."""
+        from ..parallel.collectives import masked_sum
+        return masked_sum(self.eta.data, self._weight * self._t_upd)
+
+    def gather(self) -> dict:
+        return {"eta": self.eta.gather_inner_data(),
+                "u": self.u.gather_inner_data(),
+                "v": self.v.gather_inner_data()}
+
+
+def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
+          theta: float = 0.5, g: float = 9.81, depth: float = 10.0,
+          dx: float = 1.0, dy: float = 1.0, tmask=None, dtype=None,
+          tol: float | None = None, maxiter=None) -> SemiImplicitModel:
+    """Convenience constructor: grid + land-ring tmask + model."""
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE, dtype=dtype)
+    grid.decompose(gnx, gny, ndomains=ndomains, halo_width=1)
+    dl.grid_init(grid, dx, dy, default_tmask(gnx, gny)
+                 if tmask is None else tmask)
+    return SemiImplicitModel(grid, dt=dt, theta=theta, g=g, depth=depth,
+                             tol=tol, maxiter=maxiter)

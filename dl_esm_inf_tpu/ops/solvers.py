@@ -1,0 +1,241 @@
+"""Distributed iterative elliptic solvers (preconditioned CG).
+
+The reference library ships no solver — its clients do: semi-implicit
+free-surface ocean codes (the GOcean model family dl_esm_inf serves)
+need one elliptic solve per time step, and on MPI that means a hand
+written CG with halo exchanges inside the matvec and ``MPI_Allreduce``
+dot products (the reference's ``global_sum``,
+parallel_utils_mod.f90:230-238, is exactly the primitive such clients
+call).  This module supplies that capability class TPU-natively:
+
+* the matvec is "depth-1 halo exchange + local 5-point stencil" on the
+  shard's block (``parallel.halo.exchange_fn`` inlined in shard_map);
+* dot products are ``lax.psum`` scalars over BOTH mesh axes — the
+  in-program form of ``global_sum``;
+* the iteration is a ``lax.while_loop`` with a tolerance test — data
+  dependent control flow expressed the XLA way, so the WHOLE solve
+  (every exchange, every reduction, every iteration) is one compiled
+  program with no host round-trips.
+
+Two layers:
+
+:func:`pcg_block` — a generic per-block preconditioned-CG body for use
+inside any ``shard_map`` program (the semi-implicit model embeds it in
+its time step so step + solve compile as one program).
+
+:class:`HelmholtzSolver` — the ready-made client: ``(I + lam*L) x = b``
+on wet T points with no-flux (homogeneous Neumann) walls expressed
+purely through the tmask, matching the framework's land philosophy
+(grid_mod.f90:94-102: walls are mask values, not special-cased edges).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..core import kinds, layout
+from ..parallel.halo import exchange_fn
+from . import stencils as st
+
+
+def pcg_block(matvec, b, x0, weight, *, tol: float, maxiter: int,
+              inv_diag=None, axis_names=("y", "x")):
+    """Preconditioned conjugate gradients on one shard block.
+
+    Call INSIDE shard_map.  ``matvec`` must accept a local block whose
+    halo ring is stale and return ``A x`` valid on internal cells (it
+    performs its own halo exchange); halo cells of every iterate are
+    garbage by contract and are excluded from dot products by
+    ``weight`` (1 on cells counted once globally, 0 on halos/padding —
+    ``layout.internal_mask``).  ``inv_diag`` enables Jacobi
+    preconditioning.  Every device executes identical scalar control
+    flow because the loop condition depends only on psum'd values.
+
+    Returns ``(x, iters, rel_res)`` with ``x``'s halo ring stale.
+    """
+    acc = jnp.dtype(kinds.sum_dtype())
+    w = weight.astype(acc)
+
+    def pdot(u, v):
+        s = jnp.sum(u.astype(acc) * v.astype(acc) * w)
+        return lax.psum(s, axis_names)
+
+    def pdot2(u1, v1, u2, v2):
+        """Two dot products in ONE psum (halves collective count)."""
+        s1 = jnp.sum(u1.astype(acc) * v1.astype(acc) * w)
+        s2 = jnp.sum(u2.astype(acc) * v2.astype(acc) * w)
+        return lax.psum(jnp.stack([s1, s2]), axis_names)
+
+    def prec(r):
+        return r * inv_diag if inv_diag is not None else r
+
+    r0 = b - matvec(x0)
+    z0 = prec(r0)
+    rz_rr = pdot2(r0, z0, r0, r0)
+    bb = pdot(b, b)
+    # relative tolerance against the preconditioned rhs norm; an all-
+    # zero rhs converges immediately (x = x0 if it already solves it)
+    tol2 = jnp.asarray(tol, acc) ** 2 * jnp.maximum(
+        bb, jnp.asarray(np.finfo(np.dtype(acc)).tiny, acc))
+
+    def cond(carry):
+        _x, _r, _p, _rz, rr, k = carry
+        return (rr > tol2) & (k < maxiter)
+
+    def body(carry):
+        x, r, p, rz, _rr, k = carry
+        ap = matvec(p)
+        pap = pdot(p, ap)
+        alpha = jnp.where(pap != 0, rz / pap, jnp.zeros((), acc))
+        x = x + alpha.astype(x.dtype) * p
+        r = r - alpha.astype(r.dtype) * ap
+        z = prec(r)
+        rz_new, rr_new = pdot2(r, z, r, r)
+        beta = jnp.where(rz != 0, rz_new / rz, jnp.zeros((), acc))
+        p = z + beta.astype(p.dtype) * p
+        return (x, r, p, rz_new, rr_new, k + 1)
+
+    x, _r, _p, _rz, rr, k = lax.while_loop(
+        cond, body, (x0, r0, z0, rz_rr[0], rz_rr[1], jnp.zeros((),
+                                                               jnp.int32)))
+    rel = jnp.sqrt(rr / jnp.maximum(bb, jnp.asarray(
+        np.finfo(np.dtype(acc)).tiny, acc)))
+    return x, k, rel.astype(acc)
+
+
+def default_tol(dtype) -> float:
+    """Dtype-aware default stopping tolerance: 50*eps, floored at
+    1e-10 (f64 -> 1e-10, f32 -> 6e-6).  A fixed 1e-10 would make a
+    float32 solve grind for hundreds of iterations chasing a residual
+    the iterates cannot represent (the recursive CG residual keeps
+    shrinking long after the true one floors at ~eps)."""
+    return max(float(np.finfo(np.dtype(dtype)).eps) * 50.0, 1e-10)
+
+
+def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
+    """Stacked-layout face/diagonal coefficient arrays for
+    ``A = I + lam*L`` with no-flux walls.
+
+    ``L`` is the negated masked 5-point Laplacian: a face conducts only
+    between two solver-active cells (wet AND inside the global domain —
+    the same activity rule the gravity-wave model uses for its update
+    masks, so shard-halo cells evolve exactly like their interior twins
+    on the neighbouring shard and the matvec needs only a depth-1
+    exchange).  Returns ``(e, w, n, s, diag)`` host arrays.
+    """
+    d = grid.decomp
+    tm = np.asarray(grid.tmask)
+    gx = layout.global_x_index(d)
+    gy = layout.global_y_index(d)
+    geo = (((gy >= 0) & (gy < d.global_ny))[:, None]
+           & ((gx >= 0) & (gx < d.global_nx))[None, :])
+    # halo cells that are COPIES of real cells (periodic wrap, or the
+    # plain shard seam) must conduct: exchanging the strict in-domain
+    # mask stamps each halo cell with its source cell's validity, and
+    # leaves non-wrap outer halos at their stale False.
+    from ..parallel import halo as halo_mod
+    geo_x = halo_mod.exchange(
+        jax.device_put(jnp.asarray(geo, np.dtype(grid.dtype)),
+                       grid.sharding),
+        grid.mesh, grid.halo_spec, depth=d.halo)
+    act = ((tm == 1) & (np.asarray(geo_x) > 0.5))
+    dtype = np.dtype(grid.dtype)
+    a = act.astype(dtype)
+    # neighbour activity via numpy rolls — same shift semantics as the
+    # in-program stencils (stale wrap values land outside `act` support)
+    e = lam_x * a * np.roll(a, -1, 1)
+    w = lam_x * a * np.roll(a, 1, 1)
+    n = lam_y * a * np.roll(a, -1, 0)
+    s = lam_y * a * np.roll(a, 1, 0)
+    diag = 1.0 + e + w + n + s
+    return e, w, n, s, diag.astype(dtype)
+
+
+def make_helmholtz_matvec(spec, e, w, n, s, diag):
+    """Per-block ``x -> (I + lam*L) x`` closure over coefficient blocks
+    (themselves shard_map operands): one depth-1 exchange + 5-point
+    stencil.  Identity on inactive cells (all faces 0, diag 1), so the
+    operator is SPD and dry/padding cells never couple in."""
+    exch = exchange_fn(spec, depth=1)
+
+    def matvec(x):
+        x = exch(x)
+        return (diag * x - e * st.xp(x) - w * st.xm(x)
+                - n * st.yp(x) - s * st.ym(x))
+    return matvec
+
+
+class HelmholtzSolver:
+    """``(I + lam*L) x = b`` on a grid's wet T points, compiled once.
+
+    ``lam_x/lam_y`` are the nondimensional face couplings (a semi-
+    implicit free-surface step uses ``g*H*(theta*dt)**2/dx**2``).  The
+    solve is ONE jitted shard_map program; decomposition invariance
+    (1-shard == N-shard) holds to reduction-order roundoff.
+    """
+
+    def __init__(self, grid, lam_x: float, lam_y: float, *,
+                 tol: float | None = None, maxiter: int | None = None,
+                 precondition: bool = True):
+        if grid.halo_spec is None:
+            raise ValueError("grid must be initialised (grid_init) "
+                             "before building a solver")
+        self.grid = grid
+        self.tol = float(tol if tol is not None
+                         else default_tol(grid.dtype))
+        d = grid.decomp
+        self.maxiter = int(maxiter if maxiter is not None
+                           else 4 * (d.global_nx + d.global_ny))
+        e, w, n, s, diag = helmholtz_coefficients(grid, lam_x, lam_y)
+        put = functools.partial(jax.device_put, device=grid.sharding)
+        self._coeffs = tuple(put(jnp.asarray(c))
+                             for c in (e, w, n, s, diag))
+        self._inv_diag = put(jnp.asarray(1.0 / diag)) \
+            if precondition else None
+        self._weight = put(jnp.asarray(
+            layout.internal_mask(d).astype(np.dtype(grid.dtype))))
+        self._prog = None
+
+    def _program(self):
+        if self._prog is None:
+            spec = self.grid.halo_spec
+            exch = exchange_fn(spec, depth=1)
+            has_pc = self._inv_diag is not None
+
+            def body(b, x0, wgt, e, w, n, s, diag, *pc):
+                mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
+                x, k, rel = pcg_block(
+                    mv, b, x0, wgt, tol=self.tol, maxiter=self.maxiter,
+                    inv_diag=pc[0] if pc else None)
+                return exch(x), k, rel
+
+            n_in = 8 + (1 if has_pc else 0)
+            smapped = jax.shard_map(
+                body, mesh=self.grid.mesh,
+                in_specs=(P("y", "x"),) * n_in,
+                out_specs=(P("y", "x"), P(), P()), check_vma=False)
+            self._prog = jax.jit(smapped)
+        return self._prog
+
+    def solve(self, b, x0=None):
+        """Solve for the stacked/sharded rhs ``b`` (a T-point Field or
+        its ``.data``).  Returns ``(x, info)`` with ``x`` a stacked
+        array (halos freshly exchanged) and ``info`` =
+        ``{"iterations", "rel_res", "converged"}``."""
+        from ..core.field import Field
+        bdat = b.data if isinstance(b, Field) else jnp.asarray(b)
+        x0dat = ((x0.data if isinstance(x0, Field) else jnp.asarray(x0))
+                 if x0 is not None else jnp.zeros_like(bdat))
+        args = [bdat, x0dat, self._weight, *self._coeffs]
+        if self._inv_diag is not None:
+            args.append(self._inv_diag)
+        x, k, rel = self._program()(*args)
+        k = int(k)
+        rel = float(rel)
+        return x, {"iterations": k, "rel_res": rel,
+                   "converged": rel <= self.tol}

@@ -1,0 +1,205 @@
+"""Distributed CG / Helmholtz solver + semi-implicit model tests.
+
+The solver capability class the reference's clients hand-write over MPI
+(CG with halo exchanges in the matvec and global_sum dot products,
+parallel_utils_mod.f90:230-238): checked against an INDEPENDENT dense
+numpy construction of the masked operator, pinned for decomposition
+invariance, and exercised by the semi-implicit model far beyond the
+explicit CFL limit.
+"""
+import numpy as np
+import pytest
+
+import dl_esm_inf_tpu as dl
+from dl_esm_inf_tpu.core import layout
+from dl_esm_inf_tpu.models import semi_implicit as si
+from dl_esm_inf_tpu.models.gravity_wave import (default_tmask,
+                                                gaussian_eta,
+                                                golden_reference)
+from dl_esm_inf_tpu.ops.solvers import HelmholtzSolver
+
+
+def dense_solve(act, lam_x, lam_y, b, wrap=False):
+    """Independent dense construction of (I + lam*L) with no-flux walls
+    (and optional periodic wrap), solved by numpy."""
+    gny, gnx = act.shape
+    n = gny * gnx
+    A = np.eye(n)
+
+    def idx(j, i):
+        return j * gnx + i
+
+    for j in range(gny):
+        for i in range(gnx):
+            if not act[j, i]:
+                continue
+            for dj, di, lam in ((0, 1, lam_x), (0, -1, lam_x),
+                                (1, 0, lam_y), (-1, 0, lam_y)):
+                jj, ii = j + dj, i + di
+                if wrap:
+                    jj, ii = jj % gny, ii % gnx
+                elif not (0 <= jj < gny and 0 <= ii < gnx):
+                    continue
+                if act[jj, ii]:
+                    A[idx(j, i), idx(j, i)] += lam
+                    A[idx(j, i), idx(jj, ii)] -= lam
+    return np.linalg.solve(A, b.ravel()).reshape(gny, gnx)
+
+
+def make_grid(gnx, gny, ndom, tmask, bc=dl.BC_EXTERNAL):
+    grid = dl.Grid(dl.ARAKAWA_C, (bc, bc, dl.BC_NONE), dl.OFFSET_NE,
+                   dtype="float64")
+    grid.decompose(gnx, gny, ndomains=ndom)
+    dl.grid_init(grid, 1.0, 1.0, tmask)
+    return grid
+
+
+@pytest.mark.parametrize("ndom", [1, 6, 8])
+def test_helmholtz_vs_dense(ndom):
+    """CG solution == dense numpy solve on an irregular wet mask, and
+    the answer is decomposition-invariant (1 == N shards)."""
+    rng = np.random.default_rng(0)
+    gnx, gny = 20, 12
+    tmask = np.ones((gny, gnx), np.int32)
+    tmask[0, :] = tmask[-1, :] = 0
+    tmask[:, 0] = tmask[:, -1] = 0
+    tmask[5:8, 6:9] = 0                      # island
+    act = tmask == 1
+    b = rng.standard_normal((gny, gnx)) * act
+    lam = 7.3
+    xd = dense_solve(act, lam, lam, b)
+
+    grid = make_grid(gnx, gny, ndom, tmask)
+    s = HelmholtzSolver(grid, lam, lam, tol=1e-12)
+    x, info = s.solve(dl.Field(grid, dl.T_POINTS, init_global_data=b))
+    xg = layout.unstack_internal(grid.decomp, np.asarray(x))
+    assert info["converged"]
+    assert np.abs((xg - xd) * act).max() < 1e-10
+
+
+@pytest.mark.parametrize("ndom", [1, 4])
+def test_helmholtz_periodic_vs_dense(ndom):
+    """Faces across the periodic seam conduct (the exchanged-validity
+    mask in helmholtz_coefficients)."""
+    rng = np.random.default_rng(1)
+    gn = 16
+    tmask = np.ones((gn, gn), np.int32)
+    tmask[3:5, 9:12] = 0
+    act = tmask == 1
+    b = rng.standard_normal((gn, gn)) * act
+    xd = dense_solve(act, 3.0, 3.0, b, wrap=True)
+
+    grid = make_grid(gn, gn, ndom, tmask, bc=dl.BC_PERIODIC)
+    s = HelmholtzSolver(grid, 3.0, 3.0, tol=1e-12)
+    x, info = s.solve(dl.Field(grid, dl.T_POINTS, init_global_data=b))
+    xg = layout.unstack_internal(grid.decomp, np.asarray(x))
+    assert info["converged"]
+    assert np.abs((xg - xd) * act).max() < 1e-10
+
+
+def test_helmholtz_unpreconditioned_and_zero_rhs():
+    gnx = gny = 16
+    tmask = default_tmask(gnx, gny)
+    act = tmask == 1
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal((gny, gnx)) * act
+    xd = dense_solve(act, 2.0, 2.0, b)
+    grid = make_grid(gnx, gny, 4, tmask)
+    s = HelmholtzSolver(grid, 2.0, 2.0, tol=1e-12, precondition=False)
+    x, info = s.solve(dl.Field(grid, dl.T_POINTS, init_global_data=b))
+    xg = layout.unstack_internal(grid.decomp, np.asarray(x))
+    assert info["converged"]
+    assert np.abs((xg - xd) * act).max() < 1e-10
+    # zero rhs: immediate convergence to x = 0
+    z, zinfo = s.solve(np.zeros_like(np.asarray(x)))
+    assert zinfo["iterations"] == 0
+    assert float(np.abs(np.asarray(z)).max()) == 0.0
+
+
+def test_solver_requires_initialised_grid():
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    with pytest.raises(ValueError, match="grid_init"):
+        HelmholtzSolver(grid, 1.0, 1.0)
+
+
+# ---------------------------------------------------------------------
+# semi-implicit model
+
+
+def test_semi_implicit_stability_beyond_cfl_and_mass():
+    """Wave CFL ~ 20: the explicit scheme detonates in a handful of
+    steps; Crank-Nicolson stays bounded and conserves mass to solver
+    tolerance (no-flux faces telescope)."""
+    N = 48
+    m = si.build(N, N, dt=2.0, theta=0.5, depth=10.0, tol=1e-10)
+    m.set_initial_eta(gaussian_eta(N, N, amp=1.0))
+    m.run(5)
+    m0 = m.mass()
+    amax0 = float(np.abs(m.gather()["eta"]).max())
+    m.run(100)
+    g = m.gather()
+    assert np.isfinite(g["eta"]).all()
+    assert np.abs(g["eta"]).max() < 2.0 * max(amax0, 1.0)
+    assert abs(m.mass() - m0) <= 1e-8 * max(abs(m0), 1.0)
+
+
+def test_semi_implicit_converges_to_explicit():
+    """At explicit-stable dt the CN trajectory approaches the explicit
+    golden reference as dt -> 0 (the two schemes solve the same PDE;
+    their difference is O(dt)).  Calibrated: 2.1e-2 at dt=0.02,
+    1.0e-2 at dt=0.01 (N=64, T=2)."""
+    N = 64
+    depth, gconst = 10.0, 9.81
+    tm = default_tmask(N, N)
+    eta0 = gaussian_eta(N, N, amp=0.5)
+    wet = tm == 1
+    errs = []
+    for dt, nst in ((0.02, 100), (0.01, 200)):
+        gold = golden_reference(eta0, tm, 1.0, 1.0, dt, nst,
+                                g=gconst, depth=depth)
+        m = si.build(N, N, dt=dt, theta=0.5, depth=depth, g=gconst,
+                     tol=1e-12)
+        m.set_initial_eta(eta0)
+        m.run(nst)
+        got = m.gather()["eta"]
+        ref = gold["eta"] * wet
+        errs.append(np.abs(got * wet - ref).max() / np.abs(ref).max())
+    assert errs[0] < 3e-2
+    assert errs[1] < 0.65 * errs[0]          # first-order in dt
+
+
+def test_semi_implicit_decomposition_invariance():
+    """1-shard == 8-shard trajectories (the make-or-break invariant)."""
+    N = 40
+    eta0 = gaussian_eta(N, N, amp=0.7)
+    results = []
+    for ndom in (1, 8):
+        m = si.build(N, N, ndomains=ndom, dt=1.0, depth=5.0, tol=1e-11)
+        m.set_initial_eta(eta0)
+        m.run(20)
+        results.append(m.gather())
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(results[0][k], results[1][k],
+                                   rtol=0, atol=1e-9)
+
+
+def test_backward_euler_dissipates():
+    """theta=1 damps the wave field; theta outside [0.5, 1] rejected."""
+    N = 32
+    e0 = gaussian_eta(N, N, amp=1.0)
+
+    def energy(theta):
+        m = si.build(N, N, dt=0.5, theta=theta, depth=10.0, tol=1e-11)
+        m.set_initial_eta(e0)
+        m.run(40)
+        g = m.gather()
+        return float((g["eta"] ** 2).sum()
+                     + (g["u"] ** 2 + g["v"] ** 2).sum())
+
+    assert energy(1.0) < 0.5 * energy(0.5)
+    with pytest.raises(ValueError, match="theta"):
+        si.build(N, N, theta=0.4)
+    with pytest.raises(ValueError, match="theta"):
+        si.build(N, N, theta=1.2)
