@@ -1,0 +1,141 @@
+"""Ensemble execution: M perturbed replicas of a model in ONE program.
+
+Ensemble forecasting is the bread-and-butter workflow of the codes the
+reference serves; on MPI it means M separate job launches (the
+reference has no batching concept — one `r2d_field` is one array,
+field_mod.f90:139-166).  TPU-natively an ensemble is just a leading
+axis: every stencil/mask op broadcasts over `(M, ly, lx)` blocks
+unchanged, and the halo exchange already carries leading dimensions —
+coalescing ALL members' edge strips into the same 4 messages per step
+(`parallel/halo._exchange_block`), so the collective count is
+independent of ensemble size.  The per-member arithmetic is the exact
+op sequence of the single run: members are bitwise-identical to
+running the base model M times (`tests/test_ensemble.py`).
+
+Works with any jnp-path explicit model exposing the `_block_step(exch,
+*state, *masks)` protocol (gravity_wave, shallow, twolayer).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import layout
+from ..parallel import halo as halo_mod
+from ..parallel.halo import exchange_multi_fn
+
+
+def _adapt(model):
+    """(names, state fields, mask arrays) for a supported model."""
+    from . import gravity_wave, shallow, twolayer
+    if getattr(model, "use_pallas", False):
+        raise ValueError(
+            "Ensemble wraps the jnp path; build the base model without "
+            "pallas=True (the fused sweep engine is single-state)")
+    if isinstance(model, gravity_wave.GravityWaveModel):
+        return (("eta", "u", "v"), (model.eta, model.u, model.v),
+                (model._t_upd, model._u_wet, model._v_wet))
+    if isinstance(model, shallow.ShallowModel):
+        return (("eta", "u", "v"), (model.eta, model.u, model.v), ())
+    if isinstance(model, twolayer.TwoLayerModel):
+        return (("eta1", "eta2", "u1", "v1", "u2", "v2"),
+                (model.eta1, model.eta2, model.u1, model.v1,
+                 model.u2, model.v2),
+                (model._t_upd, model._u_wet, model._v_wet))
+    raise TypeError(f"no ensemble adapter for {type(model).__name__}; "
+                    "supported: GravityWaveModel, ShallowModel, "
+                    "TwoLayerModel")
+
+
+class Ensemble:
+    """M replicas of ``model``'s state advancing under one jit."""
+
+    def __init__(self, model, n_members: int):
+        if n_members < 1:
+            raise ValueError("n_members must be >= 1")
+        self.model = model
+        self.n_members = int(n_members)
+        self._field_names, self._fields, self._masks = _adapt(model)
+        self.grid = model.grid
+        self._sharding = NamedSharding(self.grid.mesh, P(None, "y", "x"))
+        # every member starts from the base model's current state
+        self.states = tuple(
+            jax.device_put(jnp.broadcast_to(
+                f.data, (self.n_members,) + f.data.shape), self._sharding)
+            for f in self._fields)
+        self._prog_cache = {}
+
+    # ------------------------------------------------------------------
+    def set_member_states(self, field_index: int, globals_m) -> None:
+        """Load per-member initial data for one state field from an
+        ``(M, gny, gnx)`` global array (scatter + halo exchange)."""
+        globals_m = np.asarray(globals_m)
+        if globals_m.shape[0] != self.n_members:
+            raise ValueError(f"expected leading dim {self.n_members}, "
+                             f"got {globals_m.shape}")
+        d = self.grid.decomp
+        dt = np.dtype(self._fields[field_index].dtype)
+        stacked = np.stack([
+            layout.stack_global(d, g, mode="zeros", dtype=dt)
+            for g in globals_m])
+        arr = jax.device_put(jnp.asarray(stacked), self._sharding)
+        arr = halo_mod.exchange(arr, self.grid.mesh, self.grid.halo_spec,
+                                depth=d.halo)
+        states = list(self.states)
+        states[field_index] = arr
+        self.states = tuple(states)
+
+    # ------------------------------------------------------------------
+    def step_program(self, nsteps: int):
+        if nsteps not in self._prog_cache:
+            model = self.model
+            exch = exchange_multi_fn(self.grid.halo_spec, depth=1)
+            n_state = len(self._fields)
+
+            def body(*args):
+                state = args[:n_state]
+                masks = args[n_state:]
+
+                def one(_, s):
+                    return tuple(model._block_step(exch, *s, *masks))
+
+                return lax.fori_loop(0, nsteps, one, state)
+
+            smapped = jax.shard_map(
+                body, mesh=self.grid.mesh,
+                in_specs=((P(None, "y", "x"),) * n_state
+                          + (P("y", "x"),) * len(self._masks)),
+                out_specs=(P(None, "y", "x"),) * n_state,
+                check_vma=False)
+            self._prog_cache[nsteps] = jax.jit(smapped)
+        return self._prog_cache[nsteps]
+
+    def run(self, nsteps: int) -> None:
+        prog = self.step_program(nsteps)
+        self.states = tuple(prog(*self.states, *self._masks))
+
+    # ------------------------------------------------------------------
+    def member(self, i: int) -> dict:
+        """Gathered global fields of member ``i`` (internal points)."""
+        d = self.grid.decomp
+        return {k: np.asarray(layout.unstack_internal(d, s[i]))
+                for k, s in zip(self._names(), self.states)}
+
+    def gather_all(self) -> dict:
+        """All members' global fields: ``{name: (M, gny, gnx)}``."""
+        d = self.grid.decomp
+        return {k: np.asarray(layout.unstack_internal(d, s))
+                for k, s in zip(self._names(), self.states)}
+
+    def mean_and_spread(self) -> tuple[dict, dict]:
+        """Ensemble mean and standard deviation per state field."""
+        g = self.gather_all()
+        return ({k: v.mean(axis=0) for k, v in g.items()},
+                {k: v.std(axis=0) for k, v in g.items()})
+
+    def _names(self):
+        return self._field_names

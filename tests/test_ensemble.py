@@ -1,0 +1,96 @@
+"""Ensemble execution: M replicas in one program == M sequential runs.
+
+The leading-axis broadcast must not change per-member arithmetic, and
+the coalesced halo exchange must deliver each member its own strips.
+"""
+import numpy as np
+import pytest
+
+from dl_esm_inf_tpu.models import gravity_wave as gw
+from dl_esm_inf_tpu.models import shallow as sh
+from dl_esm_inf_tpu.models import twolayer as tl
+from dl_esm_inf_tpu.models.ensemble import Ensemble
+
+
+def _etas(n, gnx, gny, seed=0):
+    rng = np.random.default_rng(seed)
+    base = gw.gaussian_eta(gnx, gny, amp=0.5)
+    return np.stack([base * (1 + 0.2 * k)
+                     + 0.01 * rng.standard_normal((gny, gnx))
+                     for k in range(n)])
+
+
+def test_gravity_wave_ensemble_matches_sequential():
+    gnx = gny = 32
+    M, nsteps = 3, 12
+    etas = _etas(M, gnx, gny)
+
+    ens = Ensemble(gw.build(gnx, gny, dt=0.05, depth=10.0), M)
+    ens.set_member_states(0, etas)
+    ens.run(nsteps)
+    got = ens.gather_all()
+    assert got["eta"].shape == (M, gny, gnx)
+
+    for k in range(M):
+        m = gw.build(gnx, gny, dt=0.05, depth=10.0)
+        m.set_initial_eta(etas[k])
+        m.run(nsteps)
+        want = m.gather()
+        for f in ("eta", "u", "v"):
+            np.testing.assert_array_equal(
+                got[f][k], want[f],
+                err_msg=f"member {k} field {f} diverged from its "
+                        f"sequential run")
+
+
+def test_shallow_ensemble_periodic_no_masks():
+    gn, M = 24, 2
+    base = sh.build(gn, gn, dt=0.02)
+    ens = Ensemble(base, M)
+    etas = _etas(M, gn, gn, seed=1)
+    ens.set_member_states(0, etas)
+    ens.run(8)
+    got = ens.gather_all()
+
+    for k in range(M):
+        m = sh.build(gn, gn, dt=0.02)
+        m.set_initial_eta(etas[k])
+        m.run(8)
+        np.testing.assert_array_equal(got["eta"][k], m.gather()["eta"])
+
+
+def test_twolayer_ensemble_six_field_state():
+    gn, M = 24, 2
+    ens = Ensemble(tl.build(gn, gn, dt=0.02), M)
+    etas = _etas(M, gn, gn, seed=2)
+    ens.set_member_states(0, etas)          # perturb eta1 only
+    ens.run(6)
+    got = ens.gather_all()
+    assert set(got) == {"eta1", "eta2", "u1", "v1", "u2", "v2"}
+
+    m = tl.build(gn, gn, dt=0.02)
+    m.set_initial(etas[1], np.zeros((gn, gn)))
+    m.run(6)
+    # twolayer's layer-coupling expressions fuse differently (FMA
+    # contraction) with broadcast operands: roundoff-level, not exact
+    np.testing.assert_allclose(got["eta1"][1], m.gather()["eta1"],
+                               rtol=0, atol=1e-14)
+
+
+def test_ensemble_statistics_and_guards():
+    gn = 16
+    base = gw.build(gn, gn, dt=0.05)
+    base.set_initial_eta(gw.gaussian_eta(gn, gn, amp=0.3))
+    ens = Ensemble(base, 3)                  # identical members
+    ens.run(4)
+    mean, spread = ens.mean_and_spread()
+    assert mean["eta"].shape == (gn, gn)
+    # identical members: spread is pure mean-subtraction roundoff
+    assert float(np.abs(spread["eta"]).max()) < 1e-15
+
+    with pytest.raises(ValueError, match="leading dim"):
+        ens.set_member_states(0, np.zeros((2, gn, gn)))
+    with pytest.raises(ValueError, match="n_members"):
+        Ensemble(base, 0)
+    with pytest.raises(TypeError, match="adapter"):
+        Ensemble(object(), 2)
