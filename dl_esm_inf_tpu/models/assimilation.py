@@ -1,0 +1,130 @@
+"""Variational data assimilation (4D-Var) on the differentiable stack.
+
+The framework's time step is a pure jitted function, so the ADJOINT
+MODEL — the thing operational assimilation systems at the codes the
+reference serves spend person-years hand-writing and re-validating
+after every physics change — is one `jax.grad` call: reverse-mode AD
+flows through the whole shard_map program (`lax.fori_loop` unrolls as
+scan, `ppermute` transposes to the reverse permutation, `psum` to a
+broadcast).  `tests/test_assimilation.py` pins the gradient against
+central finite differences and runs a twin experiment that recovers an
+initial state from sparse noisy observations.
+
+Usage::
+
+    m = gravity_wave.build(64, 64, dt=0.05)
+    obs = {10: eta_at_10, 20: eta_at_20}        # global (gny, gnx)
+    result = assimilate(m, obs, iters=200)
+    result["eta0"]                              # recovered initial eta
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import layout
+
+
+def make_cost_fn(model, observations: dict, obs_weight=None,
+                 background=None, background_weight: float = 0.0):
+    """Build ``cost(eta0_stacked) -> scalar``: the 4D-Var objective
+
+    ``sum_t ||eta_t - obs_t||^2_w  [+ b_w * ||eta0 - background||^2_w]``
+    over a trajectory started from rest at ``eta0``.  ``observations``
+    maps step number (>=1) to a global ``(gny, gnx)`` array; the misfit
+    is evaluated on wet internal points only.  Returns ``(cost_fn,
+    pack, unpack)`` where ``pack`` lifts a global initial eta into the
+    stacked optimisation variable and ``unpack`` is its inverse.
+    """
+    from .gravity_wave import GravityWaveModel
+    if not isinstance(model, GravityWaveModel):
+        raise TypeError("assimilation drives the GravityWaveModel "
+                        f"interface, got {type(model).__name__}")
+    if model.use_pallas or model._sweep_K > 1:
+        raise ValueError("4D-Var needs the plain differentiable jnp "
+                         "path: build the model without pallas/"
+                         "steps_per_sweep (pallas_call has no VJP)")
+    if not observations:
+        raise ValueError("observations must map step -> global array")
+    steps = sorted(observations)
+    if steps[0] < 1:
+        raise ValueError("observation steps must be >= 1")
+    grid = model.grid
+    d = grid.decomp
+    dtype = np.dtype(model.eta.dtype)
+    w = jnp.asarray(layout.internal_mask(d).astype(dtype)) * model._t_upd
+    if obs_weight is not None:
+        w = w * jnp.asarray(layout.stack_global(
+            d, np.asarray(obs_weight), mode="zeros", dtype=dtype))
+    obs_stacked = {
+        t: jax.device_put(jnp.asarray(layout.stack_global(
+            d, np.asarray(o), mode="zeros", dtype=dtype)), grid.sharding)
+        for t, o in observations.items()}
+    # one cached program per distinct segment length
+    segs = [steps[0]] + [b - a for a, b in zip(steps, steps[1:])]
+    progs = {n: model.step_program(n) for n in set(segs)}
+    masks = (model._t_upd, model._u_wet, model._v_wet, model._mask_codes)
+    bg = (jax.device_put(jnp.asarray(layout.stack_global(
+        d, np.asarray(background), mode="zeros", dtype=dtype)),
+        grid.sharding) if background is not None else None)
+
+    def cost(eta0):
+        state = (eta0, jnp.zeros_like(eta0), jnp.zeros_like(eta0))
+        c = jnp.zeros((), w.dtype)
+        if bg is not None:
+            c = c + background_weight * jnp.sum((eta0 - bg) ** 2 * w)
+        for n, t in zip(segs, steps):
+            state = progs[n](*state, *masks)
+            c = c + jnp.sum((state[0] - obs_stacked[t]) ** 2 * w)
+        return c
+
+    def pack(eta0_global):
+        return jax.device_put(jnp.asarray(layout.stack_global(
+            d, np.asarray(eta0_global), mode="zeros", dtype=dtype)),
+            grid.sharding)
+
+    def unpack(eta0_stacked):
+        return np.asarray(layout.unstack_internal(d, eta0_stacked))
+
+    return cost, pack, unpack
+
+
+def assimilate(model, observations: dict, *, iters: int = 200,
+               learning_rate: float = 0.2, first_guess=None,
+               obs_weight=None, background=None,
+               background_weight: float = 0.0) -> dict:
+    """Twin-experiment-ready 4D-Var: recover the initial surface
+    elevation that best explains ``observations`` under ``model``'s
+    dynamics, by Adam on the AD gradient of the trajectory misfit.
+
+    Returns ``{"eta0": global array, "cost_history": [...],
+    "grad_norm": float}``.
+    """
+    import optax
+
+    cost, pack, unpack = make_cost_fn(
+        model, observations, obs_weight=obs_weight, background=background,
+        background_weight=background_weight)
+    d = model.grid.decomp
+    x = pack(np.zeros((d.global_ny, d.global_nx))
+             if first_guess is None else first_guess)
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(x)
+    vg = jax.jit(jax.value_and_grad(cost))
+
+    @jax.jit
+    def step(x, opt_state):
+        c, g = jax.value_and_grad(cost)(x)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(x, updates), opt_state, c
+
+    history = []
+    for _ in range(iters):
+        x, opt_state, c = step(x, opt_state)
+        history.append(float(c))
+    _, g = vg(x)
+    return {"eta0": unpack(x), "cost_history": history,
+            "grad_norm": float(jnp.abs(g).max())}

@@ -1,0 +1,108 @@
+"""4D-Var on the differentiable framework: adjoint == finite
+differences, and a twin experiment recovers the initial state."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_esm_inf_tpu.core import layout
+from dl_esm_inf_tpu.models import gravity_wave as gw
+from dl_esm_inf_tpu.models.assimilation import assimilate, make_cost_fn
+
+
+def _truth_obs(m, eta_true, steps):
+    """Run the truth trajectory and record eta at the given steps."""
+    m.set_initial_eta(eta_true)
+    obs, done = {}, 0
+    for t in sorted(steps):
+        m.run(t - done)
+        done = t
+        obs[t] = m.gather()["eta"]
+    return obs
+
+
+def test_adjoint_matches_finite_differences():
+    """The AD gradient through 10 sharded steps (ppermute + fori_loop)
+    equals central differences at several probe points."""
+    N = 24
+    m = gw.build(N, N, dt=0.05, depth=10.0)
+    obs = _truth_obs(gw.build(N, N, dt=0.05, depth=10.0),
+                     gw.gaussian_eta(N, N, amp=0.5), [10])
+    cost, pack, _ = make_cost_fn(m, obs)
+    g = jax.jit(jax.grad(cost))(pack(np.zeros((N, N))))
+    x0 = pack(np.zeros((N, N)))
+    h = 1e-6
+    for idx in ((5, 7), (12, 12), (18, 4)):
+        ep = x0.at[idx].set(h)
+        em = x0.at[idx].set(-h)
+        fd = (cost(ep) - cost(em)) / (2 * h)
+        assert abs(float(fd - g[idx])) <= 1e-7 * max(abs(float(fd)), 1e-3)
+
+
+def test_twin_experiment_recovers_initial_state():
+    """Observing eta at steps {6, 12, 18} recovers the initial bump
+    from a zero first guess (cost drops by orders of magnitude and the
+    recovered field is close to truth on wet points)."""
+    N = 24
+    eta_true = gw.gaussian_eta(N, N, amp=0.5)
+    obs = _truth_obs(gw.build(N, N, dt=0.05, depth=10.0),
+                     eta_true, [6, 12, 18])
+
+    m = gw.build(N, N, dt=0.05, depth=10.0)
+    res = assimilate(m, obs, iters=300, learning_rate=0.1)
+    hist = res["cost_history"]
+    assert hist[-1] < 1e-4 * hist[0]
+    wet = layout.unstack_internal(
+        m.grid.decomp, np.asarray(m._t_upd)).astype(bool)
+    err = np.abs((res["eta0"] - eta_true) * wet).max()
+    assert err < 0.02 * np.abs(eta_true).max()
+
+
+def test_decomposition_invariant_gradient():
+    """1-shard and 8-shard adjoints agree (the invariance extends to
+    reverse mode)."""
+    N = 16
+    eta_true = gw.gaussian_eta(N, N, amp=0.4)
+    grads = []
+    for ndom in (1, 8):
+        m = gw.build(N, N, ndomains=ndom, dt=0.05, depth=10.0)
+        obs = _truth_obs(gw.build(N, N, ndomains=ndom, dt=0.05,
+                                  depth=10.0), eta_true, [8])
+        cost, pack, _ = make_cost_fn(m, obs)
+        g = jax.jit(jax.grad(cost))(pack(np.zeros((N, N))))
+        grads.append(np.asarray(layout.unstack_internal(
+            m.grid.decomp, g)))
+    np.testing.assert_allclose(grads[0], grads[1], rtol=0, atol=1e-12)
+
+
+def test_guards():
+    N = 16
+    m = gw.build(N, N, dt=0.05)
+    with pytest.raises(ValueError, match="observations"):
+        make_cost_fn(m, {})
+    with pytest.raises(ValueError, match=">= 1"):
+        make_cost_fn(m, {0: np.zeros((N, N))})
+    mp = gw.build(N, N, dt=0.05, halo_width=2)
+    mp.set_steps_per_exchange(2)
+    with pytest.raises(ValueError, match="jnp path"):
+        make_cost_fn(mp, {4: np.zeros((N, N))})
+    with pytest.raises(TypeError, match="GravityWaveModel"):
+        make_cost_fn(object(), {4: np.zeros((N, N))})
+
+
+def test_background_term_and_weights():
+    """A background (prior) term pulls the solution toward the first
+    guess where observations are masked out."""
+    N = 16
+    eta_true = gw.gaussian_eta(N, N, amp=0.5)
+    obs = _truth_obs(gw.build(N, N, dt=0.05, depth=10.0), eta_true, [6])
+    # observe only the left half of the domain
+    ow = np.zeros((N, N))
+    ow[:, : N // 2] = 1.0
+    m = gw.build(N, N, dt=0.05, depth=10.0)
+    cost, pack, _ = make_cost_fn(m, obs, obs_weight=ow,
+                                 background=np.zeros((N, N)),
+                                 background_weight=1e-3)
+    c = float(cost(pack(np.zeros((N, N)))))
+    assert np.isfinite(c) and c > 0
