@@ -27,6 +27,34 @@ import jax.numpy as jnp
 from ..core import layout
 
 
+def _trajectory_runner(model):
+    """A ``(prog, state) -> state`` closure binding the model's
+    non-state operands; raises for non-differentiable configurations."""
+    from .gravity_wave import GravityWaveModel
+    from .semi_implicit import SemiImplicitModel
+    if isinstance(model, GravityWaveModel):
+        if model.use_pallas or model._sweep_K > 1:
+            raise ValueError(
+                "4D-Var needs the plain differentiable jnp path: build "
+                "the model without pallas/steps_per_sweep (pallas_call "
+                "has no VJP)")
+        ops = (model._t_upd, model._u_wet, model._v_wet,
+               model._mask_codes)
+        return lambda prog, st: prog(*st, *ops)
+    if isinstance(model, SemiImplicitModel):
+        if not model.differentiable:
+            raise ValueError(
+                "build the semi-implicit model with differentiable="
+                "True: the raw CG while_loop has no reverse rule; the "
+                "custom_linear_solve wrapper differentiates implicitly")
+        ops = (model._t_upd, model._u_wet, model._v_wet, model._weight,
+               *model._coeffs, model._inv_diag)
+        return lambda prog, st: prog(*st, *ops)[:3]
+    raise TypeError("assimilation drives the GravityWaveModel or "
+                    f"SemiImplicitModel interface, got "
+                    f"{type(model).__name__}")
+
+
 def make_cost_fn(model, observations: dict, obs_weight=None,
                  background=None, background_weight: float = 0.0):
     """Build ``cost(eta0_stacked) -> scalar``: the 4D-Var objective
@@ -38,14 +66,7 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     pack, unpack)`` where ``pack`` lifts a global initial eta into the
     stacked optimisation variable and ``unpack`` is its inverse.
     """
-    from .gravity_wave import GravityWaveModel
-    if not isinstance(model, GravityWaveModel):
-        raise TypeError("assimilation drives the GravityWaveModel "
-                        f"interface, got {type(model).__name__}")
-    if model.use_pallas or model._sweep_K > 1:
-        raise ValueError("4D-Var needs the plain differentiable jnp "
-                         "path: build the model without pallas/"
-                         "steps_per_sweep (pallas_call has no VJP)")
+    run_seg = _trajectory_runner(model)
     if not observations:
         raise ValueError("observations must map step -> global array")
     steps = sorted(observations)
@@ -65,7 +86,6 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     # one cached program per distinct segment length
     segs = [steps[0]] + [b - a for a, b in zip(steps, steps[1:])]
     progs = {n: model.step_program(n) for n in set(segs)}
-    masks = (model._t_upd, model._u_wet, model._v_wet, model._mask_codes)
     bg = (jax.device_put(jnp.asarray(layout.stack_global(
         d, np.asarray(background), mode="zeros", dtype=dtype)),
         grid.sharding) if background is not None else None)
@@ -76,7 +96,7 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         if bg is not None:
             c = c + background_weight * jnp.sum((eta0 - bg) ** 2 * w)
         for n, t in zip(segs, steps):
-            state = progs[n](*state, *masks)
+            state = run_seg(progs[n], state)
             c = c + jnp.sum((state[0] - obs_stacked[t]) ** 2 * w)
         return c
 

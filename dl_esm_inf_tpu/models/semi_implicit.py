@@ -43,7 +43,7 @@ import dl_esm_inf_tpu as dl
 from ..core import layout
 from ..ops import stencils as st
 from ..ops.solvers import (helmholtz_coefficients, make_helmholtz_matvec,
-                           pcg_block)
+                           pcg_block, pcg_solve)
 from ..parallel.halo import exchange_fn, exchange_multi_fn
 from .gravity_wave import default_tmask, gaussian_eta  # noqa: F401 (re-export)
 
@@ -53,10 +53,17 @@ class SemiImplicitModel:
 
     def __init__(self, grid: dl.Grid, dt: float, theta: float = 0.5,
                  g: float = 9.81, depth: float = 100.0,
-                 tol: float | None = None, maxiter: int | None = None):
+                 tol: float | None = None, maxiter: int | None = None,
+                 differentiable: bool = False):
+        """``differentiable=True`` swaps the in-step CG for the
+        ``lax.custom_linear_solve``-wrapped variant: `jax.grad` flows
+        through the implicit step via the adjoint (same symmetric)
+        solve instead of unrolling iterations.  The iteration counter
+        is unavailable in that mode (``run`` reports 0)."""
         if not 0.5 <= theta <= 1.0:
             raise ValueError(f"theta must be in [0.5, 1], got {theta}"
                              " (below 0.5 the scheme is unstable)")
+        self.differentiable = bool(differentiable)
         self.grid = grid
         self.dt = float(dt)
         self.theta = float(theta)
@@ -129,9 +136,15 @@ class SemiImplicitModel:
                     rhs = (eta - H * dt * div
                            + g * H * th * (1.0 - th) * dt ** 2 * lap)
                     rhs = jnp.where(t_upd > 0, rhs, eta)
-                    sol, k, _rel = pcg_block(
-                        mv, rhs, eta, wgt, tol=self.tol,
-                        maxiter=self.maxiter, inv_diag=invd)
+                    if self.differentiable:
+                        sol = pcg_solve(mv, rhs, wgt, tol=self.tol,
+                                        maxiter=self.maxiter,
+                                        inv_diag=invd, x0=eta)
+                        k = jnp.zeros((), jnp.int32)
+                    else:
+                        sol, k, _rel = pcg_block(
+                            mv, rhs, eta, wgt, tol=self.tol,
+                            maxiter=self.maxiter, inv_diag=invd)
                     eta_new = exch1(jnp.where(t_upd > 0, sol, eta))
                     eta_mix = th * eta_new + (1.0 - th) * eta
                     u_new = u_wet * (u - g * dt * st.ddx(eta_mix, dx))
@@ -179,7 +192,8 @@ class SemiImplicitModel:
 def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
           theta: float = 0.5, g: float = 9.81, depth: float = 10.0,
           dx: float = 1.0, dy: float = 1.0, tmask=None, dtype=None,
-          tol: float | None = None, maxiter=None) -> SemiImplicitModel:
+          tol: float | None = None, maxiter=None,
+          differentiable: bool = False) -> SemiImplicitModel:
     """Convenience constructor: grid + land-ring tmask + model."""
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
@@ -188,4 +202,5 @@ def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
     dl.grid_init(grid, dx, dy, default_tmask(gnx, gny)
                  if tmask is None else tmask)
     return SemiImplicitModel(grid, dt=dt, theta=theta, g=g, depth=depth,
-                             tol=tol, maxiter=maxiter)
+                             tol=tol, maxiter=maxiter,
+                             differentiable=differentiable)

@@ -108,6 +108,38 @@ def pcg_block(matvec, b, x0, weight, *, tol: float, maxiter: int,
     return x, k, rel.astype(acc)
 
 
+def pcg_solve(matvec, b, weight, *, tol: float, maxiter: int,
+              inv_diag=None, axis_names=("y", "x"), x0=None):
+    """DIFFERENTIABLE per-block solve (same contract as
+    :func:`pcg_block`, minus the iteration-count outputs).
+
+    Wraps the CG loop in ``lax.custom_linear_solve`` so reverse-mode AD
+    never unrolls the iterations: the VJP solves the SAME symmetric
+    system with the downstream cotangent as rhs (implicit-function
+    differentiation).  The operator handed to custom_linear_solve must
+    be symmetric on the FULL padded block space, which the raw
+    exchange-then-stencil matvec is not (halo rows break it): both
+    sides are projected with ``weight`` — ``M = P A E P`` is exactly
+    the global symmetric operator on canonical (halo-zeroed) vectors
+    and zero elsewhere.  Returns the canonical solution (halo cells
+    ZERO — exchange it before stencil use).  Gradient pinned against
+    finite differences at 1e-8 on 1 and 8 shards
+    (tests/test_assimilation.py).
+    """
+    def sym_mv(x):
+        return weight * matvec(weight * x)
+
+    def solve(mvf, rhs):
+        start = jnp.zeros_like(rhs) if x0 is None else weight * x0
+        x, _k, _rel = pcg_block(mvf, rhs, start, weight, tol=tol,
+                                maxiter=maxiter, inv_diag=inv_diag,
+                                axis_names=axis_names)
+        return weight * x
+
+    return lax.custom_linear_solve(sym_mv, weight * b, solve,
+                                   symmetric=True)
+
+
 def default_tol(dtype) -> float:
     """Dtype-aware default stopping tolerance: 50*eps, floored at
     1e-10 (f64 -> 1e-10, f32 -> 6e-6).  A fixed 1e-10 would make a
