@@ -39,7 +39,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..core import kinds, layout
-from ..parallel.halo import exchange_fn
+from ..parallel.halo import exchange_fn, exchange_multi_fn
 from . import stencils as st
 
 
@@ -188,12 +188,85 @@ def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
     return e, w, n, s, diag.astype(dtype)
 
 
-def make_helmholtz_matvec(spec, e, w, n, s, diag):
+def chebyshev_iterations(lam_min: float, lam_max: float,
+                         tol: float) -> int:
+    """Iterations for the Chebyshev error bound
+    ``2 * ((sqrt(k)-1)/(sqrt(k)+1))^n <= tol`` with ``k`` the
+    eigenvalue-bound condition number."""
+    k = lam_max / lam_min
+    rho = (np.sqrt(k) - 1.0) / (np.sqrt(k) + 1.0)
+    if rho <= 0:
+        return 1
+    return max(1, int(np.ceil(np.log(2.0 / tol) / -np.log(rho))))
+
+
+def chebyshev_block(b, x0, *, matvec, lam_min: float, lam_max: float,
+                    niters: int, exchange_every=None):
+    """Chebyshev iteration on one shard block — NO inner products, so
+    zero scalar collectives: the only communication is whatever
+    ``matvec`` does.  Needs eigenvalue bounds instead (for the
+    Helmholtz operator they are analytic: ``[1, 1 + 4*(lam_x+lam_y)]``
+    by Gershgorin, with 1 exact for the Neumann wall operator).  The
+    iteration count is static (``chebyshev_iterations``), making the
+    whole solve a fixed-shape program — the communication-avoiding
+    counterpart of :func:`pcg_block`.
+
+    ``exchange_every=(K, exch_multi_fn)`` selects DEEP-HALO mode:
+    ``matvec`` must then omit its exchange, and the iterate triple
+    (x, r, d) is jointly refreshed once per K matvecs (each matvec
+    consumes one valid halo ring; ``niters`` must be a multiple of K
+    and the halo at least K deep).  Requires coefficient/operand halo
+    cells to compute exactly like their interior twins.
+    """
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma1 = theta / delta
+
+    def one(carry):
+        x, r, d, rho = carry
+        x = x + d
+        r = r - matvec(d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        return (x, r, d, rho_new)
+
+    if exchange_every is None:
+        r0 = b - matvec(x0)
+        carry = (x0, r0, r0 / theta,
+                 jnp.asarray(1.0 / sigma1, r0.dtype))
+        x, _r, _d, _rho = lax.fori_loop(
+            0, niters, lambda _, c: one(c), carry)
+        return x
+
+    K, exchK = exchange_every
+    if niters % K:
+        raise ValueError(f"niters={niters} must be a multiple of "
+                         f"steps_per_exchange K={K}")
+    b, x0 = exchK((b, x0))               # operands halo-consistent
+    r0 = b - matvec(x0)
+    carry = (x0, r0, r0 / theta, jnp.asarray(1.0 / sigma1, r0.dtype))
+
+    def block(_, carry):
+        x, r, d, rho = carry
+        x, r, d = exchK((x, r, d))
+        c = (x, r, d, rho)
+        for _k in range(K):              # static unroll: K matvecs
+            c = one(c)
+        return c
+
+    x, _r, _d, _rho = lax.fori_loop(0, niters // K, block, carry)
+    return x
+
+
+def make_helmholtz_matvec(spec, e, w, n, s, diag, exchange: bool = True):
     """Per-block ``x -> (I + lam*L) x`` closure over coefficient blocks
     (themselves shard_map operands): one depth-1 exchange + 5-point
     stencil.  Identity on inactive cells (all faces 0, diag 1), so the
-    operator is SPD and dry/padding cells never couple in."""
-    exch = exchange_fn(spec, depth=1)
+    operator is SPD and dry/padding cells never couple in.
+    ``exchange=False`` omits the halo refresh for communication-
+    avoiding callers that manage deep halos themselves (each
+    application then consumes one valid halo ring)."""
+    exch = exchange_fn(spec, depth=1) if exchange else (lambda x: x)
 
     def matvec(x):
         x = exch(x)
@@ -213,21 +286,57 @@ class HelmholtzSolver:
 
     def __init__(self, grid, lam_x: float, lam_y: float, *,
                  tol: float | None = None, maxiter: int | None = None,
-                 precondition: bool = True):
+                 precondition: bool = True, method: str = "cg",
+                 steps_per_exchange: int = 1):
+        """``method="chebyshev"`` selects the communication-avoiding
+        iteration: no inner products (zero scalar collectives; uses
+        the analytic eigenvalue bounds ``[1, 1+4(lam_x+lam_y)]``) and
+        a STATIC iteration count from the Chebyshev error bound.
+        ``steps_per_exchange=K`` (chebyshev only) then runs K matvecs
+        per depth-``halo_width`` halo exchange — the solver-level
+        analogue of the models' ``set_steps_per_exchange`` — needing
+        ``halo_width >= K`` and relying on halo cells computing
+        exactly like their interior twins (the coefficient arrays are
+        halo-exchanged at build time to guarantee it)."""
         if grid.halo_spec is None:
             raise ValueError("grid must be initialised (grid_init) "
                              "before building a solver")
+        if method not in ("cg", "chebyshev"):
+            raise ValueError(f"method must be 'cg' or 'chebyshev', "
+                             f"got {method!r}")
         self.grid = grid
+        self.method = method
         self.tol = float(tol if tol is not None
                          else default_tol(grid.dtype))
         d = grid.decomp
+        self.steps_per_exchange = int(steps_per_exchange)
+        if self.steps_per_exchange < 1:
+            raise ValueError("steps_per_exchange must be >= 1")
+        if self.steps_per_exchange > 1:
+            if method != "chebyshev":
+                raise ValueError(
+                    "steps_per_exchange needs method='chebyshev' (CG "
+                    "has a dot product between matvecs; there is "
+                    "nothing to avoid)")
+            if d.halo < self.steps_per_exchange:
+                raise ValueError(
+                    f"steps_per_exchange={self.steps_per_exchange} "
+                    f"needs halo_width >= {self.steps_per_exchange}, "
+                    f"grid has {d.halo} (decompose(halo_width=...))")
         self.maxiter = int(maxiter if maxiter is not None
                            else 4 * (d.global_nx + d.global_ny))
-        e, w, n, s, diag = helmholtz_coefficients(grid, lam_x, lam_y)
+        self._lam_bounds = (1.0, 1.0 + 4.0 * (lam_x + lam_y))
+        coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
         put = functools.partial(jax.device_put, device=grid.sharding)
-        self._coeffs = tuple(put(jnp.asarray(c))
-                             for c in (e, w, n, s, diag))
-        self._inv_diag = put(jnp.asarray(1.0 / diag)) \
+        arrs = [put(jnp.asarray(c)) for c in coeffs]
+        if self.steps_per_exchange > 1:
+            # halo cells must carry their interior twin's coefficients
+            # so redundant halo compute reproduces the twin exactly
+            from ..parallel import halo as halo_mod
+            arrs = [halo_mod.exchange(a, grid.mesh, grid.halo_spec,
+                                      depth=d.halo) for a in arrs]
+        self._coeffs = tuple(arrs)
+        self._inv_diag = put(jnp.asarray(1.0 / coeffs[4])) \
             if precondition else None
         self._weight = put(jnp.asarray(
             layout.internal_mask(d).astype(np.dtype(grid.dtype))))
@@ -238,13 +347,53 @@ class HelmholtzSolver:
             spec = self.grid.halo_spec
             exch = exchange_fn(spec, depth=1)
             has_pc = self._inv_diag is not None
+            acc = jnp.dtype(kinds.sum_dtype())
 
-            def body(b, x0, wgt, e, w, n, s, diag, *pc):
-                mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
-                x, k, rel = pcg_block(
-                    mv, b, x0, wgt, tol=self.tol, maxiter=self.maxiter,
-                    inv_diag=pc[0] if pc else None)
-                return exch(x), k, rel
+            if self.method == "cg":
+                def body(b, x0, wgt, e, w, n, s, diag, *pc):
+                    mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
+                    x, k, rel = pcg_block(
+                        mv, b, x0, wgt, tol=self.tol,
+                        maxiter=self.maxiter,
+                        inv_diag=pc[0] if pc else None)
+                    return exch(x), k, rel
+            else:
+                lmin, lmax = self._lam_bounds
+                K = self.steps_per_exchange
+                niters = min(chebyshev_iterations(lmin, lmax, self.tol),
+                             self.maxiter)
+                niters = -(-niters // K) * K       # round up to K
+                H = self.grid.decomp.halo
+
+                def body(b, x0, wgt, e, w, n, s, diag, *pc):
+                    if K == 1:
+                        mv = make_helmholtz_matvec(spec, e, w, n, s,
+                                                   diag)
+                        x = chebyshev_block(b, x0, matvec=mv,
+                                            lam_min=lmin, lam_max=lmax,
+                                            niters=niters)
+                    else:
+                        mv = make_helmholtz_matvec(
+                            spec, e, w, n, s, diag, exchange=False)
+                        exchH = exchange_multi_fn(spec, depth=H)
+                        x = chebyshev_block(
+                            b, x0, matvec=mv, lam_min=lmin,
+                            lam_max=lmax, niters=niters,
+                            exchange_every=(K, exchH))
+                    # one verified residual at the end (the iteration
+                    # itself is dot-free)
+                    mv1 = make_helmholtz_matvec(spec, e, w, n, s, diag)
+                    r = b - mv1(exch(x))
+                    wacc = wgt.astype(acc)
+                    rr = lax.psum(jnp.sum(r.astype(acc) ** 2 * wacc),
+                                  ("y", "x"))
+                    bb = lax.psum(jnp.sum(b.astype(acc) ** 2 * wacc),
+                                  ("y", "x"))
+                    rel = jnp.sqrt(rr / jnp.maximum(
+                        bb, jnp.asarray(np.finfo(np.dtype(acc)).tiny,
+                                        acc)))
+                    return (exch(x), jnp.asarray(niters, jnp.int32),
+                            rel.astype(acc))
 
             n_in = 8 + (1 if has_pc else 0)
             smapped = jax.shard_map(

@@ -116,6 +116,79 @@ def test_helmholtz_unpreconditioned_and_zero_rhs():
     assert float(np.abs(np.asarray(z)).max()) == 0.0
 
 
+@pytest.mark.parametrize("ndom", [1, 8])
+def test_chebyshev_vs_dense(ndom):
+    """The dot-free Chebyshev solver reaches the same solution as the
+    dense solve using only the analytic eigenvalue bounds."""
+    rng = np.random.default_rng(3)
+    gnx, gny = 20, 12
+    tmask = np.ones((gny, gnx), np.int32)
+    tmask[0, :] = tmask[-1, :] = 0
+    tmask[:, 0] = tmask[:, -1] = 0
+    tmask[4:7, 10:13] = 0
+    act = tmask == 1
+    b = rng.standard_normal((gny, gnx)) * act
+    lam = 4.0
+    xd = dense_solve(act, lam, lam, b)
+
+    grid = make_grid(gnx, gny, ndom, tmask)
+    s = HelmholtzSolver(grid, lam, lam, tol=1e-11, method="chebyshev")
+    x, info = s.solve(dl.Field(grid, dl.T_POINTS, init_global_data=b))
+    xg = layout.unstack_internal(grid.decomp, np.asarray(x))
+    assert info["converged"], info
+    assert np.abs((xg - xd) * act).max() < 1e-9
+
+
+def test_chebyshev_comm_avoiding_matches_plain():
+    """steps_per_exchange=4 (one depth-4 exchange per 4 matvecs, halo
+    twins recomputed redundantly) reproduces the per-matvec-exchange
+    iteration EXACTLY — same arithmetic per internal cell."""
+    rng = np.random.default_rng(4)
+    gnx = gny = 24
+    tmask = np.ones((gny, gnx), np.int32)
+    tmask[0, :] = tmask[-1, :] = 0
+    tmask[:, 0] = tmask[:, -1] = 0
+    act = tmask == 1
+    b = rng.standard_normal((gny, gnx)) * act
+    lam = 3.0
+    results = []
+    # maxiter pins the (K-rounded) iteration count so all three
+    # variants run EXACTLY 68 iterations: any difference is then a
+    # violation of the halo-twin redundant-compute contract, not a
+    # convergence-depth artifact.  Measured: <= 1 ulp.
+    for ndom, K in ((1, 1), (8, 1), (8, 4)):
+        grid = dl.Grid(dl.ARAKAWA_C,
+                       (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                       dl.OFFSET_NE, dtype="float64")
+        grid.decompose(gnx, gny, ndomains=ndom, halo_width=max(K, 1))
+        dl.grid_init(grid, 1.0, 1.0, tmask)
+        s = HelmholtzSolver(grid, lam, lam, tol=1e-13, maxiter=68,
+                            method="chebyshev", steps_per_exchange=K)
+        x, info = s.solve(dl.Field(grid, dl.T_POINTS,
+                                   init_global_data=b))
+        assert info["iterations"] == 68
+        assert info["rel_res"] < 1e-10, info
+        results.append(layout.unstack_internal(grid.decomp,
+                                               np.asarray(x)))
+    # plain (K=1) decomposition-invariant...
+    np.testing.assert_allclose(results[0], results[1], rtol=0,
+                               atol=1e-15)
+    # ...and comm-avoiding == plain on the same mesh
+    np.testing.assert_allclose(results[1], results[2], rtol=0,
+                               atol=1e-15)
+
+
+def test_chebyshev_guards():
+    grid = make_grid(16, 16, 4, default_tmask(16, 16))
+    with pytest.raises(ValueError, match="chebyshev"):
+        HelmholtzSolver(grid, 1.0, 1.0, steps_per_exchange=2)
+    with pytest.raises(ValueError, match="halo_width"):
+        HelmholtzSolver(grid, 1.0, 1.0, method="chebyshev",
+                        steps_per_exchange=2)
+    with pytest.raises(ValueError, match="method"):
+        HelmholtzSolver(grid, 1.0, 1.0, method="sor")
+
+
 def test_solver_requires_initialised_grid():
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
