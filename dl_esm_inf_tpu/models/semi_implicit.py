@@ -42,7 +42,8 @@ from jax.sharding import PartitionSpec as P
 import dl_esm_inf_tpu as dl
 from ..core import layout
 from ..ops import stencils as st
-from ..ops.solvers import (helmholtz_coefficients, make_helmholtz_matvec,
+from ..ops.solvers import (chebyshev_block, chebyshev_iterations,
+                           helmholtz_coefficients, make_helmholtz_matvec,
                            pcg_block, pcg_solve)
 from ..parallel.halo import exchange_fn, exchange_multi_fn
 from .gravity_wave import default_tmask, gaussian_eta  # noqa: F401 (re-export)
@@ -54,15 +55,28 @@ class SemiImplicitModel:
     def __init__(self, grid: dl.Grid, dt: float, theta: float = 0.5,
                  g: float = 9.81, depth: float = 100.0,
                  tol: float | None = None, maxiter: int | None = None,
-                 differentiable: bool = False):
+                 differentiable: bool = False, solver: str = "cg"):
         """``differentiable=True`` swaps the in-step CG for the
         ``lax.custom_linear_solve``-wrapped variant: `jax.grad` flows
         through the implicit step via the adjoint (same symmetric)
         solve instead of unrolling iterations.  The iteration counter
-        is unavailable in that mode (``run`` reports 0)."""
+        is unavailable in that mode (``run`` reports 0).
+
+        ``solver="chebyshev"`` uses the dot-free iteration
+        (`ops/solvers.chebyshev_block`) — zero scalar collectives per
+        step and a STATIC iteration count, at the price of iterating
+        to the eigenvalue-bound worst case instead of stopping at the
+        measured residual."""
         if not 0.5 <= theta <= 1.0:
             raise ValueError(f"theta must be in [0.5, 1], got {theta}"
                              " (below 0.5 the scheme is unstable)")
+        if solver not in ("cg", "chebyshev"):
+            raise ValueError(f"solver must be 'cg' or 'chebyshev', "
+                             f"got {solver!r}")
+        if differentiable and solver != "cg":
+            raise ValueError("differentiable=True requires solver='cg' "
+                             "(the custom_linear_solve wrapper)")
+        self.solver = solver
         self.differentiable = bool(differentiable)
         self.grid = grid
         self.dt = float(dt)
@@ -93,6 +107,7 @@ class SemiImplicitModel:
 
         lam_x = g * depth * (self.theta * dt) ** 2 / grid.dx ** 2
         lam_y = g * depth * (self.theta * dt) ** 2 / grid.dy ** 2
+        self._lam_bounds = (1.0, 1.0 + 4.0 * (lam_x + lam_y))
         coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
         self._coeffs = tuple(
             jax.device_put(jnp.asarray(c), grid.sharding) for c in coeffs)
@@ -136,7 +151,15 @@ class SemiImplicitModel:
                     rhs = (eta - H * dt * div
                            + g * H * th * (1.0 - th) * dt ** 2 * lap)
                     rhs = jnp.where(t_upd > 0, rhs, eta)
-                    if self.differentiable:
+                    if self.solver == "chebyshev":
+                        lmin, lmax = self._lam_bounds
+                        nit = min(chebyshev_iterations(
+                            lmin, lmax, self.tol), self.maxiter)
+                        sol = chebyshev_block(
+                            rhs, eta, matvec=mv, lam_min=lmin,
+                            lam_max=lmax, niters=nit)
+                        k = jnp.asarray(nit, jnp.int32)
+                    elif self.differentiable:
                         sol = pcg_solve(mv, rhs, wgt, tol=self.tol,
                                         maxiter=self.maxiter,
                                         inv_diag=invd, x0=eta)
@@ -193,7 +216,8 @@ def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
           theta: float = 0.5, g: float = 9.81, depth: float = 10.0,
           dx: float = 1.0, dy: float = 1.0, tmask=None, dtype=None,
           tol: float | None = None, maxiter=None,
-          differentiable: bool = False) -> SemiImplicitModel:
+          differentiable: bool = False,
+          solver: str = "cg") -> SemiImplicitModel:
     """Convenience constructor: grid + land-ring tmask + model."""
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
@@ -203,4 +227,5 @@ def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
                  if tmask is None else tmask)
     return SemiImplicitModel(grid, dt=dt, theta=theta, g=g, depth=depth,
                              tol=tol, maxiter=maxiter,
-                             differentiable=differentiable)
+                             differentiable=differentiable,
+                             solver=solver)

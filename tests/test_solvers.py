@@ -258,6 +258,27 @@ def test_semi_implicit_decomposition_invariance():
                                    rtol=0, atol=1e-9)
 
 
+def test_semi_implicit_chebyshev_solver_matches_cg():
+    """The dot-free in-step solver reproduces the CG trajectory at
+    solver tolerance, and rejects differentiable mode."""
+    N = 32
+    eta0 = gaussian_eta(N, N, amp=0.6)
+    got = {}
+    for solver in ("cg", "chebyshev"):
+        m = si.build(N, N, dt=1.0, depth=10.0, tol=1e-11, solver=solver)
+        m.set_initial_eta(eta0)
+        info = m.run(10)
+        got[solver] = m.gather()
+        assert info["cg_iterations"] > 0
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(got["chebyshev"][k], got["cg"][k],
+                                   rtol=0, atol=1e-8)
+    with pytest.raises(ValueError, match="solver='cg'"):
+        si.build(N, N, solver="chebyshev", differentiable=True)
+    with pytest.raises(ValueError, match="solver"):
+        si.build(N, N, solver="jacobi")
+
+
 def test_backward_euler_dissipates():
     """theta=1 damps the wave field; theta outside [0.5, 1] rejected."""
     N = 32
