@@ -1,4 +1,4 @@
-"""Distributed iterative elliptic solvers (preconditioned CG).
+"""Distributed iterative elliptic solvers (PCG + Chebyshev).
 
 The reference library ships no solver — its clients do: semi-implicit
 free-surface ocean codes (the GOcean model family dl_esm_inf serves)
@@ -219,7 +219,10 @@ def chebyshev_block(b, x0, *, matvec, lam_min: float, lam_max: float,
     cells to compute exactly like their interior twins.
     """
     theta = 0.5 * (lam_max + lam_min)
-    delta = 0.5 * (lam_max - lam_min)
+    # delta=0 (identity operator, lam_max == lam_min) degenerates to a
+    # single Richardson step; the clamp keeps the recurrence finite and
+    # algebraically exact in that limit (2*rho1/delta -> 1/theta)
+    delta = max(0.5 * (lam_max - lam_min), 1e-30 * theta)
     sigma1 = theta / delta
 
     def one(carry):
