@@ -261,6 +261,25 @@ def chebyshev_block(b, x0, *, matvec, lam_min: float, lam_max: float,
     return x
 
 
+def chebyshev_scalars(lam_min: float, lam_max: float,
+                      niters: int) -> np.ndarray:
+    """Host-computed ``(niters, 2)`` per-iteration recurrence
+    coefficients ``(c1_k, c2_k)`` with ``d <- c1*d + c2*r`` — the
+    Chebyshev rho sequence is data-independent, which is what lets the
+    whole iteration run as a fused Pallas sweep with per-sub-step SMEM
+    scalars (no scalar readbacks, no dots)."""
+    theta = 0.5 * (lam_max + lam_min)
+    delta = max(0.5 * (lam_max - lam_min), 1e-30 * theta)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    out = np.zeros((niters, 2))
+    for k in range(niters):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        out[k] = (rho_new * rho, 2.0 * rho_new / delta)
+        rho = rho_new
+    return out
+
+
 def make_helmholtz_matvec(spec, e, w, n, s, diag, exchange: bool = True):
     """Per-block ``x -> (I + lam*L) x`` closure over coefficient blocks
     (themselves shard_map operands): one depth-1 exchange + 5-point
@@ -290,7 +309,9 @@ class HelmholtzSolver:
     def __init__(self, grid, lam_x: float, lam_y: float, *,
                  tol: float | None = None, maxiter: int | None = None,
                  precondition: bool = True, method: str = "cg",
-                 steps_per_exchange: int = 1):
+                 steps_per_exchange: int = 1, pallas: bool = False,
+                 pallas_interpret: bool = False,
+                 tile_rows: int | None = None):
         """``method="chebyshev"`` selects the communication-avoiding
         iteration: no inner products (zero scalar collectives; uses
         the analytic eigenvalue bounds ``[1, 1+4(lam_x+lam_y)]``) and
@@ -300,7 +321,16 @@ class HelmholtzSolver:
         analogue of the models' ``set_steps_per_exchange`` — needing
         ``halo_width >= K`` and relying on halo cells computing
         exactly like their interior twins (the coefficient arrays are
-        halo-exchanged at build time to guarantee it)."""
+        halo-exchanged at build time to guarantee it).
+
+        ``pallas=True`` (chebyshev only) runs the iteration on the
+        fused sweep engine: K iterations per HBM pass, the face
+        activities packed into ONE int8 bit-plane decoded per tile,
+        and the rho recurrence streamed as per-sub-step SMEM scalars
+        (it is data-independent — the reason Chebyshev fuses and CG
+        cannot).  Needs a TPU-tile-aligned grid
+        (``decompose(halo_width=K, align=128, align_y=8)``) and a
+        4-byte dtype; ``pallas_interpret=True`` for CPU testing."""
         if grid.halo_spec is None:
             raise ValueError("grid must be initialised (grid_init) "
                              "before building a solver")
@@ -326,23 +356,47 @@ class HelmholtzSolver:
                     f"steps_per_exchange={self.steps_per_exchange} "
                     f"needs halo_width >= {self.steps_per_exchange}, "
                     f"grid has {d.halo} (decompose(halo_width=...))")
+        self.pallas = bool(pallas)
+        self._pallas_interpret = bool(pallas_interpret)
+        self._tile_rows = tile_rows
+        if self.pallas:
+            if method != "chebyshev":
+                raise ValueError(
+                    "pallas=True needs method='chebyshev': CG's dot "
+                    "products force a kernel boundary every iteration, "
+                    "Chebyshev's recurrence scalars are data-"
+                    "independent and stream through SMEM")
+            if d.halo < self.steps_per_exchange:
+                raise ValueError(
+                    f"pallas chebyshev with steps_per_exchange="
+                    f"{self.steps_per_exchange} needs halo_width >= "
+                    f"{self.steps_per_exchange}, grid has {d.halo}")
         self.maxiter = int(maxiter if maxiter is not None
                            else 4 * (d.global_nx + d.global_ny))
+        self._lam = (float(lam_x), float(lam_y))
         self._lam_bounds = (1.0, 1.0 + 4.0 * (lam_x + lam_y))
         coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
         put = functools.partial(jax.device_put, device=grid.sharding)
         arrs = [put(jnp.asarray(c)) for c in coeffs]
-        if self.steps_per_exchange > 1:
+        if self.steps_per_exchange > 1 or self.pallas:
             # halo cells must carry their interior twin's coefficients
             # so redundant halo compute reproduces the twin exactly
             from ..parallel import halo as halo_mod
             arrs = [halo_mod.exchange(a, grid.mesh, grid.halo_spec,
                                       depth=d.halo) for a in arrs]
         self._coeffs = tuple(arrs)
+        if self.pallas:
+            # face-activity bits from the (already halo-exchanged)
+            # float coefficients: one byte per point of sweep traffic
+            bits = st.pack_mask_bits([
+                np.asarray(arrs[0]) != 0, np.asarray(arrs[1]) != 0,
+                np.asarray(arrs[2]) != 0, np.asarray(arrs[3]) != 0])
+            self._codes = put(jnp.asarray(bits))
         self._inv_diag = put(jnp.asarray(1.0 / coeffs[4])) \
             if precondition else None
         self._weight = put(jnp.asarray(
             layout.internal_mask(d).astype(np.dtype(grid.dtype))))
+        self._extra_ops = ()
         self._prog = None
 
     def _program(self):
@@ -367,44 +421,123 @@ class HelmholtzSolver:
                              self.maxiter)
                 niters = -(-niters // K) * K       # round up to K
                 H = self.grid.decomp.halo
+                theta = 0.5 * (lmax + lmin)
+                sweepK = self._make_cheb_sweep(K) if self.pallas \
+                    else None
 
-                def body(b, x0, wgt, e, w, n, s, diag, *pc):
-                    if K == 1:
-                        mv = make_helmholtz_matvec(spec, e, w, n, s,
-                                                   diag)
-                        x = chebyshev_block(b, x0, matvec=mv,
-                                            lam_min=lmin, lam_max=lmax,
-                                            niters=niters)
-                    else:
-                        mv = make_helmholtz_matvec(
-                            spec, e, w, n, s, diag, exchange=False)
-                        exchH = exchange_multi_fn(spec, depth=H)
-                        x = chebyshev_block(
-                            b, x0, matvec=mv, lam_min=lmin,
-                            lam_max=lmax, niters=niters,
-                            exchange_every=(K, exchH))
-                    # one verified residual at the end (the iteration
-                    # itself is dot-free)
-                    mv1 = make_helmholtz_matvec(spec, e, w, n, s, diag)
+                def _residual(b, x, wgt, mv1):
                     r = b - mv1(exch(x))
                     wacc = wgt.astype(acc)
                     rr = lax.psum(jnp.sum(r.astype(acc) ** 2 * wacc),
                                   ("y", "x"))
                     bb = lax.psum(jnp.sum(b.astype(acc) ** 2 * wacc),
                                   ("y", "x"))
-                    rel = jnp.sqrt(rr / jnp.maximum(
+                    return jnp.sqrt(rr / jnp.maximum(
                         bb, jnp.asarray(np.finfo(np.dtype(acc)).tiny,
                                         acc)))
-                    return (exch(x), jnp.asarray(niters, jnp.int32),
-                            rel.astype(acc))
 
-            n_in = 8 + (1 if has_pc else 0)
+                if self.pallas:
+                    scal = jnp.asarray(chebyshev_scalars(
+                        lmin, lmax, niters).reshape(niters // K, K, 2),
+                        jnp.dtype(self.grid.dtype))
+                    exchK = exchange_multi_fn(spec, depth=max(K, 1))
+
+                    def body(b, x0, wgt, e, w, n, s, diag, codes, sc,
+                             *pc):
+                        mv1 = make_helmholtz_matvec(spec, e, w, n, s,
+                                                    diag)
+                        r0 = b - mv1(x0)
+                        d0 = r0 / theta
+
+                        def blk(j, c):
+                            x, r, d = exchK(c)
+                            x, r, d = sweepK(x, r, d, codes, sc[j])
+                            return (x, r, d)
+
+                        x, _r, _d = lax.fori_loop(
+                            0, niters // K, blk, (x0, r0, d0))
+                        rel = _residual(b, x, wgt, mv1)
+                        return (exch(x),
+                                jnp.asarray(niters, jnp.int32),
+                                rel.astype(acc))
+
+                    self._extra_ops = (self._codes, scal)
+                else:
+                    def body(b, x0, wgt, e, w, n, s, diag, *pc):
+                        if K == 1:
+                            mv = make_helmholtz_matvec(spec, e, w, n, s,
+                                                       diag)
+                            x = chebyshev_block(b, x0, matvec=mv,
+                                                lam_min=lmin,
+                                                lam_max=lmax,
+                                                niters=niters)
+                        else:
+                            mv = make_helmholtz_matvec(
+                                spec, e, w, n, s, diag, exchange=False)
+                            exchH = exchange_multi_fn(spec, depth=H)
+                            x = chebyshev_block(
+                                b, x0, matvec=mv, lam_min=lmin,
+                                lam_max=lmax, niters=niters,
+                                exchange_every=(K, exchH))
+                        # one verified residual at the end (the
+                        # iteration itself is dot-free)
+                        mv1 = make_helmholtz_matvec(spec, e, w, n, s,
+                                                    diag)
+                        rel = _residual(b, x, wgt, mv1)
+                        return (exch(x),
+                                jnp.asarray(niters, jnp.int32),
+                                rel.astype(acc))
+
+            n_extra = 2 if (self.method == "chebyshev" and self.pallas) \
+                else 0
+            n_in = 8 + n_extra + (1 if has_pc else 0)
+            in_specs = [P("y", "x")] * 8
+            if n_extra:
+                in_specs += [P("y", "x"), P()]     # codes, scalars
+            if has_pc:
+                in_specs += [P("y", "x")]
+            assert len(in_specs) == n_in
             smapped = jax.shard_map(
                 body, mesh=self.grid.mesh,
-                in_specs=(P("y", "x"),) * n_in,
+                in_specs=tuple(in_specs),
                 out_specs=(P("y", "x"), P(), P()), check_vma=False)
             self._prog = jax.jit(smapped)
         return self._prog
+
+    def _make_cheb_sweep(self, K: int):
+        """K Chebyshev iterations as ONE fused sweep pass: state
+        (x, r, d), aux = one int8 face-activity plane (decoded to the
+        five coefficient windows once per tile), per-sub-step SMEM
+        scalars (c1, c2)."""
+        from .sweep import make_stencil_sweep
+        spec = self.grid.halo_spec
+        dt = jnp.dtype(self.grid.dtype)
+        lam_x, lam_y = self._lam
+
+        def prep(aux):
+            be, bw, bn, bs = st.unpack_mask_bits(aux[0], 4, dt)
+            e = lam_x * be
+            w = lam_x * bw
+            n = lam_y * bn
+            s = lam_y * bs
+            return e, w, n, s, 1.0 + e + w + n + s
+
+        def stepf(state, prepared, sc):
+            x, r, d = state
+            e, w, n, s, diag = prepared
+            c1, c2 = sc
+            x = x + d
+            r = r - (diag * d - e * st.xp(d) - w * st.xm(d)
+                     - n * st.yp(d) - s * st.ym(d))
+            d = c1 * d + c2 * r
+            return x, r, d
+
+        return make_stencil_sweep(
+            stepf, ly=spec.local_ny, lx=spec.local_nx,
+            state_dtypes=(dt,) * 3, aux_dtypes=(jnp.int8,),
+            n_scalars=2, steps_per_sweep=K, reach=1, prepare_fn=prep,
+            tile_rows=self._tile_rows, interpret=self._pallas_interpret,
+            repx=spec.repx, repy=spec.repy)
 
     def solve(self, b, x0=None):
         """Solve for the stacked/sharded rhs ``b`` (a T-point Field or
@@ -415,10 +548,12 @@ class HelmholtzSolver:
         bdat = b.data if isinstance(b, Field) else jnp.asarray(b)
         x0dat = ((x0.data if isinstance(x0, Field) else jnp.asarray(x0))
                  if x0 is not None else jnp.zeros_like(bdat))
-        args = [bdat, x0dat, self._weight, *self._coeffs]
+        prog = self._program()           # builds _extra_ops if pallas
+        args = [bdat, x0dat, self._weight, *self._coeffs,
+                *self._extra_ops]
         if self._inv_diag is not None:
             args.append(self._inv_diag)
-        x, k, rel = self._program()(*args)
+        x, k, rel = prog(*args)
         k = int(k)
         rel = float(rel)
         return x, {"iterations": k, "rel_res": rel,

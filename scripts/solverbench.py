@@ -47,12 +47,24 @@ def main():
         "cg": HelmholtzSolver(grid, lam, lam),
         "chebyshev": HelmholtzSolver(grid, lam, lam, method="chebyshev"),
     }
-    fld = dl.Field(grid, dl.T_POINTS, init_global_data=b0)
+    if jax.default_backend() != "cpu":
+        # fused-sweep variant needs a TPU-tile-aligned grid
+        gridp = dl.Grid(dl.ARAKAWA_C,
+                        (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                        dl.OFFSET_NE)
+        gridp.decompose(N, N, halo_width=4, align=128, align_y=8)
+        dl.grid_init(gridp, 1.0, 1.0, tmask)
+        solvers["chebyshev-pallas-K4"] = HelmholtzSolver(
+            gridp, lam, lam, method="chebyshev", steps_per_exchange=4,
+            pallas=True)
+    # each solver's grid may have different padding: per-solver rhs
+    flds = {k: dl.Field(s.grid, dl.T_POINTS, init_global_data=b0)
+            for k, s in solvers.items()}
 
-    # warm both (compile) and grab iteration counts
+    # warm (compile) and grab iteration counts
     iters = {}
     for k, s in solvers.items():
-        x, info = s.solve(fld)
+        x, info = s.solve(flds[k])
         iters[k] = info["iterations"]
         print(f"warm {k}: {info}", flush=True)
 
@@ -63,7 +75,7 @@ def main():
     for _ in range(REPS):
         for k, s in solvers.items():
             c = 1.0 + 1e-6 * next(seq)
-            b = (fld.data * c).block_until_ready()
+            b = (flds[k].data * c).block_until_ready()
             t0 = time.perf_counter()
             x, _ = s.solve(b)
             jax.block_until_ready(x)

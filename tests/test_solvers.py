@@ -178,6 +178,50 @@ def test_chebyshev_comm_avoiding_matches_plain():
                                atol=1e-15)
 
 
+@pytest.mark.parametrize("ndom,K", [(1, 1), (1, 4), (8, 4)])
+def test_chebyshev_pallas_interpret_matches_plain(ndom, K):
+    """The fused-sweep Chebyshev (K iterations per pass, int8 face
+    codes, SMEM recurrence scalars) reproduces the jnp iteration at
+    f32 roundoff, on 1 and 8 shards."""
+    rng = np.random.default_rng(5)
+    N = 128
+    tmask = np.ones((N, N), np.int32)
+    tmask[0, :] = tmask[-1, :] = 0
+    tmask[:, 0] = tmask[:, -1] = 0
+    tmask[40:60, 50:80] = 0
+    b = (rng.standard_normal((N, N)) * (tmask == 1)).astype(np.float32)
+
+    def solve(**kw):
+        k = kw.get("steps_per_exchange", 1)
+        grid = dl.Grid(dl.ARAKAWA_C,
+                       (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                       dl.OFFSET_NE, dtype="float32")
+        grid.decompose(N, N, ndomains=ndom, halo_width=max(k, 1),
+                       align=128, align_y=8)
+        dl.grid_init(grid, 1.0, 1.0, tmask)
+        # tol far below f32 so maxiter pins the iteration count
+        s = HelmholtzSolver(grid, 6.0, 6.0, maxiter=64, tol=1e-30, **kw)
+        x, info = s.solve(dl.Field(grid, dl.T_POINTS,
+                                   init_global_data=b))
+        assert info["iterations"] == 64
+        assert info["rel_res"] < 1e-5
+        return layout.unstack_internal(grid.decomp, np.asarray(x))
+
+    plain = solve(method="chebyshev")
+    fused = solve(method="chebyshev", steps_per_exchange=K,
+                  pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(fused, plain, rtol=0, atol=5e-6)
+
+
+def test_chebyshev_pallas_guards():
+    grid = make_grid(16, 16, 4, default_tmask(16, 16))
+    with pytest.raises(ValueError, match="chebyshev"):
+        HelmholtzSolver(grid, 1.0, 1.0, pallas=True)
+    with pytest.raises(ValueError, match="halo_width"):
+        HelmholtzSolver(grid, 1.0, 1.0, method="chebyshev",
+                        pallas=True, steps_per_exchange=4)
+
+
 def test_chebyshev_guards():
     grid = make_grid(16, 16, 4, default_tmask(16, 16))
     with pytest.raises(ValueError, match="chebyshev"):
