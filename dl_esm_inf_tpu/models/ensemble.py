@@ -30,25 +30,49 @@ from ..parallel.halo import exchange_multi_fn
 
 
 def _adapt(model):
-    """(names, state fields, mask arrays) for a supported model."""
-    from . import gravity_wave, shallow, twolayer
+    """(names, state fields, mask arrays, step_fn) for a supported
+    model; ``step_fn(exch, state, masks) -> state`` is the per-block
+    step used inside shard_map."""
+    from . import gravity_wave, semi_implicit, shallow, twolayer
     if getattr(model, "use_pallas", False):
         raise ValueError(
             "Ensemble wraps the jnp path; build the base model without "
             "pallas=True (the fused sweep engine is single-state)")
+
+    def plain(exch, st_, mk):
+        return tuple(model._block_step(exch, *st_, *mk))
+
     if isinstance(model, gravity_wave.GravityWaveModel):
         return (("eta", "u", "v"), (model.eta, model.u, model.v),
-                (model._t_upd, model._u_wet, model._v_wet))
+                (model._t_upd, model._u_wet, model._v_wet), plain)
     if isinstance(model, shallow.ShallowModel):
-        return (("eta", "u", "v"), (model.eta, model.u, model.v), ())
+        return (("eta", "u", "v"), (model.eta, model.u, model.v), (),
+                plain)
     if isinstance(model, twolayer.TwoLayerModel):
         return (("eta1", "eta2", "u1", "v1", "u2", "v2"),
                 (model.eta1, model.eta2, model.u1, model.v1,
                  model.u2, model.v2),
-                (model._t_upd, model._u_wet, model._v_wet))
+                (model._t_upd, model._u_wet, model._v_wet), plain)
+    if isinstance(model, semi_implicit.SemiImplicitModel):
+        # the in-step Helmholtz solve must be member-independent: the
+        # dot-free Chebyshev iteration broadcasts over the member axis,
+        # while CG's psum dot products would sum ACROSS members
+        if model.solver != "chebyshev":
+            raise ValueError(
+                "an ensemble of implicit models needs "
+                "solver='chebyshev': CG's dot products would couple "
+                "the members into one scalar")
+        masks = (model._t_upd, model._u_wet, model._v_wet,
+                 model._weight, *model._coeffs)
+
+        def step_si(exch, st_, mk):
+            return tuple(model._block_step(exch, *st_, *mk)[:3])
+
+        return (("eta", "u", "v"), (model.eta, model.u, model.v),
+                masks, step_si)
     raise TypeError(f"no ensemble adapter for {type(model).__name__}; "
                     "supported: GravityWaveModel, ShallowModel, "
-                    "TwoLayerModel")
+                    "TwoLayerModel, SemiImplicitModel(chebyshev)")
 
 
 class Ensemble:
@@ -59,7 +83,8 @@ class Ensemble:
             raise ValueError("n_members must be >= 1")
         self.model = model
         self.n_members = int(n_members)
-        self._field_names, self._fields, self._masks = _adapt(model)
+        (self._field_names, self._fields, self._masks,
+         self._step_fn) = _adapt(model)
         self.grid = model.grid
         self._sharding = NamedSharding(self.grid.mesh, P(None, "y", "x"))
         # every member starts from the base model's current state
@@ -92,7 +117,7 @@ class Ensemble:
     # ------------------------------------------------------------------
     def step_program(self, nsteps: int):
         if nsteps not in self._prog_cache:
-            model = self.model
+            step_fn = self._step_fn
             exch = exchange_multi_fn(self.grid.halo_spec, depth=1)
             n_state = len(self._fields)
 
@@ -101,7 +126,7 @@ class Ensemble:
                 masks = args[n_state:]
 
                 def one(_, s):
-                    return tuple(model._block_step(exch, *s, *masks))
+                    return step_fn(exch, s, masks)
 
                 return lax.fori_loop(0, nsteps, one, state)
 

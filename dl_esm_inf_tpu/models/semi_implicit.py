@@ -127,52 +127,65 @@ class SemiImplicitModel:
         self.eta.halo_exchange(1)
 
     # ------------------------------------------------------------------
+    def _block_step(self, exch, eta, u, v, t_upd, u_wet, v_wet, wgt,
+                    e, w, n, s, diag, invd=None):
+        """One implicit step on a local block (inside shard_map):
+        exchange, rhs, Helmholtz solve, velocity update.  Returns
+        ``(eta, u, v, solver_iterations)``.  Works with a leading
+        (ensemble) axis when ``solver="chebyshev"`` — the dot-free
+        iteration is member-independent, where CG's psum dots would
+        couple ensemble members into one misshapen scalar."""
+        grid = self.grid
+        spec = grid.halo_spec
+        g, H, dt, th = self.g, self.depth, self.dt, self.theta
+        dx, dy = grid.dx, grid.dy
+        exch1 = exchange_fn(spec, depth=1)
+        mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
+
+        eta, u, v = exch((eta, u, v))
+        div = st.ddx_back(u, dx) + st.ddy_back(v, dy)
+        lap = (st.ddx_back(u_wet * st.ddx(eta, dx), dx)
+               + st.ddy_back(v_wet * st.ddy(eta, dy), dy))
+        rhs = (eta - H * dt * div
+               + g * H * th * (1.0 - th) * dt ** 2 * lap)
+        rhs = jnp.where(t_upd > 0, rhs, eta)
+        if self.solver == "chebyshev":
+            lmin, lmax = self._lam_bounds
+            nit = min(chebyshev_iterations(lmin, lmax, self.tol),
+                      self.maxiter)
+            sol = chebyshev_block(rhs, eta, matvec=mv, lam_min=lmin,
+                                  lam_max=lmax, niters=nit)
+            k = jnp.asarray(nit, jnp.int32)
+        elif self.differentiable:
+            sol = pcg_solve(mv, rhs, wgt, tol=self.tol,
+                            maxiter=self.maxiter, inv_diag=invd,
+                            x0=eta)
+            k = jnp.zeros((), jnp.int32)
+        else:
+            sol, k, _rel = pcg_block(mv, rhs, eta, wgt, tol=self.tol,
+                                     maxiter=self.maxiter,
+                                     inv_diag=invd)
+        eta_new = exch1(jnp.where(t_upd > 0, sol, eta))
+        eta_mix = th * eta_new + (1.0 - th) * eta
+        u_new = u_wet * (u - g * dt * st.ddx(eta_mix, dx))
+        v_new = v_wet * (v - g * dt * st.ddy(eta_mix, dy))
+        return eta_new, u_new, v_new, k
+
     def step_program(self, nsteps: int = 1):
         """Compiled program advancing (eta, u, v) by ``nsteps`` implicit
         steps; also returns the total CG iteration count."""
         if nsteps not in self._step_cache:
             grid = self.grid
-            spec = grid.halo_spec
-            exch3 = exchange_multi_fn(spec, depth=1)
-            exch1 = exchange_fn(spec, depth=1)
-            g, H, dt, th = self.g, self.depth, self.dt, self.theta
-            dx, dy = grid.dx, grid.dy
+            exch3 = exchange_multi_fn(grid.halo_spec, depth=1)
 
             def body(eta, u, v, t_upd, u_wet, v_wet, wgt,
                      e, w, n, s, diag, invd):
-                mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
-
                 def one(_, carry):
                     eta, u, v, its = carry
-                    eta, u, v = exch3((eta, u, v))
-                    div = st.ddx_back(u, dx) + st.ddy_back(v, dy)
-                    lap = (st.ddx_back(u_wet * st.ddx(eta, dx), dx)
-                           + st.ddy_back(v_wet * st.ddy(eta, dy), dy))
-                    rhs = (eta - H * dt * div
-                           + g * H * th * (1.0 - th) * dt ** 2 * lap)
-                    rhs = jnp.where(t_upd > 0, rhs, eta)
-                    if self.solver == "chebyshev":
-                        lmin, lmax = self._lam_bounds
-                        nit = min(chebyshev_iterations(
-                            lmin, lmax, self.tol), self.maxiter)
-                        sol = chebyshev_block(
-                            rhs, eta, matvec=mv, lam_min=lmin,
-                            lam_max=lmax, niters=nit)
-                        k = jnp.asarray(nit, jnp.int32)
-                    elif self.differentiable:
-                        sol = pcg_solve(mv, rhs, wgt, tol=self.tol,
-                                        maxiter=self.maxiter,
-                                        inv_diag=invd, x0=eta)
-                        k = jnp.zeros((), jnp.int32)
-                    else:
-                        sol, k, _rel = pcg_block(
-                            mv, rhs, eta, wgt, tol=self.tol,
-                            maxiter=self.maxiter, inv_diag=invd)
-                    eta_new = exch1(jnp.where(t_upd > 0, sol, eta))
-                    eta_mix = th * eta_new + (1.0 - th) * eta
-                    u_new = u_wet * (u - g * dt * st.ddx(eta_mix, dx))
-                    v_new = v_wet * (v - g * dt * st.ddy(eta_mix, dy))
-                    return eta_new, u_new, v_new, its + k
+                    eta, u, v, k = self._block_step(
+                        exch3, eta, u, v, t_upd, u_wet, v_wet, wgt,
+                        e, w, n, s, diag, invd)
+                    return eta, u, v, its + k
 
                 eta, u, v, its = lax.fori_loop(
                     0, nsteps, one,

@@ -77,6 +77,34 @@ def test_twolayer_ensemble_six_field_state():
                                rtol=0, atol=1e-14)
 
 
+def test_semi_implicit_ensemble_chebyshev():
+    """An ensemble of IMPLICIT models: possible because the Chebyshev
+    in-step solve is dot-free and member-independent; members match
+    sequential runs.  CG is rejected (its psums would couple members)."""
+    from dl_esm_inf_tpu.models import semi_implicit as si
+    gn, M = 24, 2
+    etas = _etas(M, gn, gn, seed=3)
+    base = si.build(gn, gn, dt=1.0, depth=10.0, tol=1e-11,
+                    solver="chebyshev")
+    ens = Ensemble(base, M)
+    ens.set_member_states(0, etas)
+    ens.run(5)
+    got = ens.gather_all()
+
+    for k in range(M):
+        m = si.build(gn, gn, dt=1.0, depth=10.0, tol=1e-11,
+                     solver="chebyshev")
+        m.set_initial_eta(etas[k])
+        m.run(5)
+        want = m.gather()
+        for f in ("eta", "u", "v"):
+            np.testing.assert_allclose(got[f][k], want[f], rtol=0,
+                                       atol=1e-12)
+
+    with pytest.raises(ValueError, match="chebyshev"):
+        Ensemble(si.build(gn, gn, dt=1.0), 2)
+
+
 def test_ensemble_statistics_and_guards():
     gn = 16
     base = gw.build(gn, gn, dt=0.05)
