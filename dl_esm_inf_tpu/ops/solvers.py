@@ -371,6 +371,7 @@ class HelmholtzSolver:
                     f"pallas chebyshev with steps_per_exchange="
                     f"{self.steps_per_exchange} needs halo_width >= "
                     f"{self.steps_per_exchange}, grid has {d.halo}")
+        self._user_maxiter = maxiter is not None
         self.maxiter = int(maxiter if maxiter is not None
                            else 4 * (d.global_nx + d.global_ny))
         self._lam = (float(lam_x), float(lam_y))
@@ -417,8 +418,12 @@ class HelmholtzSolver:
             else:
                 lmin, lmax = self._lam_bounds
                 K = self.steps_per_exchange
-                niters = min(chebyshev_iterations(lmin, lmax, self.tol),
-                             self.maxiter)
+                # run to the static error bound; the CG-sized default
+                # maxiter is not a meaningful cap for a fixed-count
+                # iteration (only an EXPLICIT maxiter limits it)
+                niters = chebyshev_iterations(lmin, lmax, self.tol)
+                if self._user_maxiter:
+                    niters = min(niters, self.maxiter)
                 niters = -(-niters // K) * K       # round up to K
                 H = self.grid.decomp.halo
                 theta = 0.5 * (lmax + lmin)

@@ -241,6 +241,34 @@ def test_solver_requires_initialised_grid():
         HelmholtzSolver(grid, 1.0, 1.0)
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_solver_fuzz_random_masks(seed):
+    """Random wet masks (incl. disconnected ponds and isolated cells)
+    at random coupling strengths: CG and Chebyshev both match the
+    dense construction on an 8-shard mesh."""
+    rng = np.random.default_rng(seed)
+    gnx, gny = int(rng.integers(12, 25)), int(rng.integers(12, 25))
+    tmask = (rng.random((gny, gnx)) < 0.7).astype(np.int32)
+    tmask[0, :] = tmask[-1, :] = 0
+    tmask[:, 0] = tmask[:, -1] = 0
+    act = tmask == 1
+    if not act.any():
+        pytest.skip("all-dry draw")
+    lam_x = float(rng.uniform(0.1, 30.0))
+    lam_y = float(rng.uniform(0.1, 30.0))
+    b = rng.standard_normal((gny, gnx)) * act
+    xd = dense_solve(act, lam_x, lam_y, b)
+
+    grid = make_grid(gnx, gny, 8, tmask)
+    for kw in (dict(), dict(method="chebyshev")):
+        s = HelmholtzSolver(grid, lam_x, lam_y, tol=1e-12, **kw)
+        x, info = s.solve(dl.Field(grid, dl.T_POINTS,
+                                   init_global_data=b))
+        xg = layout.unstack_internal(grid.decomp, np.asarray(x))
+        assert info["converged"], (kw, info)
+        assert np.abs((xg - xd) * act).max() < 1e-9, kw
+
+
 # ---------------------------------------------------------------------
 # semi-implicit model
 
