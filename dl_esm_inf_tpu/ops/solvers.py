@@ -158,10 +158,9 @@ def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
     the same activity rule the gravity-wave model uses for its update
     masks, so shard-halo cells evolve exactly like their interior twins
     on the neighbouring shard and the matvec needs only a depth-1
-    exchange).  Returns ``(e, w, n, s, diag)`` host arrays.
+    exchange).  Returns ``(e, w, n, s, diag)`` device (sharded) arrays.
     """
     d = grid.decomp
-    tm = np.asarray(grid.tmask)
     gx = layout.global_x_index(d)
     gy = layout.global_y_index(d)
     geo = (((gy >= 0) & (gy < d.global_ny))[:, None]
@@ -175,17 +174,19 @@ def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
         jax.device_put(jnp.asarray(geo, np.dtype(grid.dtype)),
                        grid.sharding),
         grid.mesh, grid.halo_spec, depth=d.halo)
-    act = ((tm == 1) & (np.asarray(geo_x) > 0.5))
-    dtype = np.dtype(grid.dtype)
-    a = act.astype(dtype)
-    # neighbour activity via numpy rolls — same shift semantics as the
+    # built entirely with device-resident jnp ops: the tmask is a
+    # SHARDED array that a multi-controller process cannot materialise
+    # to numpy (only its addressable shards are local)
+    dtype = jnp.dtype(grid.dtype)
+    a = ((grid.tmask == 1) & (geo_x > 0.5)).astype(dtype)
+    # neighbour activity via global rolls — same shift semantics as the
     # in-program stencils (stale wrap values land outside `act` support)
-    e = lam_x * a * np.roll(a, -1, 1)
-    w = lam_x * a * np.roll(a, 1, 1)
-    n = lam_y * a * np.roll(a, -1, 0)
-    s = lam_y * a * np.roll(a, 1, 0)
-    diag = 1.0 + e + w + n + s
-    return e, w, n, s, diag.astype(dtype)
+    e = lam_x * a * jnp.roll(a, -1, 1)
+    w = lam_x * a * jnp.roll(a, 1, 1)
+    n = lam_y * a * jnp.roll(a, -1, 0)
+    s = lam_y * a * jnp.roll(a, 1, 0)
+    diag = (1.0 + e + w + n + s).astype(dtype)
+    return e, w, n, s, diag
 
 
 def chebyshev_iterations(lam_min: float, lam_max: float,
@@ -389,10 +390,9 @@ class HelmholtzSolver:
         if self.pallas:
             # face-activity bits from the (already halo-exchanged)
             # float coefficients: one byte per point of sweep traffic
-            bits = st.pack_mask_bits([
-                np.asarray(arrs[0]) != 0, np.asarray(arrs[1]) != 0,
-                np.asarray(arrs[2]) != 0, np.asarray(arrs[3]) != 0])
-            self._codes = put(jnp.asarray(bits))
+            # (jnp ops — the arrays are sharded, possibly multi-host)
+            self._codes = put(st.pack_mask_bits(
+                [arrs[j] != 0 for j in range(4)]))
         self._inv_diag = put(jnp.asarray(1.0 / coeffs[4])) \
             if precondition else None
         self._weight = put(jnp.asarray(

@@ -123,6 +123,16 @@ fsched = Schedule((mp_east, fb, fa), (mp_east, fb, fb))
 fsched.fused(interpret=True)
 results["fused_sched"] = fb.gather_inner_data()
 
+# --- semi-implicit solver: CG psum dots crossing the process seam ------
+from dl_esm_inf_tpu.models import semi_implicit as si  # noqa: E402
+
+msi = si.build(24, 24, ndomains=4 * nproc, dt=1.0, depth=10.0,
+               tol=1e-11)
+msi.set_initial_eta(si.gaussian_eta(24, 24, amp=0.5))
+msi.run(5)
+for k, v in msi.gather().items():
+    results[f"si_{k}"] = v
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

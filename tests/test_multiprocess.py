@@ -173,3 +173,18 @@ def test_multiprocess_fused_schedule_matches(mp_results):
     Schedule((sp_east, fb, fa), (sp_east, fb, fb)).fused(interpret=True)
     np.testing.assert_array_equal(mp_results["fused_sched"],
                                   fb.gather_inner_data())
+
+
+def test_multiprocess_semi_implicit_matches(mp_results):
+    """The in-step CG's psum dot products cross the process boundary:
+    the 2-process implicit run matches the single-process one (tiny
+    reduction-order drift amplified through alpha/beta is the only
+    allowed difference)."""
+    from dl_esm_inf_tpu.models import semi_implicit as si
+    m = si.build(24, 24, ndomains=8, dt=1.0, depth=10.0, tol=1e-11)
+    m.set_initial_eta(si.gaussian_eta(24, 24, amp=0.5))
+    m.run(5)
+    g = m.gather()
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(mp_results[f"si_{k}"], g[k],
+                                   rtol=0, atol=1e-9)
