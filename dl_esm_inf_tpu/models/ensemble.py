@@ -31,15 +31,17 @@ from ..parallel.halo import exchange_multi_fn
 
 def _adapt(model):
     """(names, state fields, mask arrays, step_fn) for a supported
-    model; ``step_fn(exch, state, masks) -> state`` is the per-block
-    step used inside shard_map."""
-    from . import gravity_wave, semi_implicit, shallow, twolayer
+    model; ``step_fn(exch, state, masks, istep) -> state`` is the
+    per-block step used inside shard_map (``istep`` is the global step
+    index, for models with time-dependent forcing)."""
+    from . import (gravity_wave, nemolite2d, semi_implicit, shallow,
+                   twolayer)
     if getattr(model, "use_pallas", False):
         raise ValueError(
             "Ensemble wraps the jnp path; build the base model without "
             "pallas=True (the fused sweep engine is single-state)")
 
-    def plain(exch, st_, mk):
+    def plain(exch, st_, mk, istep):
         return tuple(model._block_step(exch, *st_, *mk))
 
     if isinstance(model, gravity_wave.GravityWaveModel):
@@ -65,14 +67,30 @@ def _adapt(model):
         masks = (model._t_upd, model._u_wet, model._v_wet,
                  model._weight, *model._coeffs)
 
-        def step_si(exch, st_, mk):
+        def step_si(exch, st_, mk, istep):
             return tuple(model._block_step(exch, *st_, *mk)[:3])
 
         return (("eta", "u", "v"), (model.eta, model.u, model.v),
                 masks, step_si)
+    if isinstance(model, nemolite2d.NemoLite2D):
+        if getattr(model, "_ht", None) is not None:
+            raise ValueError(
+                "flagship ensembles support flat bathymetry (the "
+                "variable-bathymetry operand plumbing is per-model; "
+                "build without depth=<array>)")
+
+        def step_nl(exch, st_, mk, istep):
+            # the tidal forcing is time-dependent: istep threads the
+            # GLOBAL step index through the member-broadcast step
+            return tuple(model._block_step(exch, istep, *st_, *mk))
+
+        return (("ssh", "u", "v"),
+                (model.sshn_t, model.un, model.vn),
+                (model._mask_codes,), step_nl)
     raise TypeError(f"no ensemble adapter for {type(model).__name__}; "
                     "supported: GravityWaveModel, ShallowModel, "
-                    "TwoLayerModel, SemiImplicitModel(chebyshev)")
+                    "TwoLayerModel, SemiImplicitModel(chebyshev), "
+                    "NemoLite2D")
 
 
 class Ensemble:
@@ -92,6 +110,7 @@ class Ensemble:
             jax.device_put(jnp.broadcast_to(
                 f.data, (self.n_members,) + f.data.shape), self._sharding)
             for f in self._fields)
+        self._istep0 = 0
         self._prog_cache = {}
 
     # ------------------------------------------------------------------
@@ -121,18 +140,18 @@ class Ensemble:
             exch = exchange_multi_fn(self.grid.halo_spec, depth=1)
             n_state = len(self._fields)
 
-            def body(*args):
+            def body(istep0, *args):
                 state = args[:n_state]
                 masks = args[n_state:]
 
-                def one(_, s):
-                    return step_fn(exch, s, masks)
+                def one(i, s):
+                    return step_fn(exch, s, masks, istep0 + i)
 
                 return lax.fori_loop(0, nsteps, one, state)
 
             smapped = jax.shard_map(
                 body, mesh=self.grid.mesh,
-                in_specs=((P(None, "y", "x"),) * n_state
+                in_specs=((P(),) + (P(None, "y", "x"),) * n_state
                           + (P("y", "x"),) * len(self._masks)),
                 out_specs=(P(None, "y", "x"),) * n_state,
                 check_vma=False)
@@ -141,7 +160,9 @@ class Ensemble:
 
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)
-        self.states = tuple(prog(*self.states, *self._masks))
+        self.states = tuple(prog(jnp.int32(self._istep0), *self.states,
+                                 *self._masks))
+        self._istep0 += nsteps
 
     # ------------------------------------------------------------------
     def member(self, i: int) -> dict:

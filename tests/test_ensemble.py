@@ -105,6 +105,37 @@ def test_semi_implicit_ensemble_chebyshev():
         Ensemble(si.build(gn, gn, dt=1.0), 2)
 
 
+def test_flagship_ensemble_matches_sequential():
+    """NEMOLite2D ensembles: the time-dependent tidal forcing rides
+    the threaded global step index, so members at any run() split
+    match a sequential flagship run."""
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    gn, M = 32, 2
+    etas = _etas(M, gn, gn, seed=4) * 0.2
+    base = nl.build(gn, gn, open_north=True)
+    ens = Ensemble(base, M)
+    # per-member initial ssh: the flagship derives sshn_u/v from ssh,
+    # but the step carries only (ssh, u, v) so setting member ssh is
+    # enough at t=0 with zero velocities
+    ens.set_member_states(0, etas)
+    ens.run(4)
+    ens.run(3)                    # second segment: istep0 must advance
+    got = ens.gather_all()
+
+    for k in range(M):
+        m = nl.build(gn, gn, open_north=True)
+        m.set_initial_ssh(etas[k])
+        m.run(4)
+        m.run(3)
+        want = m.gather()
+        np.testing.assert_allclose(got["ssh"][k], want["sshn"],
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got["u"][k], want["un"],
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got["v"][k], want["vn"],
+                                   rtol=0, atol=1e-12)
+
+
 def test_ensemble_statistics_and_guards():
     gn = 16
     base = gw.build(gn, gn, dt=0.05)
