@@ -28,9 +28,13 @@ from ..core import layout
 
 
 def _trajectory_runner(model):
-    """A ``(prog, state) -> state`` closure binding the model's
-    non-state operands; raises for non-differentiable configurations."""
+    """``(runner, wet_t_mask)`` for a supported model: the runner is a
+    ``(prog, state, base_step) -> state`` closure binding the model's
+    non-state operands (``base_step`` = global index of the segment's
+    first step, for time-dependent forcing); raises for
+    non-differentiable configurations."""
     from .gravity_wave import GravityWaveModel
+    from .nemolite2d import NemoLite2D
     from .semi_implicit import SemiImplicitModel
     if isinstance(model, GravityWaveModel):
         if model.use_pallas or model._sweep_K > 1:
@@ -40,7 +44,7 @@ def _trajectory_runner(model):
                 "has no VJP)")
         ops = (model._t_upd, model._u_wet, model._v_wet,
                model._mask_codes)
-        return lambda prog, st: prog(*st, *ops)
+        return (lambda prog, st, base: prog(*st, *ops)), model._t_upd
     if isinstance(model, SemiImplicitModel):
         if not model.differentiable:
             raise ValueError(
@@ -49,9 +53,21 @@ def _trajectory_runner(model):
                 "custom_linear_solve wrapper differentiates implicitly")
         ops = (model._t_upd, model._u_wet, model._v_wet, model._weight,
                *model._coeffs, model._inv_diag)
-        return lambda prog, st: prog(*st, *ops)[:3]
-    raise TypeError("assimilation drives the GravityWaveModel or "
-                    f"SemiImplicitModel interface, got "
+        return (lambda prog, st, base: prog(*st, *ops)[:3]), model._t_upd
+    if isinstance(model, NemoLite2D):
+        # the NONLINEAR flagship: jax.grad flows through the upwind
+        # flux selections (a.e.-valid subgradients) and the tidal
+        # forcing's step index
+        if model.use_pallas:
+            raise ValueError(
+                "4D-Var needs the plain differentiable jnp path: build "
+                "the flagship without pallas=True")
+        if getattr(model, "_ht", None) is not None:
+            raise ValueError("flagship 4D-Var supports flat bathymetry")
+        return (lambda prog, st, base: prog(
+            jnp.int32(base), tuple(st), model._mask_codes)), model._t_wet
+    raise TypeError("assimilation drives the GravityWaveModel, "
+                    "SemiImplicitModel or NemoLite2D interface, got "
                     f"{type(model).__name__}")
 
 
@@ -66,7 +82,7 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     pack, unpack)`` where ``pack`` lifts a global initial eta into the
     stacked optimisation variable and ``unpack`` is its inverse.
     """
-    run_seg = _trajectory_runner(model)
+    run_seg, t_mask = _trajectory_runner(model)
     if not observations:
         raise ValueError("observations must map step -> global array")
     steps = sorted(observations)
@@ -74,8 +90,8 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         raise ValueError("observation steps must be >= 1")
     grid = model.grid
     d = grid.decomp
-    dtype = np.dtype(model.eta.dtype)
-    w = jnp.asarray(layout.internal_mask(d).astype(dtype)) * model._t_upd
+    dtype = np.dtype(grid.dtype)
+    w = jnp.asarray(layout.internal_mask(d).astype(dtype)) * t_mask
     if obs_weight is not None:
         w = w * jnp.asarray(layout.stack_global(
             d, np.asarray(obs_weight), mode="zeros", dtype=dtype))
@@ -95,8 +111,10 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         c = jnp.zeros((), w.dtype)
         if bg is not None:
             c = c + background_weight * jnp.sum((eta0 - bg) ** 2 * w)
+        base = 0
         for n, t in zip(segs, steps):
-            state = run_seg(progs[n], state)
+            state = run_seg(progs[n], state, base)
+            base = t
             c = c + jnp.sum((state[0] - obs_stacked[t]) ** 2 * w)
         return c
 
