@@ -151,18 +151,23 @@ def assimilate(model, observations: dict, *, iters: int = 200,
 
     opt = optax.adam(learning_rate)
     opt_state = opt.init(x)
-    vg = jax.jit(jax.value_and_grad(cost))
 
+    # ONE compiled program: the adjoint is expensive to compile
+    # (~20-60 s per program on the chip) and the final gradient is
+    # reported from the last iterate instead of an extra full
+    # forward+adjoint pass
     @jax.jit
     def step(x, opt_state):
         c, g = jax.value_and_grad(cost)(x)
         updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(x, updates), opt_state, c
+        return (optax.apply_updates(x, updates), opt_state, c,
+                jnp.abs(g).max())
 
     history = []
+    gmax = float("nan")
     for _ in range(iters):
-        x, opt_state, c = step(x, opt_state)
+        x, opt_state, c, gm = step(x, opt_state)
         history.append(float(c))
-    _, g = vg(x)
+        gmax = gm
     return {"eta0": unpack(x), "cost_history": history,
-            "grad_norm": float(jnp.abs(g).max())}
+            "grad_norm": float(gmax)}

@@ -30,10 +30,11 @@ from ..parallel.halo import exchange_multi_fn
 
 
 def _adapt(model):
-    """(names, state fields, mask arrays, step_fn) for a supported
-    model; ``step_fn(exch, state, masks, istep) -> state`` is the
-    per-block step used inside shard_map (``istep`` is the global step
-    index, for models with time-dependent forcing)."""
+    """(names, state fields, mask arrays, step_fn, exch_depth) for a
+    supported model; ``step_fn(exch, state, masks, istep) -> state`` is
+    the per-block step used inside shard_map (``istep`` is the global
+    step index, for models with time-dependent forcing) and
+    ``exch_depth`` the halo depth its per-step exchange needs."""
     from . import (gravity_wave, nemolite2d, semi_implicit, shallow,
                    twolayer)
     if getattr(model, "use_pallas", False):
@@ -46,15 +47,15 @@ def _adapt(model):
 
     if isinstance(model, gravity_wave.GravityWaveModel):
         return (("eta", "u", "v"), (model.eta, model.u, model.v),
-                (model._t_upd, model._u_wet, model._v_wet), plain)
+                (model._t_upd, model._u_wet, model._v_wet), plain, 1)
     if isinstance(model, shallow.ShallowModel):
         return (("eta", "u", "v"), (model.eta, model.u, model.v), (),
-                plain)
+                plain, 1)
     if isinstance(model, twolayer.TwoLayerModel):
         return (("eta1", "eta2", "u1", "v1", "u2", "v2"),
                 (model.eta1, model.eta2, model.u1, model.v1,
                  model.u2, model.v2),
-                (model._t_upd, model._u_wet, model._v_wet), plain)
+                (model._t_upd, model._u_wet, model._v_wet), plain, 1)
     if isinstance(model, semi_implicit.SemiImplicitModel):
         # the in-step Helmholtz solve must be member-independent: the
         # dot-free Chebyshev iteration broadcasts over the member axis,
@@ -71,7 +72,7 @@ def _adapt(model):
             return tuple(model._block_step(exch, *st_, *mk)[:3])
 
         return (("eta", "u", "v"), (model.eta, model.u, model.v),
-                masks, step_si)
+                masks, step_si, 1)
     if isinstance(model, nemolite2d.NemoLite2D):
         if getattr(model, "_ht", None) is not None:
             raise ValueError(
@@ -84,9 +85,13 @@ def _adapt(model):
             # GLOBAL step index through the member-broadcast step
             return tuple(model._block_step(exch, istep, *st_, *mk))
 
+        # deep-halo builds (halo_width >= 2) run the communication-free
+        # reach-2 chain in _block_step, which needs a depth-2 refresh —
+        # the same depth the model's own step_program uses
+        depth = min(model.grid.halo_spec.halo, 2) or 1
         return (("ssh", "u", "v"),
                 (model.sshn_t, model.un, model.vn),
-                (model._mask_codes,), step_nl)
+                (model._mask_codes,), step_nl, depth)
     raise TypeError(f"no ensemble adapter for {type(model).__name__}; "
                     "supported: GravityWaveModel, ShallowModel, "
                     "TwoLayerModel, SemiImplicitModel(chebyshev), "
@@ -102,7 +107,7 @@ class Ensemble:
         self.model = model
         self.n_members = int(n_members)
         (self._field_names, self._fields, self._masks,
-         self._step_fn) = _adapt(model)
+         self._step_fn, self._exch_depth) = _adapt(model)
         self.grid = model.grid
         self._sharding = NamedSharding(self.grid.mesh, P(None, "y", "x"))
         # every member starts from the base model's current state
@@ -110,7 +115,9 @@ class Ensemble:
             jax.device_put(jnp.broadcast_to(
                 f.data, (self.n_members,) + f.data.shape), self._sharding)
             for f in self._fields)
-        self._istep0 = 0
+        # continue the base model's clock: time-dependent forcing in
+        # the members picks up where the base run left off
+        self._istep0 = int(getattr(model, "_istep0", 0))
         self._prog_cache = {}
 
     # ------------------------------------------------------------------
@@ -137,7 +144,8 @@ class Ensemble:
     def step_program(self, nsteps: int):
         if nsteps not in self._prog_cache:
             step_fn = self._step_fn
-            exch = exchange_multi_fn(self.grid.halo_spec, depth=1)
+            exch = exchange_multi_fn(self.grid.halo_spec,
+                                     depth=self._exch_depth)
             n_state = len(self._fields)
 
             def body(istep0, *args):

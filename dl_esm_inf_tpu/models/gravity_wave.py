@@ -52,6 +52,29 @@ def gaussian_eta(gnx: int, gny: int, amp: float = 1.0,
     return amp * np.exp(-r2 / (2 * width ** 2))
 
 
+def wet_update_masks(grid, dtype):
+    """``(t_upd, u_wet, v_wet)`` update masks shared by the explicit
+    and semi-implicit models.
+
+    ``t_upd`` is the geometric update mask: wet T cells representing a
+    real global cell, INCLUDING in-domain shard-halo cells (not just
+    the internal region) — the deep-halo sweep path recomputes halo
+    cells locally each sub-step, which requires them to evolve exactly
+    like their interior twins on the neighbouring shard.  Face masks:
+    a U/V face is wet only if both adjacent T points are
+    (grid_mod.f90:94-102's tmask philosophy)."""
+    tm = grid.tmask
+    wet_t = (tm == 1)
+    d = grid.decomp
+    gx = layout.global_x_index(d)
+    gy = layout.global_y_index(d)
+    geo = jnp.asarray(((gy >= 0) & (gy < d.global_ny))[:, None]
+                      & ((gx >= 0) & (gx < d.global_nx))[None, :])
+    return ((wet_t & geo).astype(dtype),
+            (wet_t & (st.xp(tm) == 1)).astype(dtype),
+            (wet_t & (st.yp(tm) == 1)).astype(dtype))
+
+
 class GravityWaveModel:
     """eta/u/v fields on a grid + a fused, jitted multi-step program."""
 
@@ -67,21 +90,8 @@ class GravityWaveModel:
         self.v = dl.Field(grid, dl.V_POINTS)
 
         dtype = self.eta.dtype
-        tm = grid.tmask
-        wet_t = (tm == 1)
-        # geometric mask: cells representing a real global cell.  Must
-        # include in-domain shard-HALO cells (not just the internal
-        # region): the deep-halo sweep path recomputes halo cells
-        # locally each sub-step, which requires them to evolve exactly
-        # like their interior twins on the neighbouring shard.
-        d = grid.decomp
-        gx = layout.global_x_index(d)
-        gy = layout.global_y_index(d)
-        geo = jnp.asarray(((gy >= 0) & (gy < d.global_ny))[:, None]
-                          & ((gx >= 0) & (gx < d.global_nx))[None, :])
-        self._t_upd = (wet_t & geo).astype(dtype)
-        self._u_wet = (wet_t & (st.xp(tm) == 1)).astype(dtype)
-        self._v_wet = (wet_t & (st.yp(tm) == 1)).astype(dtype)
+        self._t_upd, self._u_wet, self._v_wet = wet_update_masks(
+            grid, dtype)
         # 3-bit code for the Pallas path: 1 B/pt instead of three arrays
         self._mask_codes = jax.device_put(
             st.pack_mask_bits((self._t_upd, self._u_wet, self._v_wet)),

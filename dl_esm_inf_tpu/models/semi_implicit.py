@@ -87,6 +87,7 @@ class SemiImplicitModel:
         self.tol = float(tol if tol is not None
                          else default_tol(grid.dtype))
         d = grid.decomp
+        self._user_maxiter = maxiter is not None
         self.maxiter = int(maxiter if maxiter is not None
                            else 4 * (d.global_nx + d.global_ny))
 
@@ -95,15 +96,9 @@ class SemiImplicitModel:
         self.v = dl.Field(grid, dl.V_POINTS)
 
         dtype = self.eta.dtype
-        tm = grid.tmask
-        wet_t = (tm == 1)
-        gx = layout.global_x_index(d)
-        gy = layout.global_y_index(d)
-        geo = jnp.asarray(((gy >= 0) & (gy < d.global_ny))[:, None]
-                          & ((gx >= 0) & (gx < d.global_nx))[None, :])
-        self._t_upd = (wet_t & geo).astype(dtype)
-        self._u_wet = (wet_t & (st.xp(tm) == 1)).astype(dtype)
-        self._v_wet = (wet_t & (st.yp(tm) == 1)).astype(dtype)
+        from .gravity_wave import wet_update_masks
+        self._t_upd, self._u_wet, self._v_wet = wet_update_masks(
+            grid, dtype)
 
         lam_x = g * depth * (self.theta * dt) ** 2 / grid.dx ** 2
         lam_y = g * depth * (self.theta * dt) ** 2 / grid.dy ** 2
@@ -151,8 +146,12 @@ class SemiImplicitModel:
         rhs = jnp.where(t_upd > 0, rhs, eta)
         if self.solver == "chebyshev":
             lmin, lmax = self._lam_bounds
-            nit = min(chebyshev_iterations(lmin, lmax, self.tol),
-                      self.maxiter)
+            # run to the static error bound: the CG-sized default
+            # maxiter would SILENTLY truncate a stiff (large-dt) solve
+            # (only an explicit maxiter caps the fixed-count iteration)
+            nit = chebyshev_iterations(lmin, lmax, self.tol)
+            if self._user_maxiter:
+                nit = min(nit, self.maxiter)
             sol = chebyshev_block(rhs, eta, matvec=mv, lam_min=lmin,
                                   lam_max=lmax, niters=nit)
             k = jnp.asarray(nit, jnp.int32)

@@ -422,16 +422,19 @@ class HelmholtzSolver:
                 # maxiter is not a meaningful cap for a fixed-count
                 # iteration (only an EXPLICIT maxiter limits it)
                 niters = chebyshev_iterations(lmin, lmax, self.tol)
-                if self._user_maxiter:
-                    niters = min(niters, self.maxiter)
                 niters = -(-niters // K) * K       # round up to K
+                if self._user_maxiter:
+                    # an explicit maxiter is a hard cap: round DOWN to
+                    # a K multiple (but at least one sweep)
+                    niters = min(niters,
+                                 max(K, (self.maxiter // K) * K))
                 H = self.grid.decomp.halo
                 theta = 0.5 * (lmax + lmin)
                 sweepK = self._make_cheb_sweep(K) if self.pallas \
                     else None
 
                 def _residual(b, x, wgt, mv1):
-                    r = b - mv1(exch(x))
+                    r = b - mv1(x)       # mv1 refreshes x's halo itself
                     wacc = wgt.astype(acc)
                     rr = lax.psum(jnp.sum(r.astype(acc) ** 2 * wacc),
                                   ("y", "x"))

@@ -105,14 +105,17 @@ def test_semi_implicit_ensemble_chebyshev():
         Ensemble(si.build(gn, gn, dt=1.0), 2)
 
 
-def test_flagship_ensemble_matches_sequential():
+@pytest.mark.parametrize("halo_width", [1, 2])
+def test_flagship_ensemble_matches_sequential(halo_width):
     """NEMOLite2D ensembles: the time-dependent tidal forcing rides
     the threaded global step index, so members at any run() split
-    match a sequential flagship run."""
+    match a sequential flagship run.  halo_width=2 exercises the
+    deep-halo communication-free chain, which needs the ensemble's
+    exchange at depth 2 (regression: it was hard-coded depth 1)."""
     from dl_esm_inf_tpu.models import nemolite2d as nl
     gn, M = 32, 2
     etas = _etas(M, gn, gn, seed=4) * 0.2
-    base = nl.build(gn, gn, open_north=True)
+    base = nl.build(gn, gn, open_north=True, halo_width=halo_width)
     ens = Ensemble(base, M)
     # per-member initial ssh: the flagship derives sshn_u/v from ssh,
     # but the step carries only (ssh, u, v) so setting member ssh is
@@ -123,7 +126,7 @@ def test_flagship_ensemble_matches_sequential():
     got = ens.gather_all()
 
     for k in range(M):
-        m = nl.build(gn, gn, open_north=True)
+        m = nl.build(gn, gn, open_north=True, halo_width=halo_width)
         m.set_initial_ssh(etas[k])
         m.run(4)
         m.run(3)
@@ -134,6 +137,28 @@ def test_flagship_ensemble_matches_sequential():
                                    rtol=0, atol=1e-12)
         np.testing.assert_allclose(got["v"][k], want["vn"],
                                    rtol=0, atol=1e-12)
+
+
+def test_flagship_ensemble_continues_base_clock():
+    """An ensemble built from a mid-run model inherits its step index:
+    member 0 (unperturbed) continues exactly like the base run
+    (regression: _istep0 restarted at 0, rewinding the tide)."""
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    gn = 32
+    eta0 = _etas(1, gn, gn, seed=5)[0] * 0.2
+    base = nl.build(gn, gn, open_north=True)
+    base.set_initial_ssh(eta0)
+    base.run(5)
+    ens = Ensemble(base, 2)       # members start from the step-5 state
+    ens.run(3)
+
+    seq = nl.build(gn, gn, open_north=True)
+    seq.set_initial_ssh(eta0)
+    seq.run(5)
+    seq.run(3)
+    np.testing.assert_allclose(ens.gather_all()["ssh"][0],
+                               seq.gather()["sshn"], rtol=0,
+                               atol=1e-12)
 
 
 def test_ensemble_statistics_and_guards():

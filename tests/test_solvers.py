@@ -222,6 +222,42 @@ def test_chebyshev_pallas_guards():
                         pallas=True, steps_per_exchange=4)
 
 
+def test_chebyshev_explicit_maxiter_is_a_hard_cap():
+    """With steps_per_exchange, the K-rounding must round DOWN under
+    an explicit maxiter (regression: 65 rounded up to 68)."""
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE, dtype="float64")
+    grid.decompose(24, 24, ndomains=4, halo_width=4)
+    dl.grid_init(grid, 1.0, 1.0, default_tmask(24, 24))
+    s = HelmholtzSolver(grid, 3.0, 3.0, tol=1e-13, maxiter=65,
+                        method="chebyshev", steps_per_exchange=4)
+    b = np.zeros((24, 24))
+    b[5, 5] = 1.0
+    _, info = s.solve(dl.Field(grid, dl.T_POINTS, init_global_data=b))
+    assert info["iterations"] == 64
+
+
+def test_semi_implicit_chebyshev_not_truncated_when_stiff():
+    """A stiff (large-dt) implicit step must iterate to the Chebyshev
+    bound, not the CG-sized default maxiter (regression: silent
+    truncation left the solve at ~0.3 residual reduction)."""
+    N = 16
+    eta0 = gaussian_eta(N, N, amp=0.5)
+    mc = si.build(N, N, dt=10.0, depth=10.0, solver="chebyshev",
+                  tol=1e-10)
+    mc.set_initial_eta(eta0)
+    info = mc.run(2)
+    assert info["cg_iterations_per_step"] > 4 * (N + N)  # beyond old cap
+    # reference trajectory: CG with an explicit generous budget
+    mg = si.build(N, N, dt=10.0, depth=10.0, tol=1e-10, maxiter=6000)
+    mg.set_initial_eta(eta0)
+    mg.run(2)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(mc.gather()[k], mg.gather()[k],
+                                   rtol=0, atol=1e-7)
+
+
 def test_chebyshev_guards():
     grid = make_grid(16, 16, 4, default_tmask(16, 16))
     with pytest.raises(ValueError, match="chebyshev"):
