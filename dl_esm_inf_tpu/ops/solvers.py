@@ -547,6 +547,70 @@ class HelmholtzSolver:
             tile_rows=self._tile_rows, interpret=self._pallas_interpret,
             repx=spec.repx, repy=spec.repy)
 
+    def _residual64_program(self):
+        """Jitted ``(b64, x64) -> b64 - A x64`` in float64 (exchange +
+        stencil upcast), for iterative refinement."""
+        if getattr(self, "_res64", None) is None:
+            spec = self.grid.halo_spec
+
+            def body(b, x, e, w, n, s, diag):
+                mv = make_helmholtz_matvec(
+                    spec, *(c.astype(jnp.float64)
+                            for c in (e, w, n, s, diag)))
+                return b - mv(x)
+
+            self._res64 = jax.jit(jax.shard_map(
+                body, mesh=self.grid.mesh,
+                in_specs=(P("y", "x"),) * 7,
+                out_specs=P("y", "x"), check_vma=False))
+        return self._res64
+
+    def solve_refined(self, b, refine: int = 2):
+        """float64-accurate solve at working-precision speed: iterative
+        refinement.  Each round solves the correction system in the
+        grid's (float32) working precision and evaluates the residual
+        in float64 — on this platform f64 add/mul are faithful but cost
+        ~9x f32 (doc/performance.md "fp64 on the chip"), so refinement
+        pays the f64 tax on ONE matvec per round instead of the whole
+        iteration.  Returns ``(x64, info)`` with
+        ``info["refined_rel_res"]`` the final f64 residual norm.
+        """
+        import jax as _jax
+        if not _jax.config.jax_enable_x64:
+            raise ValueError(
+                "solve_refined needs x64 enabled "
+                "(jax.config.update('jax_enable_x64', True) or "
+                "set_working_precision('float64') at startup)")
+        if jnp.dtype(self.grid.dtype).itemsize != 4:
+            raise ValueError(
+                "solve_refined refines a 4-byte working precision; a "
+                "float64 grid solves in f64 directly")
+        from ..core.field import Field
+        bdat = b.data if isinstance(b, Field) else jnp.asarray(b)
+        b64 = bdat.astype(jnp.float64)
+        res64 = self._residual64_program()
+        acc = jnp.dtype(kinds.sum_dtype())
+        w64 = self._weight.astype(acc)
+        bb = float(jnp.sum((b64.astype(acc) * w64) ** 2)) or 1.0
+
+        x, info = self.solve(bdat)
+        x64 = x.astype(jnp.float64)
+        total = info["iterations"]
+        rel = None
+        for _ in range(max(refine, 0)):
+            r64 = res64(b64, x64, *self._coeffs)
+            rel = float(jnp.sqrt(
+                jnp.sum((r64.astype(acc) * w64) ** 2) / bb))
+            d, dinfo = self.solve(r64.astype(self.grid.dtype))
+            total += dinfo["iterations"]
+            x64 = x64 + d.astype(jnp.float64)
+        r64 = res64(b64, x64, *self._coeffs)
+        rel = float(jnp.sqrt(jnp.sum((r64.astype(acc) * w64) ** 2)
+                             / bb))
+        return x64, {"iterations": total, "refined_rel_res": rel,
+                     "working_rel_res": info["rel_res"],
+                     "converged": info["converged"]}
+
     def solve(self, b, x0=None):
         """Solve for the stacked/sharded rhs ``b`` (a T-point Field or
         its ``.data``).  Returns ``(x, info)`` with ``x`` a stacked

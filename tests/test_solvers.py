@@ -269,6 +269,49 @@ def test_chebyshev_guards():
         HelmholtzSolver(grid, 1.0, 1.0, method="sor")
 
 
+def test_iterative_refinement_reaches_f64_accuracy():
+    """solve_refined: float32 correction solves + float64 residuals
+    recover f64-level accuracy (the platform's mixed-precision
+    economics: f64 costs ~9x, so only one matvec per round pays it)."""
+    rng = np.random.default_rng(7)
+    gnx = gny = 20
+    tmask = default_tmask(gnx, gny)
+    act = tmask == 1
+    # the rhs a float32 field actually stores (refinement recovers the
+    # exact f64 solution OF THE STORED PROBLEM; the rhs rounding is
+    # not its to undo)
+    b = (rng.standard_normal((gny, gnx)) * act).astype(
+        np.float32).astype(np.float64)
+    lam = 5.0                                   # exact in f32
+    xd = dense_solve(act, lam, lam, b)          # f64 truth
+
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE, dtype="float32")
+    grid.decompose(gnx, gny, ndomains=8)
+    dl.grid_init(grid, 1.0, 1.0, tmask)
+    s = HelmholtzSolver(grid, lam, lam)
+    fb = dl.Field(grid, dl.T_POINTS, init_global_data=b)
+
+    x32, _ = s.solve(fb)
+    err32 = np.abs((layout.unstack_internal(grid.decomp,
+                                            np.asarray(x32)) - xd)
+                   * act).max()
+    x64, info = s.solve_refined(fb, refine=2)
+    err64 = np.abs((layout.unstack_internal(grid.decomp,
+                                            np.asarray(x64)) - xd)
+                   * act).max()
+    assert x64.dtype == np.float64
+    assert err64 < 1e-12
+    assert err64 < 1e-5 * max(err32, 1e-12)     # genuinely refined
+    assert info["refined_rel_res"] < 1e-13
+
+    with pytest.raises(ValueError, match="4-byte"):
+        HelmholtzSolver(make_grid(16, 16, 4, default_tmask(16, 16)),
+                        1.0, 1.0).solve_refined(
+                            np.zeros((18 * 2, 18 * 2)))
+
+
 def test_solver_requires_initialised_grid():
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
