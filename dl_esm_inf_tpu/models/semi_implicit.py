@@ -241,3 +241,38 @@ def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
                              tol=tol, maxiter=maxiter,
                              differentiable=differentiable,
                              solver=solver)
+
+
+def _main(argv=None):
+    """CLI demo: ``python -m dl_esm_inf_tpu.models.semi_implicit
+    [N [steps [dt [solver]]]]`` — runs far beyond the explicit CFL
+    limit and reports stability, mass conservation and solver cost."""
+    import sys
+    import time
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    N = int(args[0]) if args else 128
+    nsteps = int(args[1]) if len(args) > 1 else 50
+    dt = float(args[2]) if len(args) > 2 else 2.0
+    solver = args[3] if len(args) > 3 else "cg"
+    depth = 10.0
+    cfl = (9.81 * depth) ** 0.5 * dt
+    print(f"semi-implicit SW: {N}x{N}, dt={dt} (wave CFL ~ {cfl:.1f}),"
+          f" theta=0.5, solver={solver}")
+    m = build(N, N, dt=dt, depth=depth, solver=solver)
+    m.set_initial_eta(gaussian_eta(N, N, amp=0.5))
+    m.run(1)                                     # compile
+    m0 = m.mass()
+    t0 = time.perf_counter()
+    info = m.run(nsteps)
+    wall = time.perf_counter() - t0
+    g = m.gather()
+    print(f"{nsteps} steps in {wall:.2f}s "
+          f"({wall / nsteps * 1e3:.1f} ms/step, "
+          f"{info['cg_iterations_per_step']:.0f} solver its/step)")
+    print(f"max |eta| = {float(abs(g['eta']).max()):.4f}  "
+          f"mass drift = {abs(m.mass() - m0) / max(abs(m0), 1e-30):.2e}")
+
+
+if __name__ == "__main__":
+    _main()
