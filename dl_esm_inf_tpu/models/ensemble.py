@@ -66,7 +66,7 @@ def _adapt(model):
                 "solver='chebyshev': CG's dot products would couple "
                 "the members into one scalar")
         masks = (model._t_upd, model._u_wet, model._v_wet,
-                 model._weight, *model._coeffs)
+                 model._weight, *model._coeffs, model._hu, model._hv)
 
         def step_si(exch, st_, mk, istep):
             return tuple(model._block_step(exch, *st_, *mk)[:3])

@@ -82,7 +82,6 @@ class SemiImplicitModel:
         self.dt = float(dt)
         self.theta = float(theta)
         self.g = float(g)
-        self.depth = float(depth)
         from ..ops.solvers import default_tol
         self.tol = float(tol if tol is not None
                          else default_tol(grid.dtype))
@@ -100,9 +99,37 @@ class SemiImplicitModel:
         self._t_upd, self._u_wet, self._v_wet = wet_update_masks(
             grid, dtype)
 
-        lam_x = g * depth * (self.theta * dt) ** 2 / grid.dx ** 2
-        lam_y = g * depth * (self.theta * dt) ** 2 / grid.dy ** 2
-        self._lam_bounds = (1.0, 1.0 + 4.0 * (lam_x + lam_y))
+        # depth: scalar (flat) or global (gny, gnx) T-point bathymetry.
+        # Face depths use the NE-offset mean of adjacent T depths; the
+        # Helmholtz face couplings are BUILT FROM the same face depths
+        # the continuity flux uses, so the eliminated system is exactly
+        # the theta-method discretisation (operator/rhs consistency).
+        scale = g * (self.theta * dt) ** 2
+        if np.isscalar(depth) or getattr(depth, "ndim", 0) == 0:
+            self.depth = float(depth)
+            hu_g = hv_g = None
+            lam_x = scale * self.depth / grid.dx ** 2
+            lam_y = scale * self.depth / grid.dy ** 2
+            hmax = self.depth
+        else:
+            ht = np.asarray(depth, dtype=np.dtype(dtype))
+            if ht.shape != (d.global_ny, d.global_nx):
+                raise ValueError(
+                    f"depth array must be (gny, gnx) = "
+                    f"({d.global_ny}, {d.global_nx}), got {ht.shape}")
+            if (ht <= 0).any():
+                raise ValueError("depth must be positive everywhere "
+                                 "(mask land with the tmask, not H<=0)")
+            self.depth = ht
+            hu_g = ht.copy()
+            hu_g[:, :-1] = 0.5 * (ht[:, :-1] + ht[:, 1:])
+            hv_g = ht.copy()
+            hv_g[:-1, :] = 0.5 * (ht[:-1, :] + ht[1:, :])
+            lam_x = scale * hu_g / grid.dx ** 2
+            lam_y = scale * hv_g / grid.dy ** 2
+            hmax = float(ht.max())
+        self._lam_bounds = (1.0, 1.0 + 4.0 * scale * hmax
+                            * (1.0 / grid.dx ** 2 + 1.0 / grid.dy ** 2))
         coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
         self._coeffs = tuple(
             jax.device_put(jnp.asarray(c), grid.sharding) for c in coeffs)
@@ -111,6 +138,22 @@ class SemiImplicitModel:
         self._weight = jax.device_put(
             jnp.asarray(layout.internal_mask(d).astype(np.dtype(dtype))),
             grid.sharding)
+
+        def _stack_h(hg):
+            from ..parallel import halo as halo_mod
+            stacked = jnp.asarray(layout.stack_global(
+                d, hg, mode="edge", dtype=np.dtype(dtype)))
+            return halo_mod.exchange(
+                jax.device_put(stacked, grid.sharding), grid.mesh,
+                grid.halo_spec, depth=d.halo)
+
+        if hu_g is None:
+            full = np.full((d.global_ny, d.global_nx), self.depth,
+                           dtype=np.dtype(dtype))
+            self._hu = self._hv = _stack_h(full)
+        else:
+            self._hu = _stack_h(hu_g)
+            self._hv = _stack_h(hv_g)
         self._step_cache = {}
 
     # ------------------------------------------------------------------
@@ -123,7 +166,7 @@ class SemiImplicitModel:
 
     # ------------------------------------------------------------------
     def _block_step(self, exch, eta, u, v, t_upd, u_wet, v_wet, wgt,
-                    e, w, n, s, diag, invd=None):
+                    e, w, n, s, diag, hu, hv, invd=None):
         """One implicit step on a local block (inside shard_map):
         exchange, rhs, Helmholtz solve, velocity update.  Returns
         ``(eta, u, v, solver_iterations)``.  Works with a leading
@@ -132,17 +175,20 @@ class SemiImplicitModel:
         couple ensemble members into one misshapen scalar."""
         grid = self.grid
         spec = grid.halo_spec
-        g, H, dt, th = self.g, self.depth, self.dt, self.theta
+        g, dt, th = self.g, self.dt, self.theta
         dx, dy = grid.dx, grid.dy
         exch1 = exchange_fn(spec, depth=1)
         mv = make_helmholtz_matvec(spec, e, w, n, s, diag)
 
         eta, u, v = exch((eta, u, v))
-        div = st.ddx_back(u, dx) + st.ddy_back(v, dy)
-        lap = (st.ddx_back(u_wet * st.ddx(eta, dx), dx)
-               + st.ddy_back(v_wet * st.ddy(eta, dy), dy))
-        rhs = (eta - H * dt * div
-               + g * H * th * (1.0 - th) * dt ** 2 * lap)
+        # flux-form continuity with FACE depths (hu/hv; constant for
+        # flat bathymetry), and the theta cross-term expressed through
+        # the operator's own face coefficients — the eliminated system
+        # is exactly the theta-method discretisation, variable H or not
+        div_h = st.ddx_back(hu * u, dx) + st.ddy_back(hv * v, dy)
+        lm = (e * st.xp(eta) + w * st.xm(eta) + n * st.yp(eta)
+              + s * st.ym(eta) - (diag - 1.0) * eta)
+        rhs = eta - dt * div_h + ((1.0 - th) / th) * lm
         rhs = jnp.where(t_upd > 0, rhs, eta)
         if self.solver == "chebyshev":
             lmin, lmax = self._lam_bounds
@@ -178,12 +224,12 @@ class SemiImplicitModel:
             exch3 = exchange_multi_fn(grid.halo_spec, depth=1)
 
             def body(eta, u, v, t_upd, u_wet, v_wet, wgt,
-                     e, w, n, s, diag, invd):
+                     e, w, n, s, diag, hu, hv, invd):
                 def one(_, carry):
                     eta, u, v, its = carry
                     eta, u, v, k = self._block_step(
                         exch3, eta, u, v, t_upd, u_wet, v_wet, wgt,
-                        e, w, n, s, diag, invd)
+                        e, w, n, s, diag, hu, hv, invd)
                     return eta, u, v, its + k
 
                 eta, u, v, its = lax.fori_loop(
@@ -193,7 +239,7 @@ class SemiImplicitModel:
 
             smapped = jax.shard_map(
                 body, mesh=grid.mesh,
-                in_specs=(P("y", "x"),) * 13,
+                in_specs=(P("y", "x"),) * 15,
                 out_specs=((P("y", "x"),) * 3 + (P(),)), check_vma=False)
             self._step_cache[nsteps] = jax.jit(smapped)
         return self._step_cache[nsteps]
@@ -202,7 +248,8 @@ class SemiImplicitModel:
         prog = self.step_program(nsteps)
         eta, u, v, its = prog(self.eta.data, self.u.data, self.v.data,
                               self._t_upd, self._u_wet, self._v_wet,
-                              self._weight, *self._coeffs, self._inv_diag)
+                              self._weight, *self._coeffs,
+                              self._hu, self._hv, self._inv_diag)
         self.eta.data, self.u.data, self.v.data = eta, u, v
         return {"cg_iterations": int(its),
                 "cg_iterations_per_step": int(its) / max(nsteps, 1)}

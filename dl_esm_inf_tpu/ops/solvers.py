@@ -149,7 +149,7 @@ def default_tol(dtype) -> float:
     return max(float(np.finfo(np.dtype(dtype)).eps) * 50.0, 1e-10)
 
 
-def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
+def helmholtz_coefficients(grid, lam_x, lam_y):
     """Stacked-layout face/diagonal coefficient arrays for
     ``A = I + lam*L`` with no-flux walls.
 
@@ -159,6 +159,14 @@ def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
     masks, so shard-halo cells evolve exactly like their interior twins
     on the neighbouring shard and the matvec needs only a depth-1
     exchange).  Returns ``(e, w, n, s, diag)`` device (sharded) arrays.
+
+    ``lam_x``/``lam_y`` are scalars, or ``(gny, gnx)`` global PER-FACE
+    coupling arrays (``lam_x[j, i]`` = the face between T cells
+    ``(j, i)`` and ``(j, i+1)``, NE-offset U/V-face convention — e.g.
+    ``g*H_u*(theta*dt)**2/dx**2`` for variable bathymetry).  Symmetry
+    is by construction: both cells sharing a face use the SAME face
+    value (``w`` is ``e`` rolled, not an independent product), so the
+    operator stays SPD for any positive coefficient field.
     """
     d = grid.decomp
     gx = layout.global_x_index(d)
@@ -179,12 +187,29 @@ def helmholtz_coefficients(grid, lam_x: float, lam_y: float):
     # to numpy (only its addressable shards are local)
     dtype = jnp.dtype(grid.dtype)
     a = ((grid.tmask == 1) & (geo_x > 0.5)).astype(dtype)
+
+    def face(lam):
+        """Stacked per-face coupling: scalar, or a global array
+        scattered to the stacked layout and seam-exchanged so halo
+        faces carry their source face's value."""
+        if np.isscalar(lam) or getattr(lam, "ndim", 0) == 0:
+            return float(lam)
+        stacked = jnp.asarray(layout.stack_global(
+            d, np.asarray(lam), mode="edge", dtype=np.dtype(dtype)))
+        return halo_mod.exchange(
+            jax.device_put(stacked, grid.sharding), grid.mesh,
+            grid.halo_spec, depth=d.halo)
+
+    lx_f, ly_f = face(lam_x), face(lam_y)
     # neighbour activity via global rolls — same shift semantics as the
     # in-program stencils (stale wrap values land outside `act` support)
-    e = lam_x * a * jnp.roll(a, -1, 1)
-    w = lam_x * a * jnp.roll(a, 1, 1)
-    n = lam_y * a * jnp.roll(a, -1, 0)
-    s = lam_y * a * jnp.roll(a, 1, 0)
+    e = lx_f * a * jnp.roll(a, -1, 1)
+    n = ly_f * a * jnp.roll(a, -1, 0)
+    # the opposite-direction coefficients are the SAME face rolled (not
+    # an independent product): symmetry — and hence SPD — by
+    # construction for any positive coefficient field
+    w = jnp.roll(e, 1, 1) * a * jnp.roll(a, 1, 1)
+    s = jnp.roll(n, 1, 0) * a * jnp.roll(a, 1, 0)
     diag = (1.0 + e + w + n + s).astype(dtype)
     return e, w, n, s, diag
 
@@ -375,8 +400,17 @@ class HelmholtzSolver:
         self._user_maxiter = maxiter is not None
         self.maxiter = int(maxiter if maxiter is not None
                            else 4 * (d.global_nx + d.global_ny))
-        self._lam = (float(lam_x), float(lam_y))
-        self._lam_bounds = (1.0, 1.0 + 4.0 * (lam_x + lam_y))
+        scalar_lam = all(np.isscalar(v) or getattr(v, "ndim", 0) == 0
+                         for v in (lam_x, lam_y))
+        if self.pallas and not scalar_lam:
+            raise NotImplementedError(
+                "pallas chebyshev streams the couplings as int8 "
+                "activity bits scaled by SCALAR lam; per-face arrays "
+                "run the jnp path")
+        self._lam = ((float(lam_x), float(lam_y)) if scalar_lam
+                     else None)
+        lam_max = (float(np.max(lam_x)) + float(np.max(lam_y)))
+        self._lam_bounds = (1.0, 1.0 + 4.0 * lam_max)
         coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
         put = functools.partial(jax.device_put, device=grid.sharding)
         arrs = [put(jnp.asarray(c)) for c in coeffs]

@@ -21,13 +21,24 @@ from dl_esm_inf_tpu.ops.solvers import HelmholtzSolver
 
 def dense_solve(act, lam_x, lam_y, b, wrap=False):
     """Independent dense construction of (I + lam*L) with no-flux walls
-    (and optional periodic wrap), solved by numpy."""
+    (and optional periodic wrap), solved by numpy.  ``lam_x``/``lam_y``
+    may be scalars or per-face arrays (NE convention: ``lam_x[j, i]``
+    is the face between cells (j, i) and (j, i+1))."""
     gny, gnx = act.shape
     n = gny * gnx
     A = np.eye(n)
 
     def idx(j, i):
         return j * gnx + i
+
+    def face(lam, dj, di, j, i):
+        if np.isscalar(lam):
+            return lam
+        if di == 1 or dj == 1:           # my +x/+y face
+            return lam[j, i]
+        if di == -1:                     # my -x face = west cell's +x
+            return lam[j, (i - 1) % gnx]
+        return lam[(j - 1) % gny, i]     # -y face
 
     for j in range(gny):
         for i in range(gnx):
@@ -41,8 +52,9 @@ def dense_solve(act, lam_x, lam_y, b, wrap=False):
                 elif not (0 <= jj < gny and 0 <= ii < gnx):
                     continue
                 if act[jj, ii]:
-                    A[idx(j, i), idx(j, i)] += lam
-                    A[idx(j, i), idx(jj, ii)] -= lam
+                    lv = face(lam, dj, di, j, i)
+                    A[idx(j, i), idx(j, i)] += lv
+                    A[idx(j, i), idx(jj, ii)] -= lv
     return np.linalg.solve(A, b.ravel()).reshape(gny, gnx)
 
 
@@ -95,6 +107,32 @@ def test_helmholtz_periodic_vs_dense(ndom):
     xg = layout.unstack_internal(grid.decomp, np.asarray(x))
     assert info["converged"]
     assert np.abs((xg - xd) * act).max() < 1e-10
+
+
+@pytest.mark.parametrize("ndom,method", [(8, "cg"), (8, "chebyshev"),
+                                          (1, "cg")])
+def test_helmholtz_variable_coefficients_vs_dense(ndom, method):
+    """Per-face coupling arrays (the variable-bathymetry case): both
+    solvers match the dense construction, and the operator stays SPD
+    because opposite-direction coefficients are the same face value."""
+    rng = np.random.default_rng(8)
+    gnx, gny = 18, 14
+    tmask = np.ones((gny, gnx), np.int32)
+    tmask[0, :] = tmask[-1, :] = 0
+    tmask[:, 0] = tmask[:, -1] = 0
+    tmask[6:9, 4:7] = 0
+    act = tmask == 1
+    lam_x = rng.uniform(0.5, 8.0, (gny, gnx))
+    lam_y = rng.uniform(0.5, 8.0, (gny, gnx))
+    b = rng.standard_normal((gny, gnx)) * act
+    xd = dense_solve(act, lam_x, lam_y, b)
+
+    grid = make_grid(gnx, gny, ndom, tmask)
+    s = HelmholtzSolver(grid, lam_x, lam_y, tol=1e-12, method=method)
+    x, info = s.solve(dl.Field(grid, dl.T_POINTS, init_global_data=b))
+    xg = layout.unstack_internal(grid.decomp, np.asarray(x))
+    assert info["converged"], info
+    assert np.abs((xg - xd) * act).max() < 1e-9
 
 
 def test_helmholtz_unpreconditioned_and_zero_rhs():
@@ -428,6 +466,44 @@ def test_semi_implicit_chebyshev_solver_matches_cg():
         si.build(N, N, solver="chebyshev", differentiable=True)
     with pytest.raises(ValueError, match="solver"):
         si.build(N, N, solver="jacobi")
+
+
+def test_semi_implicit_variable_bathymetry():
+    """depth=<(gny,gnx) array>: a uniform array reproduces the scalar
+    path, and a ridge bathymetry stays stable at wave CFL ~ 14 (on the
+    DEEP side) while conserving mass to solver tolerance."""
+    N = 40
+    eta0 = gaussian_eta(N, N, amp=0.5)
+
+    flat = si.build(N, N, dt=1.0, depth=10.0, tol=1e-11)
+    flat.set_initial_eta(eta0)
+    flat.run(10)
+    arr = si.build(N, N, dt=1.0, depth=np.full((N, N), 10.0),
+                   tol=1e-11)
+    arr.set_initial_eta(eta0)
+    arr.run(10)
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(arr.gather()[k], flat.gather()[k],
+                                   rtol=0, atol=1e-9)
+
+    # a mid-domain ridge: depth 20 -> 2 and back
+    ht = np.full((N, N), 20.0)
+    ht[:, N // 3: 2 * N // 3] = 2.0
+    m = si.build(N, N, dt=1.0, depth=ht, tol=1e-11)
+    m.set_initial_eta(eta0)
+    m.run(5)
+    m0 = m.mass()
+    amax0 = float(np.abs(m.gather()["eta"]).max())
+    m.run(60)
+    g = m.gather()
+    assert np.isfinite(g["eta"]).all()
+    assert np.abs(g["eta"]).max() < 2.0 * max(amax0, 1.0)
+    assert abs(m.mass() - m0) <= 1e-8 * max(abs(m0), 1.0)
+
+    with pytest.raises(ValueError, match="positive"):
+        si.build(N, N, depth=np.zeros((N, N)))
+    with pytest.raises(ValueError, match="gny"):
+        si.build(N, N, depth=np.ones((3, 3)))
 
 
 def test_backward_euler_dissipates():
