@@ -52,8 +52,10 @@ def _trajectory_runner(model):
                 "True: the raw CG while_loop has no reverse rule; the "
                 "custom_linear_solve wrapper differentiates implicitly")
         ops = (model._t_upd, model._u_wet, model._v_wet, model._weight,
-               *model._coeffs, model._hu, model._hv, model._inv_diag)
-        return (lambda prog, st, base: prog(*st, *ops)[:3]), model._t_upd
+               *model._coeffs, model._hu, model._hv, model._obc,
+               model._inv_diag)
+        return (lambda prog, st, base: prog(
+            jnp.int32(base), *st, *ops)[:3]), model._t_upd
     if isinstance(model, NemoLite2D):
         # the NONLINEAR flagship: jax.grad flows through the upwind
         # flux selections (a.e.-valid subgradients) and the tidal

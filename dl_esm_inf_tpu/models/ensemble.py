@@ -66,10 +66,12 @@ def _adapt(model):
                 "solver='chebyshev': CG's dot products would couple "
                 "the members into one scalar")
         masks = (model._t_upd, model._u_wet, model._v_wet,
-                 model._weight, *model._coeffs, model._hu, model._hv)
+                 model._weight, *model._coeffs, model._hu, model._hv,
+                 model._obc)
 
         def step_si(exch, st_, mk, istep):
-            return tuple(model._block_step(exch, *st_, *mk)[:3])
+            return tuple(model._block_step(exch, istep, *st_,
+                                           *mk)[:3])
 
         return (("eta", "u", "v"), (model.eta, model.u, model.v),
                 masks, step_si, 1)

@@ -55,7 +55,9 @@ class SemiImplicitModel:
     def __init__(self, grid: dl.Grid, dt: float, theta: float = 0.5,
                  g: float = 9.81, depth: float = 100.0,
                  tol: float | None = None, maxiter: int | None = None,
-                 differentiable: bool = False, solver: str = "cg"):
+                 differentiable: bool = False, solver: str = "cg",
+                 open_north: bool = False, bc_amp: float = 0.0,
+                 bc_omega: float = 0.0):
         """``differentiable=True`` swaps the in-step CG for the
         ``lax.custom_linear_solve``-wrapped variant: `jax.grad` flows
         through the implicit step via the adjoint (same symmetric)
@@ -66,7 +68,18 @@ class SemiImplicitModel:
         (`ops/solvers.chebyshev_block`) — zero scalar collectives per
         step and a STATIC iteration count, at the price of iterating
         to the eigenvalue-bound worst case instead of stopping at the
-        measured residual."""
+        measured residual.
+
+        ``open_north=True`` makes the northmost wet row a RADIATIVE
+        (Flather) open boundary with external elevation
+        ``bc_amp * cos(bc_omega * t)`` (constant ``bc_amp`` at
+        ``bc_omega=0``) — solved IMPLICITLY: the
+        theta-implicit part of the boundary flux
+        ``sqrt(g*H)*(eta_theta - eta_ext)`` couples a boundary cell
+        only to itself, so it lands on the operator DIAGONAL (SPD
+        preserved) while the explicit part and the external elevation
+        ride the rhs (the flagship's Flather bc, nemolite2d.py, made
+        implicit)."""
         if not 0.5 <= theta <= 1.0:
             raise ValueError(f"theta must be in [0.5, 1], got {theta}"
                              " (below 0.5 the scheme is unstable)")
@@ -98,6 +111,27 @@ class SemiImplicitModel:
         from .gravity_wave import wet_update_masks
         self._t_upd, self._u_wet, self._v_wet = wet_update_masks(
             grid, dtype)
+        self.open_north = bool(open_north)
+        self.bc_amp = float(bc_amp)
+        self.bc_omega = float(bc_omega)
+        self._istep0 = 0
+        if self.open_north:
+            if grid.halo_spec.wrap_y:
+                raise ValueError("open_north is incompatible with a "
+                                 "periodic y boundary")
+            gy = layout.global_y_index(d)
+            north = (gy == d.global_ny - 1)
+            obc_np = (np.asarray(self._t_upd) > 0) & north[:, None]
+            self._obc = jax.device_put(
+                jnp.asarray(obc_np.astype(np.dtype(dtype))),
+                grid.sharding)
+            # the boundary FACE (NE offset: v_j sits above T_j) must
+            # not be driven by the interior momentum update — its
+            # value is the Flather velocity, set after each solve
+            self._v_wet = self._v_wet * (1.0 - self._obc)
+        else:
+            self._obc = jax.device_put(
+                jnp.zeros_like(self._t_upd), grid.sharding)
 
         # depth: scalar (flat) or global (gny, gnx) T-point bathymetry.
         # Face depths use the NE-offset mean of adjacent T depths; the
@@ -130,7 +164,25 @@ class SemiImplicitModel:
             hmax = float(ht.max())
         self._lam_bounds = (1.0, 1.0 + 4.0 * scale * hmax
                             * (1.0 / grid.dx ** 2 + 1.0 / grid.dy ** 2))
-        coeffs = helmholtz_coefficients(grid, lam_x, lam_y)
+        diag_extra = None
+        if self.open_north:
+            # theta-implicit Flather: rc = theta*dt*sqrt(g*H_b)/dy on
+            # the open row (H_b = the boundary v-face depth, which is
+            # the edge-replicated T depth there); same value recomputed
+            # in-step from the hv operand for the rhs terms
+            hb_row = (np.full(d.global_nx, self.depth)
+                      if hu_g is None else hv_g[-1, :])
+            rc_g = np.zeros((d.global_ny, d.global_nx))
+            rc_g[-1, :] = (self.theta * dt
+                           * np.sqrt(g * hb_row) / grid.dy)
+            diag_extra = rc_g
+            # Chebyshev's upper eigenvalue bound gains the largest
+            # radiation diagonal (Gershgorin)
+            self._lam_bounds = (self._lam_bounds[0],
+                                self._lam_bounds[1]
+                                + float(rc_g.max()))
+        coeffs = helmholtz_coefficients(grid, lam_x, lam_y,
+                                        diag_extra=diag_extra)
         self._coeffs = tuple(
             jax.device_put(jnp.asarray(c), grid.sharding) for c in coeffs)
         self._inv_diag = jax.device_put(
@@ -165,8 +217,8 @@ class SemiImplicitModel:
         self.eta.halo_exchange(1)
 
     # ------------------------------------------------------------------
-    def _block_step(self, exch, eta, u, v, t_upd, u_wet, v_wet, wgt,
-                    e, w, n, s, diag, hu, hv, invd=None):
+    def _block_step(self, exch, istep, eta, u, v, t_upd, u_wet, v_wet,
+                    wgt, e, w, n, s, diag, hu, hv, obc, invd=None):
         """One implicit step on a local block (inside shard_map):
         exchange, rhs, Helmholtz solve, velocity update.  Returns
         ``(eta, u, v, solver_iterations)``.  Works with a leading
@@ -184,11 +236,25 @@ class SemiImplicitModel:
         # flux-form continuity with FACE depths (hu/hv; constant for
         # flat bathymetry), and the theta cross-term expressed through
         # the operator's own face coefficients — the eliminated system
-        # is exactly the theta-method discretisation, variable H or not
-        div_h = st.ddx_back(hu * u, dx) + st.ddy_back(hv * v, dy)
+        # is exactly the theta-method discretisation, variable H or not.
+        # The open-boundary face is EXCLUDED from the interior fluxes
+        # (its theta-implicit Flather flux lives on the operator
+        # diagonal + rhs terms below); (e+w+n+s), not (diag-1), keeps
+        # the radiation diagonal out of the Laplacian cross-term.
+        v_int = v * (1.0 - obc)
+        div_h = st.ddx_back(hu * u, dx) + st.ddy_back(hv * v_int, dy)
+        lsum = e + w + n + s
         lm = (e * st.xp(eta) + w * st.xm(eta) + n * st.yp(eta)
-              + s * st.ym(eta) - (diag - 1.0) * eta)
+              + s * st.ym(eta) - lsum * eta)
         rhs = eta - dt * div_h + ((1.0 - th) / th) * lm
+        if self.open_north:
+            # eta_ext at t^{n+1}; rc recomputed from the hv operand ==
+            # the diag_extra baked into the operator at build
+            rt1 = (istep + 1).astype(eta.dtype) * dt
+            eta_ext1 = self.bc_amp * jnp.cos(self.bc_omega * rt1)
+            rc = obc * (th * dt / dy) * jnp.sqrt(g * hv)
+            rhs = rhs + rc * eta_ext1 \
+                - obc * (dt / dy) * hv * (1.0 - th) * v
         rhs = jnp.where(t_upd > 0, rhs, eta)
         if self.solver == "chebyshev":
             lmin, lmax = self._lam_bounds
@@ -214,6 +280,11 @@ class SemiImplicitModel:
         eta_mix = th * eta_new + (1.0 - th) * eta
         u_new = u_wet * (u - g * dt * st.ddx(eta_mix, dx))
         v_new = v_wet * (v - g * dt * st.ddy(eta_mix, dy))
+        if self.open_north:
+            # the stored boundary-face velocity IS the Flather value at
+            # t^{n+1} (v_wet is zeroed on that face) — next step's
+            # explicit flux term reads it back
+            v_new = v_new + obc * jnp.sqrt(g / hv) * (eta_new - eta_ext1)
         return eta_new, u_new, v_new, k
 
     def step_program(self, nsteps: int = 1):
@@ -223,13 +294,14 @@ class SemiImplicitModel:
             grid = self.grid
             exch3 = exchange_multi_fn(grid.halo_spec, depth=1)
 
-            def body(eta, u, v, t_upd, u_wet, v_wet, wgt,
-                     e, w, n, s, diag, hu, hv, invd):
-                def one(_, carry):
+            def body(istep0, eta, u, v, t_upd, u_wet, v_wet, wgt,
+                     e, w, n, s, diag, hu, hv, obc, invd):
+                def one(i, carry):
                     eta, u, v, its = carry
                     eta, u, v, k = self._block_step(
-                        exch3, eta, u, v, t_upd, u_wet, v_wet, wgt,
-                        e, w, n, s, diag, hu, hv, invd)
+                        exch3, istep0 + i, eta, u, v, t_upd, u_wet,
+                        v_wet, wgt, e, w, n, s, diag, hu, hv, obc,
+                        invd)
                     return eta, u, v, its + k
 
                 eta, u, v, its = lax.fori_loop(
@@ -239,18 +311,21 @@ class SemiImplicitModel:
 
             smapped = jax.shard_map(
                 body, mesh=grid.mesh,
-                in_specs=(P("y", "x"),) * 15,
+                in_specs=(P(),) + (P("y", "x"),) * 16,
                 out_specs=((P("y", "x"),) * 3 + (P(),)), check_vma=False)
             self._step_cache[nsteps] = jax.jit(smapped)
         return self._step_cache[nsteps]
 
     def run(self, nsteps: int) -> dict:
         prog = self.step_program(nsteps)
-        eta, u, v, its = prog(self.eta.data, self.u.data, self.v.data,
+        eta, u, v, its = prog(jnp.int32(self._istep0),
+                              self.eta.data, self.u.data, self.v.data,
                               self._t_upd, self._u_wet, self._v_wet,
                               self._weight, *self._coeffs,
-                              self._hu, self._hv, self._inv_diag)
+                              self._hu, self._hv, self._obc,
+                              self._inv_diag)
         self.eta.data, self.u.data, self.v.data = eta, u, v
+        self._istep0 += nsteps
         return {"cg_iterations": int(its),
                 "cg_iterations_per_step": int(its) / max(nsteps, 1)}
 
@@ -275,19 +350,27 @@ def build(gnx: int = 128, gny: int = 128, ndomains=None, dt: float = 1.0,
           theta: float = 0.5, g: float = 9.81, depth: float = 10.0,
           dx: float = 1.0, dy: float = 1.0, tmask=None, dtype=None,
           tol: float | None = None, maxiter=None,
-          differentiable: bool = False,
-          solver: str = "cg") -> SemiImplicitModel:
-    """Convenience constructor: grid + land-ring tmask + model."""
+          differentiable: bool = False, solver: str = "cg",
+          open_north: bool = False, bc_amp: float = 0.0,
+          bc_omega: float = 0.0) -> SemiImplicitModel:
+    """Convenience constructor: grid + land-ring tmask + model
+    (``open_north=True`` leaves the north edge wet — a radiative
+    Flather boundary)."""
     grid = dl.Grid(dl.ARAKAWA_C,
                    (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
                    dl.OFFSET_NE, dtype=dtype)
     grid.decompose(gnx, gny, ndomains=ndomains, halo_width=1)
-    dl.grid_init(grid, dx, dy, default_tmask(gnx, gny)
-                 if tmask is None else tmask)
+    if tmask is None:
+        tmask = default_tmask(gnx, gny)
+        if open_north:
+            tmask = tmask.copy()
+            tmask[-1, 1:-1] = 1
+    dl.grid_init(grid, dx, dy, tmask)
     return SemiImplicitModel(grid, dt=dt, theta=theta, g=g, depth=depth,
                              tol=tol, maxiter=maxiter,
                              differentiable=differentiable,
-                             solver=solver)
+                             solver=solver, open_north=open_north,
+                             bc_amp=bc_amp, bc_omega=bc_omega)
 
 
 def _main(argv=None):

@@ -149,7 +149,7 @@ def default_tol(dtype) -> float:
     return max(float(np.finfo(np.dtype(dtype)).eps) * 50.0, 1e-10)
 
 
-def helmholtz_coefficients(grid, lam_x, lam_y):
+def helmholtz_coefficients(grid, lam_x, lam_y, diag_extra=None):
     """Stacked-layout face/diagonal coefficient arrays for
     ``A = I + lam*L`` with no-flux walls.
 
@@ -167,6 +167,11 @@ def helmholtz_coefficients(grid, lam_x, lam_y):
     is by construction: both cells sharing a face use the SAME face
     value (``w`` is ``e`` rolled, not an independent product), so the
     operator stays SPD for any positive coefficient field.
+
+    ``diag_extra`` (global ``(gny, gnx)`` array) adds per-cell DIAGONAL
+    terms — the Robin/radiation contributions of an implicit open
+    boundary (a theta-implicit Flather flux couples a boundary cell
+    only to itself, so SPD is preserved for nonnegative extras).
     """
     d = grid.decomp
     gx = layout.global_x_index(d)
@@ -210,8 +215,16 @@ def helmholtz_coefficients(grid, lam_x, lam_y):
     # construction for any positive coefficient field
     w = jnp.roll(e, 1, 1) * a * jnp.roll(a, 1, 1)
     s = jnp.roll(n, 1, 0) * a * jnp.roll(a, 1, 0)
-    diag = (1.0 + e + w + n + s).astype(dtype)
-    return e, w, n, s, diag
+    diag = 1.0 + e + w + n + s
+    if diag_extra is not None:
+        dx_st = jnp.asarray(layout.stack_global(
+            d, np.asarray(diag_extra), mode="zeros",
+            dtype=np.dtype(dtype)))
+        dx_st = halo_mod.exchange(
+            jax.device_put(dx_st, grid.sharding), grid.mesh,
+            grid.halo_spec, depth=d.halo)
+        diag = diag + a * dx_st
+    return e, w, n, s, diag.astype(dtype)
 
 
 def chebyshev_iterations(lam_min: float, lam_max: float,

@@ -506,6 +506,58 @@ def test_semi_implicit_variable_bathymetry():
         si.build(N, N, depth=np.ones((3, 3)))
 
 
+def _energy(g):
+    return float((g["eta"] ** 2).sum() + (g["u"] ** 2).sum()
+                 + (g["v"] ** 2).sum())
+
+
+def test_open_boundary_radiates_waves_out():
+    """The implicit Flather boundary is radiative: a bump launched at
+    the north boundary EXITS an open basin (energy drains) while a
+    closed basin keeps it."""
+    N = 32
+    e0 = np.roll(gaussian_eta(N, N, amp=0.5, width=0.08), 10, axis=0)
+    es = {}
+    for open_n in (False, True):
+        m = si.build(N, N, dt=0.5, depth=10.0, tol=1e-11,
+                     open_north=open_n)
+        m.set_initial_eta(e0)
+        m.run(80)
+        es[open_n] = _energy(m.gather())
+    assert es[True] < 0.15 * es[False]
+
+
+def test_open_boundary_steady_state_and_invariance():
+    """Constant external elevation fills the basin to that level
+    through the radiative inflow; 1-shard == 8-shard."""
+    N = 32
+    A = 0.05
+    got = {}
+    for ndom in (1, 8):
+        m = si.build(N, N, ndomains=ndom, dt=1.0, depth=10.0,
+                     tol=1e-11, open_north=True, bc_amp=A)
+        m.run(120)
+        got[ndom] = m.gather()
+    wet = default_tmask(N, N)
+    wet[-1, 1:-1] = 1
+    wetb = wet == 1
+    assert np.abs(got[8]["eta"][wetb] - A).max() < 0.05 * A
+    assert np.abs(got[8]["v"]).max() < 0.05 * A
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(got[1][k], got[8][k], rtol=0,
+                                   atol=1e-9)
+
+
+def test_open_boundary_guards():
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_PERIODIC, dl.BC_NONE),
+                   dl.OFFSET_NE, dtype="float64")
+    grid.decompose(16, 16, ndomains=1)
+    dl.grid_init(grid, 1.0, 1.0)
+    with pytest.raises(ValueError, match="periodic"):
+        si.SemiImplicitModel(grid, dt=1.0, open_north=True)
+
+
 def test_backward_euler_dissipates():
     """theta=1 damps the wave field; theta outside [0.5, 1] rejected."""
     N = 32
