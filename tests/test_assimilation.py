@@ -181,6 +181,40 @@ def test_flagship_adjoint_and_twin_experiment():
     assert res["cost_history"][-1] < 1e-2 * res["cost_history"][0]
 
 
+def test_open_boundary_implicit_4dvar():
+    """The combinations compose: 4D-Var through the implicit solver
+    WITH the radiative open boundary (diag_extra keeps the operator
+    symmetric, so custom_linear_solve's adjoint reuses the same
+    solve).  Observing before the wave exits recovers the bump."""
+    from dl_esm_inf_tpu.models import semi_implicit as si
+    N = 20
+    eta_true = gw.gaussian_eta(N, N, amp=0.5)
+
+    def build():
+        return si.build(N, N, dt=0.5, depth=10.0, tol=1e-12,
+                        differentiable=True, open_north=True)
+
+    truth = build()
+    truth.set_initial_eta(eta_true)
+    obs, done = {}, 0
+    for t in (2, 4):
+        truth.run(t - done)
+        done = t
+        obs[t] = truth.gather()["eta"]
+
+    m = build()
+    cost, pack, _ = make_cost_fn(m, obs)
+    x0 = pack(np.zeros((N, N)))
+    g = jax.jit(jax.grad(cost))(x0)
+    h = 1e-6
+    idx = (8, 9)
+    fd = (cost(x0.at[idx].set(h)) - cost(x0.at[idx].set(-h))) / (2 * h)
+    assert abs(float(fd - g[idx])) <= 1e-6 * max(abs(float(fd)), 1e-3)
+
+    res = assimilate(m, obs, iters=200, learning_rate=0.1)
+    assert res["cost_history"][-1] < 1e-2 * res["cost_history"][0]
+
+
 def test_implicit_model_requires_differentiable_flag():
     from dl_esm_inf_tpu.models import semi_implicit as si
     m = si.build(16, 16, dt=1.0)

@@ -105,6 +105,35 @@ def test_semi_implicit_ensemble_chebyshev():
         Ensemble(si.build(gn, gn, dt=1.0), 2)
 
 
+def test_semi_implicit_open_boundary_ensemble():
+    """Ensemble x implicit x open boundary: the time-dependent
+    external elevation rides the threaded step index; members match
+    sequential runs."""
+    from dl_esm_inf_tpu.models import semi_implicit as si
+    gn, M = 24, 2
+    etas = _etas(M, gn, gn, seed=6) * 0.3
+
+    def build():
+        return si.build(gn, gn, dt=0.5, depth=10.0, tol=1e-11,
+                        solver="chebyshev", open_north=True,
+                        bc_amp=0.05, bc_omega=0.3)
+
+    ens = Ensemble(build(), M)
+    ens.set_member_states(0, etas)
+    ens.run(3)
+    ens.run(2)                    # istep continuation under forcing
+    got = ens.gather_all()
+    for k in range(M):
+        m = build()
+        m.set_initial_eta(etas[k])
+        m.run(3)
+        m.run(2)
+        want = m.gather()
+        for f in ("eta", "u", "v"):
+            np.testing.assert_allclose(got[f][k], want[f], rtol=0,
+                                       atol=1e-11)
+
+
 @pytest.mark.parametrize("halo_width", [1, 2])
 def test_flagship_ensemble_matches_sequential(halo_width):
     """NEMOLite2D ensembles: the time-dependent tidal forcing rides
