@@ -281,6 +281,21 @@ class Grid:
         self._curvi_derived.clear()
         self._region_masks.clear()
 
+    def scatter_exchanged(self, global_arr, mode: str = "edge",
+                          dtype=None):
+        """Scatter a global ``(gny, gnx)`` array to the stacked sharded
+        layout and halo-exchange it to full depth, so every halo cell
+        carries its source cell's value (seam- and wrap-correct).  The
+        one way coefficient-like operands enter device programs
+        (solver couplings, face depths, boundary masks)."""
+        from ..parallel import halo as halo_mod
+        dt = np.dtype(self.dtype if dtype is None else dtype)
+        stacked = jnp.asarray(layout.stack_global(
+            self.decomp, np.asarray(global_arr), mode=mode, dtype=dt))
+        return halo_mod.exchange(
+            jax.device_put(stacked, self.sharding), self.mesh,
+            self.halo_spec, depth=self.decomp.halo)
+
     def get_tmask(self):
         """Reference grid%get_tmask (grid_mod.f90:169-177)."""
         return self.tmask

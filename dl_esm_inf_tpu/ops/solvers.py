@@ -195,15 +195,11 @@ def helmholtz_coefficients(grid, lam_x, lam_y, diag_extra=None):
 
     def face(lam):
         """Stacked per-face coupling: scalar, or a global array
-        scattered to the stacked layout and seam-exchanged so halo
-        faces carry their source face's value."""
+        scattered+exchanged so halo faces carry their source face's
+        value (grid.scatter_exchanged)."""
         if np.isscalar(lam) or getattr(lam, "ndim", 0) == 0:
             return float(lam)
-        stacked = jnp.asarray(layout.stack_global(
-            d, np.asarray(lam), mode="edge", dtype=np.dtype(dtype)))
-        return halo_mod.exchange(
-            jax.device_put(stacked, grid.sharding), grid.mesh,
-            grid.halo_spec, depth=d.halo)
+        return grid.scatter_exchanged(lam, mode="edge", dtype=dtype)
 
     lx_f, ly_f = face(lam_x), face(lam_y)
     # neighbour activity via global rolls — same shift semantics as the
@@ -217,13 +213,8 @@ def helmholtz_coefficients(grid, lam_x, lam_y, diag_extra=None):
     s = jnp.roll(n, 1, 0) * a * jnp.roll(a, 1, 0)
     diag = 1.0 + e + w + n + s
     if diag_extra is not None:
-        dx_st = jnp.asarray(layout.stack_global(
-            d, np.asarray(diag_extra), mode="zeros",
-            dtype=np.dtype(dtype)))
-        dx_st = halo_mod.exchange(
-            jax.device_put(dx_st, grid.sharding), grid.mesh,
-            grid.halo_spec, depth=d.halo)
-        diag = diag + a * dx_st
+        diag = diag + a * grid.scatter_exchanged(
+            diag_extra, mode="zeros", dtype=dtype)
     return e, w, n, s, diag.astype(dtype)
 
 
@@ -635,28 +626,31 @@ class HelmholtzSolver:
         from ..core.field import Field
         bdat = b.data if isinstance(b, Field) else jnp.asarray(b)
         b64 = bdat.astype(jnp.float64)
+        # initial solve at WORKING precision even for an f64 rhs — an
+        # f64 bdat would otherwise run the whole iteration at the ~9x
+        # tax (and compile a second program variant)
+        bwp = bdat.astype(self.grid.dtype)
         res64 = self._residual64_program()
         acc = jnp.dtype(kinds.sum_dtype())
         w64 = self._weight.astype(acc)
         bb = float(jnp.sum((b64.astype(acc) * w64) ** 2)) or 1.0
 
-        x, info = self.solve(bdat)
+        x, info = self.solve(bwp)
         x64 = x.astype(jnp.float64)
         total = info["iterations"]
-        rel = None
+        converged = info["converged"]
         for _ in range(max(refine, 0)):
             r64 = res64(b64, x64, *self._coeffs)
-            rel = float(jnp.sqrt(
-                jnp.sum((r64.astype(acc) * w64) ** 2) / bb))
             d, dinfo = self.solve(r64.astype(self.grid.dtype))
             total += dinfo["iterations"]
+            converged = converged and dinfo["converged"]
             x64 = x64 + d.astype(jnp.float64)
         r64 = res64(b64, x64, *self._coeffs)
         rel = float(jnp.sqrt(jnp.sum((r64.astype(acc) * w64) ** 2)
                              / bb))
         return x64, {"iterations": total, "refined_rel_res": rel,
                      "working_rel_res": info["rel_res"],
-                     "converged": info["converged"]}
+                     "converged": converged}
 
     def solve(self, b, x0=None):
         """Solve for the stacked/sharded rhs ``b`` (a T-point Field or
