@@ -133,6 +133,14 @@ msi.run(5)
 for k, v in msi.gather().items():
     results[f"si_{k}"] = v
 
+# ... and with the radiative open boundary (regression: its mask must
+# build host-side — a sharded array can't be materialised here)
+mso = si.build(24, 24, ndomains=4 * nproc, dt=1.0, depth=10.0,
+               tol=1e-11, open_north=True, bc_amp=0.05)
+mso.run(5)
+for k, v in mso.gather().items():
+    results[f"sio_{k}"] = v
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

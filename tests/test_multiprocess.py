@@ -188,3 +188,11 @@ def test_multiprocess_semi_implicit_matches(mp_results):
     for k in ("eta", "u", "v"):
         np.testing.assert_allclose(mp_results[f"si_{k}"], g[k],
                                    rtol=0, atol=1e-9)
+
+    mo = si.build(24, 24, ndomains=8, dt=1.0, depth=10.0, tol=1e-11,
+                  open_north=True, bc_amp=0.05)
+    mo.run(5)
+    go = mo.gather()
+    for k in ("eta", "u", "v"):
+        np.testing.assert_allclose(mp_results[f"sio_{k}"], go[k],
+                                   rtol=0, atol=1e-9)
