@@ -74,7 +74,8 @@ def _trajectory_runner(model):
 
 
 def make_cost_fn(model, observations: dict, obs_weight=None,
-                 background=None, background_weight: float = 0.0):
+                 background=None, background_weight: float = 0.0,
+                 remat_chunk: int | None = None):
     """Build ``cost(eta0_stacked) -> scalar``: the 4D-Var objective
 
     ``sum_t ||eta_t - obs_t||^2_w  [+ b_w * ||eta0 - background||^2_w]``
@@ -83,6 +84,13 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     is evaluated on wet internal points only.  Returns ``(cost_fn,
     pack, unpack)`` where ``pack`` lifts a global initial eta into the
     stacked optimisation variable and ``unpack`` is its inverse.
+
+    ``remat_chunk`` checkpoints each segment's time loop so the
+    adjoint's memory is bounded — O(n/c + c) state copies per
+    n-step segment instead of O(n) full intermediate sets — at the
+    cost of one extra forward pass (``ops/adjoint.py``).  Use
+    ``remat_chunk ~ sqrt(longest segment)`` for production-length
+    windows; gradients are unchanged (``tests/test_remat.py``).
     """
     run_seg, t_mask = _trajectory_runner(model)
     if not observations:
@@ -103,7 +111,8 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         for t, o in observations.items()}
     # one cached program per distinct segment length
     segs = [steps[0]] + [b - a for a, b in zip(steps, steps[1:])]
-    progs = {n: model.step_program(n) for n in set(segs)}
+    progs = {n: model.step_program(n, remat_chunk=remat_chunk)
+             for n in set(segs)}
     bg = (jax.device_put(jnp.asarray(layout.stack_global(
         d, np.asarray(background), mode="zeros", dtype=dtype)),
         grid.sharding) if background is not None else None)
@@ -134,7 +143,8 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
 def assimilate(model, observations: dict, *, iters: int = 200,
                learning_rate: float = 0.2, first_guess=None,
                obs_weight=None, background=None,
-               background_weight: float = 0.0) -> dict:
+               background_weight: float = 0.0,
+               remat_chunk: int | None = None) -> dict:
     """Twin-experiment-ready 4D-Var: recover the initial surface
     elevation that best explains ``observations`` under ``model``'s
     dynamics, by Adam on the AD gradient of the trajectory misfit.
@@ -146,7 +156,7 @@ def assimilate(model, observations: dict, *, iters: int = 200,
 
     cost, pack, unpack = make_cost_fn(
         model, observations, obs_weight=obs_weight, background=background,
-        background_weight=background_weight)
+        background_weight=background_weight, remat_chunk=remat_chunk)
     d = model.grid.decomp
     x = pack(np.zeros((d.global_ny, d.global_nx))
              if first_guess is None else first_guess)

@@ -167,9 +167,20 @@ class GravityWaveModel:
             interpret=self._pallas_interpret,
             repx=spec.repx, repy=spec.repy)
 
-    def step_program(self, nsteps: int = 1):
-        """Compiled program advancing (eta, u, v) by ``nsteps``."""
-        key = nsteps
+    def step_program(self, nsteps: int = 1,
+                     remat_chunk: int | None = None):
+        """Compiled program advancing (eta, u, v) by ``nsteps``.
+
+        ``remat_chunk`` bounds the memory of reverse-mode AD through
+        the loop (``ops/adjoint.py``): per-step checkpointing, plus a
+        two-level scheme when ``remat_chunk > 1``.  Forward results
+        are bitwise unchanged."""
+        if remat_chunk is not None and (self.use_pallas
+                                        or self._sweep_K > 1):
+            raise ValueError(
+                "remat_chunk needs the plain differentiable jnp path: "
+                "build the model without pallas/steps_per_sweep")
+        key = (nsteps, remat_chunk)
         if key not in self._step_cache:
             grid = self.grid
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
@@ -182,6 +193,14 @@ class GravityWaveModel:
             def body(eta, u, v, t_upd, u_wet, v_wet, codes):
                 state = (eta, u, v)
                 base = 0
+                if remat_chunk is not None:
+                    from ..ops.adjoint import checkpointed_fori
+
+                    def one(_, s):
+                        return self._block_step(exch, *s, t_upd, u_wet,
+                                                v_wet)
+                    return checkpointed_fori(nsteps, one, state,
+                                             remat_chunk)
                 if (K > 1 or self.use_pallas) and nsteps >= K:
                     if self.use_pallas:
                         def sweep(_, s):

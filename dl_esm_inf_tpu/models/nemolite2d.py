@@ -746,7 +746,15 @@ class NemoLite2D:
         return fused(sshn_t, un, vn, mask_codes, tidal_forcing(rtimes, p),
                      ht=dep if self._ht is not None else None)
 
-    def step_program(self, nsteps: int, overlap: bool = False):
+    def step_program(self, nsteps: int, overlap: bool = False,
+                     remat_chunk: int | None = None):
+        """``remat_chunk`` bounds reverse-mode AD memory through the
+        time loop (``ops/adjoint.py``); needs the plain jnp path."""
+        if remat_chunk is not None and (self.use_pallas
+                                        or self._sweep_K > 1):
+            raise ValueError(
+                "remat_chunk needs the plain differentiable jnp path: "
+                "build the flagship without pallas/steps_per_sweep")
         grid = self.grid
         if overlap:
             spec = grid.halo_spec
@@ -767,7 +775,7 @@ class NemoLite2D:
                 "overlap mode runs one step at a time; rebuild with "
                 "steps_per_sweep=1 (temporal blocking already amortises "
                 "the exchange it would overlap)")
-        key = (nsteps, overlap)
+        key = (nsteps, overlap, remat_chunk)
         if key not in self._step_cache:
             h = grid.halo_spec.halo
             exch = exchange_multi_fn(grid.halo_spec, depth=min(h, 2) or 1)
@@ -783,6 +791,14 @@ class NemoLite2D:
             def body(istep0, state, mask_codes, *bathy):
                 dep = bathy[0] if have_ht else None
                 base = 0
+                if remat_chunk is not None:
+                    from ..ops.adjoint import checkpointed_fori
+
+                    def one(i, s):
+                        return stepper(exch, istep0 + i, *s, mask_codes,
+                                       dep=dep)
+                    return checkpointed_fori(nsteps, one, state,
+                                             remat_chunk)
                 if K > 1 and nsteps >= K:
                     def sweep(j, s):
                         return self._block_sweep(exchK, fusedK, K,

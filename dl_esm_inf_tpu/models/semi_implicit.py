@@ -289,10 +289,18 @@ class SemiImplicitModel:
             v_new = v_new + obc * jnp.sqrt(g / hv) * (eta_new - eta_ext1)
         return eta_new, u_new, v_new, k
 
-    def step_program(self, nsteps: int = 1):
+    def step_program(self, nsteps: int = 1,
+                     remat_chunk: int | None = None):
         """Compiled program advancing (eta, u, v) by ``nsteps`` implicit
-        steps; also returns the total CG iteration count."""
-        if nsteps not in self._step_cache:
+        steps; also returns the total CG iteration count.
+
+        ``remat_chunk`` bounds reverse-mode AD memory through the loop
+        (``ops/adjoint.py``).  Note the remat trade is steeper here:
+        the backward sweep re-runs each step's implicit SOLVE once more
+        (checkpointing recomputes the forward chunk), on top of the
+        adjoint solve ``custom_linear_solve`` performs anyway."""
+        key = (nsteps, remat_chunk)
+        if key not in self._step_cache:
             grid = self.grid
             exch3 = exchange_multi_fn(grid.halo_spec, depth=1)
 
@@ -306,17 +314,21 @@ class SemiImplicitModel:
                         invd)
                     return eta, u, v, its + k
 
-                eta, u, v, its = lax.fori_loop(
-                    0, nsteps, one,
-                    (eta, u, v, jnp.zeros((), jnp.int32)))
+                carry0 = (eta, u, v, jnp.zeros((), jnp.int32))
+                if remat_chunk is not None:
+                    from ..ops.adjoint import checkpointed_fori
+                    eta, u, v, its = checkpointed_fori(
+                        nsteps, one, carry0, remat_chunk)
+                else:
+                    eta, u, v, its = lax.fori_loop(0, nsteps, one, carry0)
                 return eta, u, v, its
 
             smapped = jax.shard_map(
                 body, mesh=grid.mesh,
                 in_specs=(P(),) + (P("y", "x"),) * 16,
                 out_specs=((P("y", "x"),) * 3 + (P(),)), check_vma=False)
-            self._step_cache[nsteps] = jax.jit(smapped)
-        return self._step_cache[nsteps]
+            self._step_cache[key] = jax.jit(smapped)
+        return self._step_cache[key]
 
     def run(self, nsteps: int) -> dict:
         prog = self.step_program(nsteps)
