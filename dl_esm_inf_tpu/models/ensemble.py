@@ -176,15 +176,18 @@ class Ensemble:
 
     # ------------------------------------------------------------------
     def member(self, i: int) -> dict:
-        """Gathered global fields of member ``i`` (internal points)."""
+        """Gathered global fields of member ``i`` (internal points;
+        multi-process runs gather across hosts like Field does)."""
+        from ..parallel.collectives import gather_to_host
         d = self.grid.decomp
-        return {k: np.asarray(layout.unstack_internal(d, s[i]))
+        return {k: gather_to_host(layout.unstack_internal(d, s[i]))
                 for k, s in zip(self._names(), self.states)}
 
     def gather_all(self) -> dict:
         """All members' global fields: ``{name: (M, gny, gnx)}``."""
+        from ..parallel.collectives import gather_to_host
         d = self.grid.decomp
-        return {k: np.asarray(layout.unstack_internal(d, s))
+        return {k: gather_to_host(layout.unstack_internal(d, s))
                 for k, s in zip(self._names(), self.states)}
 
     def mean_and_spread(self) -> tuple[dict, dict]:

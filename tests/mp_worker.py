@@ -141,6 +141,25 @@ mso.run(5)
 for k, v in mso.gather().items():
     results[f"sio_{k}"] = v
 
+# --- ensemble + ETKF analysis across the process seam ------------------
+# (member-coalesced halo exchange, the psum'd (M, M) obs moments, and
+# the gather_to_host path of Ensemble.gather_all)
+from dl_esm_inf_tpu.models import gravity_wave as gwm  # noqa: E402
+from dl_esm_inf_tpu.models.enkf import ETKF  # noqa: E402
+from dl_esm_inf_tpu.models.ensemble import Ensemble  # noqa: E402
+
+gm = gwm.build(24, 24, ndomains=4 * nproc, dt=0.05, depth=10.0)
+rng = np.random.default_rng(5)
+base = gaussian_eta(24, 24, amp=0.3)
+ens = Ensemble(gm, 4)
+ens.set_member_states(0, np.stack(
+    [base + 0.1 * rng.standard_normal((24, 24)) for _ in range(4)]))
+ens.run(4)
+ETKF(ens, sigma=0.02).analysis(gaussian_eta(24, 24, amp=0.35))
+ens.run(2)
+for k, v in ens.gather_all().items():
+    results[f"ek_{k}"] = v
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

@@ -196,3 +196,26 @@ def test_multiprocess_semi_implicit_matches(mp_results):
     for k in ("eta", "u", "v"):
         np.testing.assert_allclose(mp_results[f"sio_{k}"], go[k],
                                    rtol=0, atol=1e-9)
+
+
+def test_multiprocess_etkf_matches(mp_results):
+    """Ensemble forecast + ETKF analysis + forecast across REAL process
+    boundaries == single-process: the psum'd (M, M) obs moments and the
+    replicated eigendecomposition agree to reduction-order roundoff."""
+    from dl_esm_inf_tpu.models import gravity_wave as gwm
+    from dl_esm_inf_tpu.models.enkf import ETKF
+    from dl_esm_inf_tpu.models.ensemble import Ensemble
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+    gm = gwm.build(24, 24, ndomains=8, dt=0.05, depth=10.0)
+    rng = np.random.default_rng(5)
+    base = gaussian_eta(24, 24, amp=0.3)
+    ens = Ensemble(gm, 4)
+    ens.set_member_states(0, np.stack(
+        [base + 0.1 * rng.standard_normal((24, 24)) for _ in range(4)]))
+    ens.run(4)
+    ETKF(ens, sigma=0.02).analysis(gaussian_eta(24, 24, amp=0.35))
+    ens.run(2)
+    for k, v in ens.gather_all().items():
+        np.testing.assert_allclose(mp_results[f"ek_{k}"], v,
+                                   rtol=0, atol=1e-9)
