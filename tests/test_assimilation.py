@@ -215,6 +215,26 @@ def test_open_boundary_implicit_4dvar():
     assert res["cost_history"][-1] < 1e-2 * res["cost_history"][0]
 
 
+def test_lbfgs_optimizer():
+    """The operational 4D-Var optimizer: L-BFGS with zoom linesearch
+    drives the quadratic misfit to ~machine precision in a few dozen
+    iterations (Adam needs hundreds for orders of magnitude less)."""
+    N = 24
+    eta_true = gw.gaussian_eta(N, N, amp=0.5)
+    obs = _truth_obs(gw.build(N, N, dt=0.05, depth=10.0), eta_true,
+                     [6, 12])
+    m = gw.build(N, N, dt=0.05, depth=10.0)
+    res = assimilate(m, obs, iters=40, optimizer="lbfgs")
+    hist = res["cost_history"]
+    assert hist[-1] < 1e-12 * hist[0]
+    wet = layout.unstack_internal(
+        m.grid.decomp, np.asarray(m._t_upd)).astype(bool)
+    err = np.abs((res["eta0"] - eta_true) * wet).max()
+    assert err < 1e-4 * np.abs(eta_true).max()
+    with pytest.raises(ValueError, match="optimizer"):
+        assimilate(m, obs, iters=1, optimizer="sgd")
+
+
 def test_implicit_model_requires_differentiable_flag():
     from dl_esm_inf_tpu.models import semi_implicit as si
     m = si.build(16, 16, dt=1.0)
