@@ -43,9 +43,11 @@ from ..core import layout
 
 
 def _etkf_weights(S, d, m, inflation):
-    """ETKF weight matrix from obs-space moments (all (M, M)/(M,)
-    replicated): returns ``Wtot`` with column k the mixing weights of
-    analysis member k over the forecast perturbations.
+    """ETKF weight matrix from obs-space moments: returns ``Wtot`` with
+    ``Wtot[..., j, k]`` the weight of forecast perturbation j in
+    analysis member k.  Batched over any leading dims — the LETKF path
+    calls it with per-grid-point ``(ly, lx, M, M)`` moments and XLA
+    batches the eigendecomposition over all points.
 
     ``S = Y'^T R^-1 Y'``, ``d = Y'^T R^-1 (y - Hx̄)``;
     ``P̃^-1 = (m-1) I / inflation + S``;
@@ -58,11 +60,29 @@ def _etkf_weights(S, d, m, inflation):
     # pinv is SPD by construction ((m-1)/rho > 0, S PSD); clamp anyway
     # so a degenerate ensemble cannot emit NaNs
     lam = jnp.maximum(lam, jnp.asarray(1e-30, dtype))
-    p_tilde = (q / lam) @ q.T
-    w_mean = p_tilde @ d
-    w_anom = jnp.sqrt(jnp.asarray(m - 1, dtype)) * ((q / jnp.sqrt(lam))
-                                                    @ q.T)
-    return w_mean[:, None] + w_anom
+    qt = jnp.swapaxes(q, -1, -2)
+    p_tilde = (q / lam[..., None, :]) @ qt
+    w_mean = (p_tilde @ d[..., None])[..., 0]
+    w_anom = jnp.sqrt(jnp.asarray(m - 1, dtype)) * (
+        (q / jnp.sqrt(lam)[..., None, :]) @ qt)
+    return w_mean[..., None] + w_anom
+
+
+def gaspari_cohn(r):
+    """The Gaspari-Cohn 5th-order compactly-supported correlation
+    function of ``r = distance / L`` (the standard covariance
+    localisation taper; support ``r < 2``)."""
+    # clamp before the polynomials: padded/far observations arrive with
+    # huge r and x**5 would overflow to inf (inf - inf = NaN inside the
+    # discarded branch is fine for where, but keep it clean and cheap)
+    r = jnp.minimum(jnp.abs(r), jnp.asarray(3.0, r.dtype))
+    near = (-0.25 * r ** 5 + 0.5 * r ** 4 + 0.625 * r ** 3
+            - (5.0 / 3.0) * r ** 2 + 1.0)
+    rs = jnp.maximum(r, jnp.asarray(1e-12, r.dtype))
+    far = ((1.0 / 12.0) * r ** 5 - 0.5 * r ** 4 + 0.625 * r ** 3
+           + (5.0 / 3.0) * r ** 2 - 5.0 * r + 4.0 - (2.0 / 3.0) / rs)
+    return jnp.where(r <= 1.0, near,
+                     jnp.where(r <= 2.0, far, jnp.zeros_like(r)))
 
 
 class ETKF:
@@ -74,10 +94,22 @@ class ETKF:
     points (default: every wet internal point), with independent error
     std ``sigma``; ``inflation`` is multiplicative covariance
     inflation (rho >= 1 combats sampling noise from finite M).
+
+    ``localization_radius=L`` (physical units) switches to the LETKF
+    (Hunt et al. 2007): every grid point computes its own analysis
+    from observations within ``2L``, with Gaspari-Cohn-tapered
+    R-localisation — the production form for small ensembles, where
+    spurious long-range sample covariances otherwise contaminate the
+    update.  On TPU the per-point (M, M) eigendecompositions run as
+    one batched ``eigh`` over all local points and the moments are
+    taper-weighted einsums; points out of range of every observation
+    are left exactly unchanged (the transform degenerates to the
+    identity).
     """
 
     def __init__(self, ensemble, *, obs_field: str | None = None,
-                 sigma: float = 0.05, inflation: float = 1.0):
+                 sigma: float = 0.05, inflation: float = 1.0,
+                 localization_radius: float | None = None):
         self.ens = ensemble
         names = ensemble._field_names
         self._obs_idx = (0 if obs_field is None
@@ -86,8 +118,13 @@ class ETKF:
             raise ValueError("sigma must be > 0")
         if inflation < 1.0:
             raise ValueError("inflation must be >= 1 (multiplicative)")
+        if localization_radius is not None and localization_radius <= 0:
+            raise ValueError("localization_radius must be > 0 "
+                             "(physical units; None = global ETKF)")
         self.sigma = float(sigma)
         self.inflation = float(inflation)
+        self.localization_radius = (None if localization_radius is None
+                                    else float(localization_radius))
         grid = ensemble.grid
         d = grid.decomp
         dtype = np.dtype(grid.dtype)
@@ -106,7 +143,18 @@ class ETKF:
         if t_wet is not None:
             wet = wet * t_wet.astype(wet.dtype)
         self._wet = wet
+        if self.localization_radius is not None:
+            # per-cell GLOBAL indices (halo cells included, so a halo
+            # point gets the same distances — hence the same weights —
+            # as its interior twin on the neighbouring shard)
+            gy = np.asarray(layout.global_y_index(d), np.int32)
+            gx = np.asarray(layout.global_x_index(d), np.int32)
+            self._gyi = jax.device_put(jnp.asarray(np.broadcast_to(
+                gy[:, None], (gy.size, gx.size))), grid.sharding)
+            self._gxi = jax.device_put(jnp.asarray(np.broadcast_to(
+                gx[None, :], (gy.size, gx.size))), grid.sharding)
         self._prog = None
+        self._loc_progs = {}
 
     # ------------------------------------------------------------------
     def _program(self):
@@ -149,6 +197,69 @@ class ETKF:
         return self._prog
 
     # ------------------------------------------------------------------
+    def _program_localized(self, p_pad: int):
+        """LETKF: every grid point solves its own (M, M) analysis from
+        Gaspari-Cohn-tapered observations.  One program per padded
+        observation count; inside it the obs-space anomalies are one
+        psum of a (p, M) matrix, the per-point moments are einsums over
+        the taper, the eigendecompositions run BATCHED over all local
+        points, and the update is the same member-space mix with
+        point-dependent weights.  Weights depend only on a point's
+        global coordinates and the global obs set, so halo points
+        transform like their interior twins — still no halo exchange."""
+        if p_pad in self._loc_progs:
+            return self._loc_progs[p_pad]
+        ens = self.ens
+        m = ens.n_members
+        n_state = len(ens.states)
+        oi = self._obs_idx
+        mesh = ens.grid.mesh
+        dx, dy = float(ens.grid.dx), float(ens.grid.dy)
+
+        def body(ovals, oyi, oxi, gyi, gxi, wet, sig_inv2, rho, rad,
+                 *state):
+            dtype = state[oi].dtype
+            eo = state[oi]
+            em = jnp.mean(eo, axis=0)
+            ep = eo - em[None]
+            # one-hot extraction of obs-point anomalies/means: an obs
+            # lives on exactly one shard's wet internal cell; the psum
+            # assembles the global (p, M) matrix everywhere
+            sel = ((gyi[None] == oyi[:, None, None])
+                   & (gxi[None] == oxi[:, None, None])
+                   & (wet > 0)[None]).astype(dtype)
+            yp = lax.psum(jnp.einsum("pyx,myx->pm", sel, ep), ("y", "x"))
+            mo = lax.psum(jnp.einsum("pyx,yx->p", sel, em), ("y", "x"))
+            innov = ovals - mo
+            # per-point Gaspari-Cohn taper of R^-1 (R-localisation);
+            # padded slots carry far-away coords -> taper exactly 0
+            fy = (gyi.astype(dtype)[None]
+                  - oyi.astype(dtype)[:, None, None]) * dy
+            fx = (gxi.astype(dtype)[None]
+                  - oxi.astype(dtype)[:, None, None]) * dx
+            taper = gaspari_cohn(jnp.sqrt(fy * fy + fx * fx) / rad)
+            w = taper * sig_inv2
+            S = jnp.einsum("pyx,pm,pn->yxmn", w, yp, yp)
+            dloc = jnp.einsum("pyx,pm,p->yxm", w, yp, innov)
+            wtot = _etkf_weights(S, dloc, m, rho)      # (ly, lx, M, M)
+            out = []
+            for f in state:
+                fm = jnp.mean(f, axis=0)
+                fp = f - fm[None]
+                out.append(fm[None]
+                           + jnp.einsum("yxmk,myx->kyx", wtot, fp))
+            return tuple(out)
+
+        blk = P(None, "y", "x")
+        smapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=((P(),) * 3 + (P("y", "x"),) * 3 + (P(),) * 3
+                      + (blk,) * n_state),
+            out_specs=(blk,) * n_state, check_vma=False)
+        self._loc_progs[p_pad] = jax.jit(smapped)
+        return self._loc_progs[p_pad]
+
+    # ------------------------------------------------------------------
     def analysis(self, obs_global, obs_mask=None) -> dict:
         """Assimilate one batch of observations into the ensemble
         (in place).  Returns obs-space diagnostics: RMS innovation of
@@ -172,8 +283,30 @@ class ETKF:
         before = self._obs_diagnostics(obs, ow)
         sig_inv2 = jnp.asarray(1.0 / self.sigma ** 2, dtype)
         rho = jnp.asarray(self.inflation, dtype)
-        ens.states = tuple(self._program()(
-            obs, ow, self._wet, sig_inv2, rho, *ens.states))
+        if self.localization_radius is None:
+            ens.states = tuple(self._program()(
+                obs, ow, self._wet, sig_inv2, rho, *ens.states))
+        else:
+            # host-side obs list (mask and values are host arrays),
+            # padded to a static length so programs are reused
+            mask_np = (np.ones((d.global_ny, d.global_nx), bool)
+                       if obs_mask is None
+                       else np.asarray(obs_mask) != 0)
+            iy, ix = np.nonzero(mask_np)
+            vals = np.asarray(obs_global)[iy, ix].astype(dtype)
+            p_pad = max(64, int(-(-iy.size // 64) * 64))
+            far = np.int32(-(2 ** 24))     # taper 0, matches no cell
+            oyi = np.full((p_pad,), far, np.int32)
+            oxi = np.full((p_pad,), far, np.int32)
+            ovals = np.zeros((p_pad,), dtype)
+            oyi[: iy.size] = iy
+            oxi[: ix.size] = ix
+            ovals[: iy.size] = vals
+            rad = jnp.asarray(self.localization_radius, dtype)
+            ens.states = tuple(self._program_localized(p_pad)(
+                jnp.asarray(ovals), jnp.asarray(oyi), jnp.asarray(oxi),
+                self._gyi, self._gxi, self._wet, sig_inv2, rho, rad,
+                *ens.states))
         after = self._obs_diagnostics(obs, ow)
         return {"rms_innovation_before": before[0],
                 "rms_innovation_after": after[0],

@@ -177,6 +177,71 @@ def test_flagship_ensemble_etkf():
     assert diag["rms_innovation_after"] < diag["rms_innovation_before"]
 
 
+def test_letkf_huge_radius_matches_global():
+    """With a localization radius far beyond the domain, the
+    Gaspari-Cohn taper is ~1 at every (point, obs) pair and the LETKF
+    reduces to the global ETKF."""
+    N, M = 16, 5
+    truth, obs = _truth_and_obs(N, cycles=1, fsteps=4)
+    got = {}
+    for rad in (None, 1e6):
+        m = gw.build(N, N, dt=0.05, depth=10.0)
+        ens = _perturbed_ensemble(m, M, amp=0.15, seed=2)
+        ens.run(4)
+        ETKF(ens, sigma=0.02, localization_radius=rad).analysis(obs[0])
+        got[rad] = ens.gather_all()
+    for k in got[None]:
+        np.testing.assert_allclose(got[1e6][k], got[None][k],
+                                   rtol=0, atol=1e-7)
+
+
+def test_letkf_decomposition_invariant():
+    """Cycled LETKF + post-analysis forecast: 1 domain == 8 domains
+    (per-point weights depend only on global coordinates and the
+    global obs set, so shard halos stay consistent with no
+    exchange)."""
+    N, M = 16, 4
+    truth, obs = _truth_and_obs(N, cycles=2, fsteps=4)
+    got = {}
+    for ndom in (1, 8):
+        m = gw.build(N, N, ndomains=ndom, dt=0.05, depth=10.0)
+        ens = _perturbed_ensemble(m, M, amp=0.15, seed=4)
+        filt = ETKF(ens, sigma=0.03, localization_radius=4.0)
+        for y in obs:
+            ens.run(4)
+            filt.analysis(y)
+        ens.run(3)
+        got[ndom] = ens.gather_all()
+    for k in got[1]:
+        np.testing.assert_allclose(got[8][k], got[1][k],
+                                   rtol=0, atol=1e-9)
+
+
+def test_letkf_locality():
+    """Points beyond 2L of every observation are left exactly
+    unchanged (their transform is the identity), while observed-side
+    points move: the covariance-localisation contract that the global
+    ETKF cannot honour."""
+    N, M = 24, 5
+    truth, obs = _truth_and_obs(N, cycles=1, fsteps=4)
+    m = gw.build(N, N, dt=0.05, depth=10.0)
+    ens = _perturbed_ensemble(m, M, amp=0.15, seed=6)
+    ens.run(4)
+    before = ens.gather_all()
+    # observe only the left columns [1, 4); dx = 1 -> support < x=10
+    mask = np.zeros((N, N))
+    mask[:, 1:4] = 1.0
+    filt = ETKF(ens, sigma=0.02, localization_radius=3.0)
+    diag = filt.analysis(obs[0], obs_mask=mask)
+    after = ens.gather_all()
+    assert diag["rms_innovation_after"] <= diag["rms_innovation_before"]
+    for k in before:
+        far = np.abs(after[k][:, :, 12:] - before[k][:, :, 12:]).max()
+        near = np.abs(after[k][:, :, :8] - before[k][:, :, :8]).max()
+        assert far < 1e-12, k
+        assert near > 1e-6, k
+
+
 def test_guards():
     m = gw.build(16, 16, dt=0.05, depth=10.0)
     ens = Ensemble(m, 4)
@@ -186,3 +251,5 @@ def test_guards():
         ETKF(ens, sigma=0.1, inflation=0.5)
     with pytest.raises(ValueError, match="not in"):
         ETKF(ens, obs_field="nope")
+    with pytest.raises(ValueError, match="localization"):
+        ETKF(ens, sigma=0.1, localization_radius=0.0)
