@@ -195,15 +195,20 @@ def measure_solver(jax, jnp, deadline, N=1024):
                 best * 1e6 / max(info["iterations"], 1), 2)}
 
 
-def _tpu_reachable(budget_s: float = 420.0) -> bool:
+def _tpu_reachable(budget_s: float | None = None) -> bool:
     """Probe the axon tunnel in a SUBPROCESS before touching jax here.
 
     A tunnel outage makes backend init HANG (not fail): jax.devices()
     blocks indefinitely, and once the parent process has started the
     axon backend there is no in-process way to abandon it.  So probe in
     a killable child, retry across tenancy windows for up to
-    ``budget_s``, and let the caller fall back to the CPU backend if
-    the chip never answers — the driver must ALWAYS get its JSON line."""
+    ``budget_s`` (default 900, override via BENCH_TPU_PROBE_BUDGET —
+    outages here have lasted tens of minutes, and a patient probe that
+    eventually records a real-chip number beats a fast CPU fallback),
+    and let the caller fall back to the CPU backend if the chip never
+    answers — the driver must ALWAYS get its JSON line."""
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_TPU_PROBE_BUDGET", 900))
     if os.environ.get("JAX_PLATFORMS", "axon") == "cpu":
         return False
     t_end = time.monotonic() + budget_s

@@ -20,6 +20,7 @@ run() {
 
 run oracles     900 python scripts/tpu_oracles.py
 run fence       590 python scripts/fence_oracle.py
+run f64         900 python scripts/f64_oracle.py
 run solverbench 900 python scripts/solverbench.py
 run bench       900 python bench.py
 echo "== done $(date +%H:%M:%S) =="
