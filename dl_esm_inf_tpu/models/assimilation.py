@@ -28,14 +28,30 @@ from ..core import layout
 
 
 def _trajectory_runner(model):
-    """``(runner, wet_t_mask)`` for a supported model: the runner is a
-    ``(prog, state, base_step) -> state`` closure binding the model's
-    non-state operands (``base_step`` = global index of the segment's
-    first step, for time-dependent forcing); raises for
-    non-differentiable configurations."""
+    """``(runner, wet_t_mask, make_state)`` for a supported model: the
+    runner is a ``(prog, state, base_step) -> state`` closure binding
+    the model's non-state operands (``base_step`` = global index of the
+    segment's first step, for time-dependent forcing) and
+    ``make_state(x0)`` builds the rest-start state tuple from the
+    optimisation variable; raises for non-differentiable
+    configurations."""
     from .gravity_wave import GravityWaveModel
     from .nemolite2d import NemoLite2D
     from .semi_implicit import SemiImplicitModel
+    from .tracer import TracerModel
+
+    def rest3(x0):
+        return (x0, jnp.zeros_like(x0), jnp.zeros_like(x0))
+
+    if isinstance(model, TracerModel):
+        if model.use_pallas or model._sweep_K > 1:
+            raise ValueError(
+                "4D-Var needs the plain differentiable jnp path: build "
+                "the tracer model without pallas/steps_per_sweep")
+        ops = (model._u, model._v, model._t_upd, model._u_wet,
+               model._v_wet, model._mask_codes)
+        return ((lambda prog, st, base: prog(*st, *ops)), model._t_upd,
+                lambda x0: (x0,))
     if isinstance(model, GravityWaveModel):
         if model.use_pallas or model._sweep_K > 1:
             raise ValueError(
@@ -44,7 +60,8 @@ def _trajectory_runner(model):
                 "has no VJP)")
         ops = (model._t_upd, model._u_wet, model._v_wet,
                model._mask_codes)
-        return (lambda prog, st, base: prog(*st, *ops)), model._t_upd
+        return ((lambda prog, st, base: prog(*st, *ops)),
+                model._t_upd, rest3)
     if isinstance(model, SemiImplicitModel):
         if not model.differentiable:
             raise ValueError(
@@ -54,8 +71,8 @@ def _trajectory_runner(model):
         ops = (model._t_upd, model._u_wet, model._v_wet, model._weight,
                *model._coeffs, model._hu, model._hv, model._obc,
                model._inv_diag)
-        return (lambda prog, st, base: prog(
-            jnp.int32(base), *st, *ops)[:3]), model._t_upd
+        return ((lambda prog, st, base: prog(
+            jnp.int32(base), *st, *ops)[:3]), model._t_upd, rest3)
     if isinstance(model, NemoLite2D):
         # the NONLINEAR flagship: jax.grad flows through the upwind
         # flux selections (a.e.-valid subgradients) and the tidal
@@ -66,11 +83,12 @@ def _trajectory_runner(model):
                 "the flagship without pallas=True")
         if getattr(model, "_ht", None) is not None:
             raise ValueError("flagship 4D-Var supports flat bathymetry")
-        return (lambda prog, st, base: prog(
-            jnp.int32(base), tuple(st), model._mask_codes)), model._t_wet
+        return ((lambda prog, st, base: prog(
+            jnp.int32(base), tuple(st), model._mask_codes)),
+                model._t_wet, rest3)
     raise TypeError("assimilation drives the GravityWaveModel, "
-                    "SemiImplicitModel or NemoLite2D interface, got "
-                    f"{type(model).__name__}")
+                    "SemiImplicitModel, NemoLite2D or TracerModel "
+                    f"interface, got {type(model).__name__}")
 
 
 def make_cost_fn(model, observations: dict, obs_weight=None,
@@ -92,7 +110,7 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     ``remat_chunk ~ sqrt(longest segment)`` for production-length
     windows; gradients are unchanged (``tests/test_remat.py``).
     """
-    run_seg, t_mask = _trajectory_runner(model)
+    run_seg, t_mask, make_state = _trajectory_runner(model)
     if not observations:
         raise ValueError("observations must map step -> global array")
     steps = sorted(observations)
@@ -118,7 +136,7 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         grid.sharding) if background is not None else None)
 
     def cost(eta0):
-        state = (eta0, jnp.zeros_like(eta0), jnp.zeros_like(eta0))
+        state = make_state(eta0)
         c = jnp.zeros((), w.dtype)
         if bg is not None:
             c = c + background_weight * jnp.sum((eta0 - bg) ** 2 * w)

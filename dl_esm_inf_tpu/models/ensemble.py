@@ -36,7 +36,7 @@ def _adapt(model):
     step index, for models with time-dependent forcing) and
     ``exch_depth`` the halo depth its per-step exchange needs."""
     from . import (gravity_wave, nemolite2d, semi_implicit, shallow,
-                   twolayer)
+                   tracer, twolayer)
     if getattr(model, "use_pallas", False):
         raise ValueError(
             "Ensemble wraps the jnp path; build the base model without "
@@ -48,6 +48,11 @@ def _adapt(model):
     if isinstance(model, gravity_wave.GravityWaveModel):
         return (("eta", "u", "v"), (model.eta, model.u, model.v),
                 (model._t_upd, model._u_wet, model._v_wet), plain, 1)
+    if isinstance(model, tracer.TracerModel):
+        # steady velocities ride as member-shared mask-like operands
+        return (("c",), (model.c,),
+                (model._u, model._v, model._t_upd, model._u_wet,
+                 model._v_wet), plain, model.reach)
     if isinstance(model, shallow.ShallowModel):
         return (("eta", "u", "v"), (model.eta, model.u, model.v), (),
                 plain, 1)
