@@ -56,6 +56,53 @@ def _van_leer(r):
     return (r + jnp.abs(r)) / (1.0 + jnp.abs(r))
 
 
+def face_values_x(c, t_upd, u, scheme: str):
+    """Tracer reconstruction at U faces (face i between T_i and
+    T_{i+1}, NE offset)."""
+    up = c
+    dn = st.xp(c)
+    if scheme == "upwind":
+        return jnp.where(u > 0, up, dn)
+    dc = dn - up                       # real face difference
+    safe = jnp.where(dc == 0, jnp.ones_like(dc), dc)
+    # u > 0: upwind cell i, far-upwind i-1;  u < 0: mirrored
+    r_pos = (up - st.xm(c)) / safe
+    r_neg = (st.xp(dn) - dn) / safe
+    corr_pos = 0.5 * _van_leer(r_pos) * dc * st.xm(t_upd)
+    corr_neg = 0.5 * _van_leer(r_neg) * dc * st.xp(st.xp(t_upd))
+    return jnp.where(u > 0, up + corr_pos, dn - corr_neg)
+
+
+def face_values_y(c, t_upd, v, scheme: str):
+    up = c
+    dn = st.yp(c)
+    if scheme == "upwind":
+        return jnp.where(v > 0, up, dn)
+    dc = dn - up
+    safe = jnp.where(dc == 0, jnp.ones_like(dc), dc)
+    r_pos = (up - st.ym(c)) / safe
+    r_neg = (st.yp(dn) - dn) / safe
+    corr_pos = 0.5 * _van_leer(r_pos) * dc * st.ym(t_upd)
+    corr_neg = 0.5 * _van_leer(r_neg) * dc * st.yp(st.yp(t_upd))
+    return jnp.where(v > 0, up + corr_pos, dn - corr_neg)
+
+
+def tracer_step(c, u, v, t_upd, u_wet, v_wet, *, dx, dy, dt, kappa,
+                scheme):
+    """One conservative flux-form step (reach 1 upwind / 2 vanleer):
+    the tracer physics shared by the standalone model (jnp + Pallas
+    windows) and the online-coupled step."""
+    fx = u * face_values_x(c, t_upd, u, scheme)
+    fy = v * face_values_y(c, t_upd, v, scheme)
+    tend = -(st.ddx_back(fx, dx) + st.ddy_back(fy, dy))
+    if kappa:
+        gx = st.ddx(c, dx) * u_wet
+        gy = st.ddy(c, dy) * v_wet
+        tend = tend + kappa * (st.ddx_back(gx, dx)
+                               + st.ddy_back(gy, dy))
+    return jnp.where(t_upd > 0, c + dt * tend, c)
+
+
 class TracerModel:
     """Tracer C on T points advected by steady face velocities."""
 
@@ -109,48 +156,12 @@ class TracerModel:
         self.c.halo_exchange(1)
 
     # ------------------------------------------------------------------
-    def _face_values_x(self, c, t_upd, u):
-        """Tracer reconstruction at U faces (face i between T_i and
-        T_{i+1}, NE offset)."""
-        up = c
-        dn = st.xp(c)
-        if self.scheme == "upwind":
-            return jnp.where(u > 0, up, dn)
-        dc = dn - up                       # real face difference
-        safe = jnp.where(dc == 0, jnp.ones_like(dc), dc)
-        # u > 0: upwind cell i, far-upwind i-1;  u < 0: mirrored
-        r_pos = (up - st.xm(c)) / safe
-        r_neg = (st.xp(dn) - dn) / safe
-        corr_pos = 0.5 * _van_leer(r_pos) * dc * st.xm(t_upd)
-        corr_neg = 0.5 * _van_leer(r_neg) * dc * st.xp(st.xp(t_upd))
-        return jnp.where(u > 0, up + corr_pos, dn - corr_neg)
-
-    def _face_values_y(self, c, t_upd, v):
-        up = c
-        dn = st.yp(c)
-        if self.scheme == "upwind":
-            return jnp.where(v > 0, up, dn)
-        dc = dn - up
-        safe = jnp.where(dc == 0, jnp.ones_like(dc), dc)
-        r_pos = (up - st.ym(c)) / safe
-        r_neg = (st.yp(dn) - dn) / safe
-        corr_pos = 0.5 * _van_leer(r_pos) * dc * st.ym(t_upd)
-        corr_neg = 0.5 * _van_leer(r_neg) * dc * st.yp(st.yp(t_upd))
-        return jnp.where(v > 0, up + corr_pos, dn - corr_neg)
-
     def _step_math(self, c, u, v, t_upd, u_wet, v_wet):
         """One conservative step on a block/window (reach = 1 or 2)."""
-        dx, dy, dt, kappa = (self.grid.dx, self.grid.dy, self.dt,
-                             self.kappa)
-        fx = u * self._face_values_x(c, t_upd, u)
-        fy = v * self._face_values_y(c, t_upd, v)
-        tend = -(st.ddx_back(fx, dx) + st.ddy_back(fy, dy))
-        if kappa:
-            gx = st.ddx(c, dx) * u_wet
-            gy = st.ddy(c, dy) * v_wet
-            tend = tend + kappa * (st.ddx_back(gx, dx)
-                                   + st.ddy_back(gy, dy))
-        return (jnp.where(t_upd > 0, c + dt * tend, c),)
+        return (tracer_step(c, u, v, t_upd, u_wet, v_wet,
+                            dx=self.grid.dx, dy=self.grid.dy,
+                            dt=self.dt, kappa=self.kappa,
+                            scheme=self.scheme),)
 
     def _block_step(self, exch, c, u, v, t_upd, u_wet, v_wet):
         (c,) = exch((c,))
@@ -274,6 +285,116 @@ class TracerModel:
 
 
 # ----------------------------------------------------------------------
+class CoupledTracer:
+    """Passive tracer advected ONLINE by the evolving flagship flow —
+    the age/plume-tracer workflow: NEMOLite2D dynamics and tracer
+    transport advance in ONE program, with one coalesced 4-field halo
+    exchange per step (collective count independent of the tracer).
+
+    The tracer advects with the START-of-step velocities (first-order
+    operator splitting): they are freshly exchanged and therefore
+    valid one ring into the halo, where the just-computed end-of-step
+    velocities are not — using them would cost a second (u, v)
+    exchange per step for a lag of one dt in a passive field.
+
+    The flow is untouched: the coupled flagship trajectory equals a
+    plain flagship run (``tests/test_tracer.py`` pins it), and tracer
+    mass is conserved exactly as in the standalone model.
+    """
+
+    def __init__(self, flagship, kappa: float = 0.0,
+                 scheme: str = "vanleer"):
+        from .nemolite2d import NemoLite2D
+        if not isinstance(flagship, NemoLite2D):
+            raise TypeError("CoupledTracer rides a NemoLite2D model, "
+                            f"got {type(flagship).__name__}")
+        if flagship.use_pallas or flagship._sweep_K > 1:
+            raise ValueError(
+                "CoupledTracer wraps the jnp path: build the flagship "
+                "without pallas/steps_per_sweep")
+        if scheme not in ("upwind", "vanleer"):
+            raise ValueError(f"scheme must be 'upwind' or 'vanleer', "
+                             f"got {scheme!r}")
+        reach = 1 if scheme == "upwind" else 2
+        h = flagship.grid.halo_spec.halo
+        if h < 2 or h < reach:
+            raise ValueError(
+                "CoupledTracer needs halo_width >= 2 (the flagship's "
+                "communication-free reach-2 chain) and >= the tracer "
+                f"scheme's reach; got {h}")
+        self.flagship = flagship
+        self.grid = flagship.grid
+        self.kappa = float(kappa)
+        self.scheme = scheme
+        self.c = dl.Field(self.grid, dl.T_POINTS)
+        dtype = self.c.dtype
+        self._t_upd, self._u_wet, self._v_wet = wet_update_masks(
+            self.grid, dtype)
+        self._step_cache = {}
+
+    set_initial_tracer = TracerModel.set_initial_tracer
+    mass = TracerModel.mass
+
+    # ------------------------------------------------------------------
+    def step_program(self, nsteps: int = 1):
+        if nsteps not in self._step_cache:
+            from . import nemolite2d as nl
+            fs = self.flagship
+            grid = self.grid
+            p = fs.p
+            dx, dy = grid.dx, grid.dy
+            exch = exchange_multi_fn(grid.halo_spec, depth=2)
+            have_ht = fs._ht is not None
+
+            def body(istep0, ssh, un, vn, c, codes, t_upd, u_wet,
+                     v_wet, *bathy):
+                dep = bathy[0] if have_ht else fs.depth
+
+                def one(i, s):
+                    ssh, un, vn, c = exch(s)
+                    rtime = (istep0 + i + 1).astype(ssh.dtype) * p.rdt
+                    forcing = nl.tidal_forcing(rtime, p)
+                    ssh2, un2, vn2 = nl.step_math(
+                        ssh, un, vn, codes, p, dx, dy, fs._fcor, dep,
+                        forcing)
+                    c2 = tracer_step(
+                        c, un * u_wet, vn * v_wet, t_upd, u_wet, v_wet,
+                        dx=dx, dy=dy, dt=p.rdt, kappa=self.kappa,
+                        scheme=self.scheme)
+                    return ssh2, un2, vn2, c2
+
+                return lax.fori_loop(0, nsteps, one,
+                                     (ssh, un, vn, c))
+
+            blk = P("y", "x")
+            self._step_cache[nsteps] = jax.jit(jax.shard_map(
+                body, mesh=grid.mesh,
+                in_specs=(P(),) + (blk,) * 8 + ((blk,) if have_ht
+                                                else ()),
+                out_specs=(blk,) * 4, check_vma=False))
+        return self._step_cache[nsteps]
+
+    def run(self, nsteps: int) -> None:
+        fs = self.flagship
+        bathy = (fs._ht,) if fs._ht is not None else ()
+        out = self.step_program(nsteps)(
+            jnp.int32(fs._istep0), fs.sshn_t.data, fs.un.data,
+            fs.vn.data, self.c.data, fs._mask_codes, self._t_upd,
+            self._u_wet, self._v_wet, *bathy)
+        fs.sshn_t.data, fs.un.data, fs.vn.data, self.c.data = out
+        fs._istep0 += nsteps
+        # keep the flagship's derived U/V-face ssh in sync (as nl.run)
+        from .nemolite2d import next_sshu, next_sshv
+        fs.sshn_t.halo_exchange(1)
+        fs.sshn_u.data = next_sshu(fs.sshn_t.data, fs._t_wet)
+        fs.sshn_v.data = next_sshv(fs.sshn_t.data, fs._t_wet)
+
+    def gather(self) -> dict:
+        out = self.flagship.gather()
+        out["c"] = self.c.gather_inner_data()
+        return out
+
+
 def streamfunction_velocities(psi: np.ndarray, dx: float = 1.0,
                               dy: float = 1.0):
     """Discretely divergence-free face velocities from a streamfunction
@@ -293,6 +414,7 @@ def streamfunction_velocities(psi: np.ndarray, dx: float = 1.0,
 def build(gnx: int = 64, gny: int = 64, ndomains=None, dt: float = 0.1,
           u=0.2, v=0.1, kappa: float = 0.0, scheme: str = "vanleer",
           tmask: np.ndarray | None = None, halo_width: int | None = None,
+          dx: float = 1.0, dy: float = 1.0,
           pallas: bool = False, steps_per_sweep: int = 1,
           **kw) -> TracerModel:
     """Tracer model on a walled domain (one-cell land ring by default).
@@ -313,7 +435,7 @@ def build(gnx: int = 64, gny: int = 64, ndomains=None, dt: float = 0.1,
         tmask = np.ones((gny, gnx), dtype=np.int32)
         tmask[0, :] = tmask[-1, :] = 0
         tmask[:, 0] = tmask[:, -1] = 0
-    dl.grid_init(grid, 1.0, 1.0, tmask=tmask)
+    dl.grid_init(grid, dx, dy, tmask=tmask)
     model = TracerModel(grid, dt=dt, u=u, v=v, kappa=kappa,
                         scheme=scheme, **kw)
     if pallas:

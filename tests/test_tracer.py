@@ -186,6 +186,84 @@ def test_ensemble_and_etkf_compose():
         "rms_innovation_before"]
 
 
+def _coupled(N, ndom=None, **kw):
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    fs = nl.build(N, N, ndomains=ndom, open_north=True,
+                  halo_width=2)
+    return tr.CoupledTracer(fs, **kw)
+
+
+def test_coupled_flow_untouched_and_mass_conserved():
+    """Online coupling: the coupled flagship trajectory equals a plain
+    flagship run (the tracer is passive), and tracer mass is conserved
+    through the evolving flow."""
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    N = 32
+    ssh0 = gaussian_eta(N, N, amp=0.2)
+    plain = nl.build(N, N, open_north=True, halo_width=2)
+    plain.set_initial_ssh(ssh0)
+    plain.run(12)
+
+    ct = _coupled(N, kappa=0.01)
+    ct.flagship.set_initial_ssh(ssh0)
+    ct.set_initial_tracer(_blob(N))
+    m0 = ct.mass()
+    ct.run(12)
+    assert abs(ct.mass() - m0) <= 1e-12 * abs(m0)
+    g, gp = ct.gather(), plain.gather()
+    for k in ("sshn", "un", "vn"):
+        # 1-ulp tolerance: different program shape -> different XLA
+        # fusion/contraction choices (same story as the tests above)
+        np.testing.assert_allclose(g[k], gp[k], rtol=0, atol=1e-13)
+
+
+def test_coupled_quiescent_matches_standalone():
+    """With a quiescent flagship (zero initial state, no forcing
+    reaching the interior in 6 steps... the tide only enters through
+    the open boundary), a diffusion-only coupled tracer matches the
+    standalone model with u = v = 0 where the flow is still zero —
+    pinned globally for the first steps of a CLOSED basin."""
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    N = 24
+    c0 = _blob(N)
+    fs = nl.build(N, N, open_north=False,
+                  halo_width=2)         # closed, quiescent basin
+    kappa = 1.0e4                       # dx = 1 km, dt 20 s -> 0.2/axis
+    ct = tr.CoupledTracer(fs, kappa=kappa)
+    ct.set_initial_tracer(c0)
+    ct.run(6)
+
+    # standalone twin on a MATCHING grid (the flagship's 1 km spacing)
+    msa = tr.build(N, N, dt=fs.p.rdt, u=0.0, v=0.0, kappa=kappa,
+                   dx=1000.0, dy=1000.0)
+    msa.set_initial_tracer(c0)
+    msa.run(6)
+    np.testing.assert_allclose(ct.gather()["c"], msa.gather()["c"],
+                               rtol=0, atol=1e-13)
+
+
+def test_coupled_decomposition_invariant():
+    """1-shard == 8-shard for the coupled run."""
+    N = 32
+    ssh0 = gaussian_eta(N, N, amp=0.2)
+    got = {}
+    for ndom in (1, 8):
+        ct = _coupled(N, ndom=ndom, kappa=0.01)
+        ct.flagship.set_initial_ssh(ssh0)
+        ct.set_initial_tracer(_blob(N))
+        ct.run(10)
+        got[ndom] = ct.gather()
+    for k in got[1]:
+        np.testing.assert_allclose(got[8][k], got[1][k],
+                                   rtol=0, atol=1e-11)
+
+
 def test_guards():
     with pytest.raises(ValueError, match="scheme"):
         tr.build(16, 16, scheme="weno")
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    with pytest.raises(TypeError, match="NemoLite2D"):
+        tr.CoupledTracer(object())
+    fsp = nl.build(32, 32, pallas=True)
+    with pytest.raises(ValueError, match="jnp path"):
+        tr.CoupledTracer(fsp)
