@@ -118,6 +118,12 @@ def measure_client_models(jax, jnp, deadline, N=1024):
     gwm = gw.build(N, N, dt=0.005, pallas=True, steps_per_sweep=8)
     gwm.set_initial_eta(gw.gaussian_eta(N, N, amp=0.1))
     tlm = tl.build(N, N, pallas=True, steps_per_sweep=8)
+    from dl_esm_inf_tpu.models import tracer as tc
+    tcu, tcv = tc.streamfunction_velocities(
+        gw.gaussian_eta(N, N, amp=20.0, width=0.2))
+    tcm = tc.build(N, N, dt=0.2, u=tcu, v=tcv, kappa=0.02,
+                   scheme="vanleer", pallas=True, steps_per_sweep=4)
+    tcm.set_initial_tracer(gw.gaussian_eta(N, N, amp=1.0) + 0.01)
     configs = (
         ("gravity_wave_K8", gwm, 3,
          (gwm.eta.data, gwm.u.data, gwm.v.data),
@@ -126,6 +132,10 @@ def measure_client_models(jax, jnp, deadline, N=1024):
          (tlm.eta1.data, tlm.eta2.data, tlm.u1.data, tlm.v1.data,
           tlm.u2.data, tlm.v2.data),
          (tlm._t_upd, tlm._u_wet, tlm._v_wet, tlm._mask_codes)),
+        # reach-2 TVD tracer: traffic ~ c rw + u/v reads ~ 2 "fields"
+        ("tracer_vanleer_K4", tcm, 2, (tcm.c.data,),
+         (tcm._u, tcm._v, tcm._t_upd, tcm._u_wet, tcm._v_wet,
+          tcm._mask_codes)),
     )
     for name, m, n_fields, state0, aux in configs:
         if time.monotonic() > deadline:
