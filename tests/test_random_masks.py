@@ -49,6 +49,38 @@ def test_random_coastline_invariance(seed, ndom):
                                    err_msg=f"seed={seed} {k}")
 
 
+@pytest.mark.parametrize("seed,scheme", [(0, "vanleer"), (1, "upwind"),
+                                         (2, "vanleer")])
+def test_random_coastline_tracer(seed, scheme):
+    """Tracer transport under arbitrary coastlines: exact conservation,
+    golden equality and 1-vs-6-shard invariance for random masks and
+    random divergence-free flows (the limiter's dry-neighbour
+    degradation must hold at every ragged edge)."""
+    from dl_esm_inf_tpu.models import tracer as tr
+    gnx, gny = 40, 36
+    t = random_tmask(gnx, gny, seed)
+    t[t == -1] = 0      # tracer build treats the mask as wet/dry
+    rng = np.random.default_rng(100 + seed)
+    u, v = tr.streamfunction_velocities(
+        0.3 * rng.standard_normal((gny, gnx)))
+    c0 = np.abs(gaussian_eta(gnx, gny, amp=1.0)) + 0.01
+    want = tr.golden_reference(c0[:gny, :gnx], t, u, v, dt=0.4,
+                               nsteps=25, kappa=0.03, scheme=scheme)
+    wet = t == 1
+    got = {}
+    for ndom in (1, 6):
+        m = tr.build(gnx, gny, ndomains=ndom, dt=0.4, u=u, v=v,
+                     kappa=0.03, scheme=scheme, tmask=t)
+        m.set_initial_tracer(c0[:gny, :gnx])
+        m0 = m.mass()
+        m.run(25)
+        assert abs(m.mass() - m0) <= 1e-12 * abs(m0), f"seed={seed}"
+        got[ndom] = m.gather()["c"]
+        np.testing.assert_allclose(got[ndom][wet], want[wet], rtol=0,
+                                   atol=1e-12, err_msg=f"seed={seed}")
+    np.testing.assert_allclose(got[6], got[1], rtol=0, atol=1e-12)
+
+
 def test_random_coastline_dry_cells_inert():
     t = random_tmask(32, 28, seed=7)
     m = build(t, 4)
