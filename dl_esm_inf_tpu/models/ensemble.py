@@ -61,6 +61,12 @@ def _adapt(model):
                 (model.eta1, model.eta2, model.u1, model.v1,
                  model.u2, model.v2),
                 (model._t_upd, model._u_wet, model._v_wet), plain, 1)
+    from . import nlayer
+    if isinstance(model, nlayer.NLayerModel):
+        # multi-level fields: states are (M, L, ly, lx); the step math
+        # is leading-dim agnostic and the exchange carries both axes
+        return (("eta", "u", "v"), (model.eta, model.u, model.v),
+                (model._t_upd, model._u_wet, model._v_wet), plain, 1)
     if isinstance(model, semi_implicit.SemiImplicitModel):
         # the in-step Helmholtz solve must be member-independent: the
         # dot-free Chebyshev iteration broadcasts over the member axis,
@@ -101,8 +107,9 @@ def _adapt(model):
                 (model._mask_codes,), step_nl, depth)
     raise TypeError(f"no ensemble adapter for {type(model).__name__}; "
                     "supported: GravityWaveModel, ShallowModel, "
-                    "TwoLayerModel, SemiImplicitModel(chebyshev), "
-                    "NemoLite2D")
+                    "TwoLayerModel, NLayerModel, "
+                    "SemiImplicitModel(chebyshev), NemoLite2D, "
+                    "TracerModel")
 
 
 class Ensemble:
@@ -116,12 +123,18 @@ class Ensemble:
         (self._field_names, self._fields, self._masks,
          self._step_fn, self._exch_depth) = _adapt(model)
         self.grid = model.grid
-        self._sharding = NamedSharding(self.grid.mesh, P(None, "y", "x"))
+        # per-field: the block axes are always the LAST TWO; any other
+        # leading axes (member, vertical level) are replicated
+        self._specs = tuple(
+            P(*([None] * (f.data.ndim - 1)), "y", "x")
+            for f in self._fields)
+        self._shardings = tuple(NamedSharding(self.grid.mesh, s)
+                                for s in self._specs)
         # every member starts from the base model's current state
         self.states = tuple(
             jax.device_put(jnp.broadcast_to(
-                f.data, (self.n_members,) + f.data.shape), self._sharding)
-            for f in self._fields)
+                f.data, (self.n_members,) + f.data.shape), sh)
+            for f, sh in zip(self._fields, self._shardings))
         # continue the base model's clock: time-dependent forcing in
         # the members picks up where the base run left off
         self._istep0 = int(getattr(model, "_istep0", 0))
@@ -130,17 +143,24 @@ class Ensemble:
     # ------------------------------------------------------------------
     def set_member_states(self, field_index: int, globals_m) -> None:
         """Load per-member initial data for one state field from an
-        ``(M, gny, gnx)`` global array (scatter + halo exchange)."""
+        ``(M, gny, gnx)`` — or, for a multi-level field,
+        ``(M, levels, gny, gnx)`` — global array (scatter + halo
+        exchange)."""
         globals_m = np.asarray(globals_m)
         if globals_m.shape[0] != self.n_members:
             raise ValueError(f"expected leading dim {self.n_members}, "
                              f"got {globals_m.shape}")
         d = self.grid.decomp
         dt = np.dtype(self._fields[field_index].dtype)
-        stacked = np.stack([
-            layout.stack_global(d, g, mode="zeros", dtype=dt)
-            for g in globals_m])
-        arr = jax.device_put(jnp.asarray(stacked), self._sharding)
+
+        def stack(g):
+            if g.ndim == 2:
+                return layout.stack_global(d, g, mode="zeros", dtype=dt)
+            return np.stack([stack(lvl) for lvl in g])
+
+        stacked = np.stack([stack(g) for g in globals_m])
+        arr = jax.device_put(jnp.asarray(stacked),
+                             self._shardings[field_index])
         arr = halo_mod.exchange(arr, self.grid.mesh, self.grid.halo_spec,
                                 depth=d.halo)
         states = list(self.states)
@@ -166,10 +186,9 @@ class Ensemble:
 
             smapped = jax.shard_map(
                 body, mesh=self.grid.mesh,
-                in_specs=((P(),) + (P(None, "y", "x"),) * n_state
+                in_specs=((P(),) + self._specs
                           + (P("y", "x"),) * len(self._masks)),
-                out_specs=(P(None, "y", "x"),) * n_state,
-                check_vma=False)
+                out_specs=self._specs, check_vma=False)
             self._prog_cache[nsteps] = jax.jit(smapped)
         return self._prog_cache[nsteps]
 

@@ -108,21 +108,28 @@ class NLayerModel:
 
     # ------------------------------------------------------------------
     def _step_math(self, eta, u, v, t_upd, u_wet, v_wet):
-        """One forward-backward step on (layers, ly, lx) blocks."""
+        """One forward-backward step on (..., layers, ly, lx) blocks —
+        leading-dim agnostic (the level axis is -3), so an ensemble
+        member axis broadcasts through unchanged."""
         dt = self.dt
         dx, dy = self.grid.dx, self.grid.dy
         pw = jnp.asarray(self._pw, eta.dtype)[:, None, None]
         H = jnp.asarray(self._H, eta.dtype)[:, None, None]
         # layer pressures: cumulative sum down the stack
-        p = jnp.cumsum(pw * eta, axis=0)
+        p = jnp.cumsum(pw * eta, axis=-3)
         un = (u - dt * st.ddx(p, dx)) * u_wet
         vn = (v - dt * st.ddy(p, dy)) * v_wet
         div = st.ddx_back(un, dx) + st.ddy_back(vn, dy)
         # each interface moves with the transport of every layer BELOW
         # it: reverse cumulative sum
-        flux = jnp.cumsum((H * div)[::-1], axis=0)[::-1]
+        flux = jnp.flip(jnp.cumsum(jnp.flip(H * div, -3), axis=-3), -3)
         etan = jnp.where(t_upd > 0, eta - dt * flux, eta)
         return etan, un, vn
+
+    def _block_step(self, exch, eta, u, v, t_upd, u_wet, v_wet):
+        """One step on local blocks (the ensemble adapter's protocol)."""
+        eta, u, v = exch((eta, u, v))
+        return self._step_math(eta, u, v, t_upd, u_wet, v_wet)
 
     def _layer_step(self, etas, us, vs, t_upd, u_wet, v_wet):
         """The same step as per-layer 2D arrays (the sweep kernel's

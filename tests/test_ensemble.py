@@ -77,6 +77,37 @@ def test_twolayer_ensemble_six_field_state():
                                rtol=0, atol=1e-14)
 
 
+def test_nlayer_ensemble_multi_level_state():
+    """Ensembles of MULTI-LEVEL fields: states are (M, L, ly, lx) —
+    the exchange carries both leading axes and the level-axis cumsum
+    is leading-dim agnostic.  Members == sequential runs."""
+    from dl_esm_inf_tpu.models import nlayer as nlr
+    gn, M, L, nsteps = 24, 3, 3, 10
+    rng = np.random.default_rng(4)
+    base = gw.gaussian_eta(gn, gn, amp=0.3)
+    etas = np.stack([
+        np.stack([base * (1 + 0.1 * k + 0.05 * lvl)
+                  + 0.01 * rng.standard_normal((gn, gn))
+                  for lvl in range(L)])
+        for k in range(M)])
+
+    ens = Ensemble(nlr.build(gn, gn, dt=0.02, layers=L), M)
+    ens.set_member_states(0, etas)
+    ens.run(nsteps)
+    got = ens.gather_all()
+    assert got["eta"].shape == (M, L, gn, gn)
+
+    for k in range(M):
+        m = nlr.build(gn, gn, dt=0.02, layers=L)
+        m.set_initial(etas[k])
+        m.run(nsteps)
+        want = m.gather()
+        for f in ("eta", "u", "v"):
+            np.testing.assert_allclose(
+                got[f][k], want[f], rtol=0, atol=1e-14,
+                err_msg=f"member {k} field {f}")
+
+
 def test_semi_implicit_ensemble_chebyshev():
     """An ensemble of IMPLICIT models: possible because the Chebyshev
     in-step solve is dot-free and member-independent; members match
