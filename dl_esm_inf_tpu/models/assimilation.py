@@ -62,6 +62,29 @@ def _trajectory_runner(model):
                model._mask_codes)
         return ((lambda prog, st, base: prog(*st, *ops)),
                 model._t_upd, rest3)
+    from .shallow import ShallowModel
+    from .twolayer import TwoLayerModel
+    if isinstance(model, ShallowModel):
+        if model.use_pallas or model._sweep_K > 1:
+            raise ValueError(
+                "4D-Var needs the plain differentiable jnp path: build "
+                "the model without pallas/steps_per_sweep")
+        ones = jnp.ones_like(model.eta.data)   # all-wet periodic
+        return ((lambda prog, st, base: prog(*st)), ones, rest3)
+    if isinstance(model, TwoLayerModel):
+        if model.use_pallas or model._sweep_K > 1:
+            raise ValueError(
+                "4D-Var needs the plain differentiable jnp path: build "
+                "the model without pallas/steps_per_sweep")
+        ops = (model._t_upd, model._u_wet, model._v_wet,
+               model._mask_codes)
+
+        def rest6(x0):
+            z = jnp.zeros_like(x0)
+            return (x0, z, z, z, z, z)   # observe the TOP interface
+
+        return ((lambda prog, st, base: prog(*st, *ops)),
+                model._t_upd, rest6)
     if isinstance(model, SemiImplicitModel):
         if not model.differentiable:
             raise ValueError(
@@ -87,8 +110,9 @@ def _trajectory_runner(model):
             jnp.int32(base), tuple(st), model._mask_codes)),
                 model._t_wet, rest3)
     raise TypeError("assimilation drives the GravityWaveModel, "
-                    "SemiImplicitModel, NemoLite2D or TracerModel "
-                    f"interface, got {type(model).__name__}")
+                    "ShallowModel, TwoLayerModel, SemiImplicitModel, "
+                    "NemoLite2D or TracerModel interface, got "
+                    f"{type(model).__name__}")
 
 
 def make_cost_fn(model, observations: dict, obs_weight=None,

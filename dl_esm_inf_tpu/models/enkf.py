@@ -109,11 +109,26 @@ class ETKF:
 
     def __init__(self, ensemble, *, obs_field: str | None = None,
                  sigma: float = 0.05, inflation: float = 1.0,
-                 localization_radius: float | None = None):
+                 localization_radius: float | None = None,
+                 obs_level: int = 0):
         self.ens = ensemble
         names = ensemble._field_names
         self._obs_idx = (0 if obs_field is None
                          else names.index(obs_field))
+        # multi-level obs field (e.g. an NLayerModel ensemble): observe
+        # ONE interface; the member-space update still corrects every
+        # level of every field through the ensemble cross-covariances
+        levels = ensemble._fields[self._obs_idx].levels
+        if levels is None:
+            if obs_level != 0:
+                raise ValueError("obs_level applies to multi-level "
+                                 "observed fields only")
+            self._obs_level = None
+        else:
+            if not (0 <= obs_level < levels):
+                raise ValueError(f"obs_level must be in [0, {levels}), "
+                                 f"got {obs_level}")
+            self._obs_level = int(obs_level)
         if sigma <= 0:
             raise ValueError("sigma must be > 0")
         if inflation < 1.0:
@@ -163,14 +178,14 @@ class ETKF:
             return self._prog
         ens = self.ens
         m = ens.n_members
-        n_state = len(ens.states)
         oi = self._obs_idx
+        lvl = self._obs_level
         mesh = ens.grid.mesh
 
         def body(obs, obs_w, wet, sig_inv2, rho, *state):
             # local obs weight: observed wet internal points, 1/sigma^2
             w = obs_w * wet * sig_inv2
-            eo = state[oi]
+            eo = state[oi] if lvl is None else state[oi][:, lvl]
             em = jnp.mean(eo, axis=0)
             ep = eo - em[None]
             # obs-space moments: one psum of M^2 + M + 1 scalars total
@@ -184,15 +199,15 @@ class ETKF:
                 fm = jnp.mean(f, axis=0)
                 fp = f - fm[None]
                 # the MXU leg: member-space mix at every local point
+                # (ellipsis carries vertical-level axes through)
                 out.append(fm[None]
-                           + jnp.einsum("mk,myx->kyx", wtot, fp))
+                           + jnp.einsum("mk,m...->k...", wtot, fp))
             return tuple(out)
 
-        blk = P(None, "y", "x")
         smapped = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P("y", "x"),) * 3 + (P(),) * 2 + (blk,) * n_state,
-            out_specs=(blk,) * n_state, check_vma=False)
+            in_specs=(P("y", "x"),) * 3 + (P(),) * 2 + ens._specs,
+            out_specs=ens._specs, check_vma=False)
         self._prog = jax.jit(smapped)
         return self._prog
 
@@ -211,15 +226,15 @@ class ETKF:
             return self._loc_progs[p_pad]
         ens = self.ens
         m = ens.n_members
-        n_state = len(ens.states)
         oi = self._obs_idx
+        lvl = self._obs_level
         mesh = ens.grid.mesh
         dx, dy = float(ens.grid.dx), float(ens.grid.dy)
 
         def body(ovals, oyi, oxi, gyi, gxi, wet, sig_inv2, rho, rad,
                  *state):
             dtype = state[oi].dtype
-            eo = state[oi]
+            eo = state[oi] if lvl is None else state[oi][:, lvl]
             em = jnp.mean(eo, axis=0)
             ep = eo - em[None]
             # one-hot extraction of obs-point anomalies/means: an obs
@@ -246,16 +261,15 @@ class ETKF:
             for f in state:
                 fm = jnp.mean(f, axis=0)
                 fp = f - fm[None]
-                out.append(fm[None]
-                           + jnp.einsum("yxmk,myx->kyx", wtot, fp))
+                out.append(fm[None] + jnp.einsum("yxmk,m...yx->k...yx",
+                                                 wtot, fp))
             return tuple(out)
 
-        blk = P(None, "y", "x")
         smapped = jax.shard_map(
             body, mesh=mesh,
             in_specs=((P(),) * 3 + (P("y", "x"),) * 3 + (P(),) * 3
-                      + (blk,) * n_state),
-            out_specs=(blk,) * n_state, check_vma=False)
+                      + ens._specs),
+            out_specs=ens._specs, check_vma=False)
         self._loc_progs[p_pad] = jax.jit(smapped)
         return self._loc_progs[p_pad]
 
@@ -318,6 +332,8 @@ class ETKF:
         w = ow * self._wet
         npts = jnp.maximum(jnp.sum(w), 1.0)
         eo = self.ens.states[self._obs_idx]
+        if self._obs_level is not None:
+            eo = eo[:, self._obs_level]
         em = jnp.mean(eo, axis=0)
         rms = jnp.sqrt(jnp.sum((em - obs) ** 2 * w) / npts)
         spread = jnp.sqrt(jnp.sum(jnp.var(eo, axis=0) * w) / npts)

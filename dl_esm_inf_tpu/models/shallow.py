@@ -115,8 +115,15 @@ class ShallowModel:
             interpret=self._pallas_interpret,
             repx=spec.repx, repy=spec.repy)
 
-    def step_program(self, nsteps: int):
-        if nsteps not in self._step_cache:
+    def step_program(self, nsteps: int,
+                     remat_chunk: int | None = None):
+        if remat_chunk is not None and (self.use_pallas
+                                        or self._sweep_K > 1):
+            raise ValueError(
+                "remat_chunk needs the plain differentiable jnp path: "
+                "build the model without pallas/steps_per_sweep")
+        key = (nsteps, remat_chunk)
+        if key not in self._step_cache:
             grid = self.grid
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
             K = self._sweep_K
@@ -128,6 +135,11 @@ class ShallowModel:
             def body(eta, u, v):
                 state = (eta, u, v)
                 base = 0
+                if remat_chunk is not None:
+                    from ..ops.adjoint import checkpointed_fori
+                    return checkpointed_fori(
+                        nsteps, lambda i, s: self._block_step(exch, *s),
+                        state, remat_chunk)
                 if (K > 1 or self.use_pallas) and nsteps >= K:
                     if self.use_pallas:
                         def sweep(_, s):
@@ -146,10 +158,10 @@ class ShallowModel:
                         lambda i, s: self._block_step(exch, *s), state)
                 return state
 
-            self._step_cache[nsteps] = jax.jit(jax.shard_map(
+            self._step_cache[key] = jax.jit(jax.shard_map(
                 body, mesh=grid.mesh, in_specs=(P("y", "x"),) * 3,
                 out_specs=(P("y", "x"),) * 3, check_vma=False))
-        return self._step_cache[nsteps]
+        return self._step_cache[key]
 
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)

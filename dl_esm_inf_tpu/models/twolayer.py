@@ -141,8 +141,15 @@ class TwoLayerModel:
             interpret=self._pallas_interpret,
             repx=spec.repx, repy=spec.repy)
 
-    def step_program(self, nsteps: int):
-        if nsteps not in self._step_cache:
+    def step_program(self, nsteps: int,
+                     remat_chunk: int | None = None):
+        if remat_chunk is not None and (self.use_pallas
+                                        or self._sweep_K > 1):
+            raise ValueError(
+                "remat_chunk needs the plain differentiable jnp path: "
+                "build the model without pallas/steps_per_sweep")
+        key = (nsteps, remat_chunk)
+        if key not in self._step_cache:
             grid = self.grid
             exch = exchange_multi_fn(grid.halo_spec, depth=1)
             K = self._sweep_K
@@ -154,6 +161,13 @@ class TwoLayerModel:
             def body(e1, e2, u1, v1, u2, v2, t_upd, u_wet, v_wet, codes):
                 state = (e1, e2, u1, v1, u2, v2)
                 base = 0
+                if remat_chunk is not None:
+                    from ..ops.adjoint import checkpointed_fori
+                    return checkpointed_fori(
+                        nsteps,
+                        lambda i, s: self._block_step(
+                            exch, *s, t_upd, u_wet, v_wet),
+                        state, remat_chunk)
                 if (K > 1 or self.use_pallas) and nsteps >= K:
                     if self.use_pallas:
                         def sweep(_, s):
@@ -178,8 +192,8 @@ class TwoLayerModel:
                 body, mesh=grid.mesh,
                 in_specs=(P("y", "x"),) * 10,
                 out_specs=(P("y", "x"),) * 6, check_vma=False)
-            self._step_cache[nsteps] = jax.jit(smapped)
-        return self._step_cache[nsteps]
+            self._step_cache[key] = jax.jit(smapped)
+        return self._step_cache[key]
 
     def run(self, nsteps: int) -> None:
         prog = self.step_program(nsteps)

@@ -274,6 +274,41 @@ def test_letkf_implicit_chebyshev_ensemble():
     assert all(np.isfinite(v).all() for v in ens.gather_all().values())
 
 
+def test_multi_level_ensemble_etkf():
+    """ETKF over an NLayerModel ensemble: observe the TOP interface of
+    the (M, L, ly, lx) state; the update corrects every level of every
+    field through the ensemble cross-covariances (ellipsis einsums).
+    Both global and localized forms run; innovation drops."""
+    from dl_esm_inf_tpu.models import nlayer as nlr
+    from dl_esm_inf_tpu.models.ensemble import Ensemble
+    N, M, L = 24, 5, 3
+    rng = np.random.default_rng(11)
+    base = gw.gaussian_eta(N, N, amp=0.3)
+    perts = np.stack([0.1 * _smooth_noise(rng, N) for _ in range(M)])
+
+    truth = nlr.build(N, N, dt=0.02, layers=L)
+    truth.set_initial(np.stack(
+        [base + perts.mean(0) + 0.4 * (perts[1] - perts[3])] * L))
+    truth.run(5)
+    y = truth.gather()["eta"][0]        # top interface only
+
+    m = nlr.build(N, N, dt=0.02, layers=L)
+    ens = Ensemble(m, M)
+    ens.set_member_states(0, np.stack(
+        [np.stack([base + p] * L) for p in perts]))
+    ens.run(5)
+    before = ens.gather_all()
+    for rad in (None, 6.0):
+        filt = ETKF(ens, sigma=1e-3, localization_radius=rad,
+                    obs_level=0)
+        diag = filt.analysis(y)
+        assert diag["rms_innovation_after"] < diag[
+            "rms_innovation_before"], rad
+    after = ens.gather_all()
+    # deeper levels moved too (cross-covariances carry the update down)
+    assert np.abs(after["eta"][:, 1:] - before["eta"][:, 1:]).max() > 1e-6
+
+
 def test_guards():
     m = gw.build(16, 16, dt=0.05, depth=10.0)
     ens = Ensemble(m, 4)
@@ -285,3 +320,5 @@ def test_guards():
         ETKF(ens, obs_field="nope")
     with pytest.raises(ValueError, match="localization"):
         ETKF(ens, sigma=0.1, localization_radius=0.0)
+    with pytest.raises(ValueError, match="obs_level"):
+        ETKF(ens, sigma=0.1, obs_level=1)      # 2D observed field
