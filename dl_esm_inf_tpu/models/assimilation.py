@@ -115,9 +115,58 @@ def _trajectory_runner(model):
                     f"{type(model).__name__}")
 
 
+def control_smoother(model, scale: float = 2.0):
+    """Diffusion-operator square-root-B (Weaver & Courtier 2001): a
+    jitted, differentiable map ``w -> x`` applying ``n`` explicit
+    masked-diffusion steps so a unit impulse in the control variable
+    becomes a quasi-Gaussian of std ~``scale`` grid cells in the state.
+
+    The operational control-variable transform: with sparse
+    observations, minimising over ``w`` (instead of the state itself)
+    builds in the background-error correlation structure — increments
+    are smooth by construction and information spreads to unobserved
+    points.  Land is respected through the same masked-gradient
+    Laplacian the tracer model uses (no smoothing across coastlines).
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as _P
+    from ..ops import stencils as st
+    from ..parallel.halo import exchange_multi_fn
+
+    grid = model.grid
+    alpha = 0.25                       # 2D explicit stability limit
+    n = max(1, int(np.ceil(scale * scale / (2 * alpha))))
+    dtype = np.dtype(grid.dtype)
+    ones = jnp.ones(grid.array_shape, dtype)
+    uw = getattr(model, "_u_wet", None)
+    vw = getattr(model, "_v_wet", None)
+    tu = getattr(model, "_t_upd", None)
+    uw = ones if uw is None else uw
+    vw = ones if vw is None else vw
+    tu = ones if tu is None else tu
+    exch = exchange_multi_fn(grid.halo_spec, depth=1)
+
+    def body(w, uw, vw, tu):
+        def one(_, w):
+            (w,) = exch((w,))
+            gx = (st.xp(w) - w) * uw       # cell units (dx = dy = 1)
+            gy = (st.yp(w) - w) * vw
+            lap = (gx - st.xm(gx)) + (gy - st.ym(gy))
+            return jnp.where(tu > 0, w + alpha * lap, w)
+
+        return jax.lax.fori_loop(0, n, one, w)
+
+    smapped = _jax.shard_map(
+        body, mesh=grid.mesh, in_specs=(_P("y", "x"),) * 4,
+        out_specs=_P("y", "x"), check_vma=False)
+    prog = _jax.jit(smapped)
+    return lambda w: prog(w, uw, vw, tu)
+
+
 def make_cost_fn(model, observations: dict, obs_weight=None,
                  background=None, background_weight: float = 0.0,
-                 remat_chunk: int | None = None):
+                 remat_chunk: int | None = None,
+                 control_transform=None):
     """Build ``cost(eta0_stacked) -> scalar``: the 4D-Var objective
 
     ``sum_t ||eta_t - obs_t||^2_w  [+ b_w * ||eta0 - background||^2_w]``
@@ -133,6 +182,14 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     cost of one extra forward pass (``ops/adjoint.py``).  Use
     ``remat_chunk ~ sqrt(longest segment)`` for production-length
     windows; gradients are unchanged (``tests/test_remat.py``).
+
+    ``control_transform`` (e.g. :func:`control_smoother`) makes the
+    optimisation variable a CONTROL vector ``w`` with initial state
+    ``x0 = transform(w)``: the Weaver-Courtier change of variables
+    that builds background-error correlations into the increments.
+    The background term then regularises ``w`` itself (||w||^2-style,
+    the preconditioned-J_b form); ``unpack`` still returns the
+    physical state.
     """
     run_seg, t_mask, make_state = _trajectory_runner(model)
     if not observations:
@@ -159,11 +216,19 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         d, np.asarray(background), mode="zeros", dtype=dtype)),
         grid.sharding) if background is not None else None)
 
-    def cost(eta0):
+    def cost(x):
+        if control_transform is not None:
+            eta0 = control_transform(x)
+            # preconditioned J_b: regularise the control vector itself
+            reg = (background_weight * jnp.sum((x - (bg if bg is not None
+                                                     else 0.0)) ** 2 * w)
+                   if background_weight else jnp.zeros((), w.dtype))
+        else:
+            eta0 = x
+            reg = (background_weight * jnp.sum((eta0 - bg) ** 2 * w)
+                   if bg is not None else jnp.zeros((), w.dtype))
         state = make_state(eta0)
-        c = jnp.zeros((), w.dtype)
-        if bg is not None:
-            c = c + background_weight * jnp.sum((eta0 - bg) ** 2 * w)
+        c = reg
         base = 0
         for n, t in zip(segs, steps):
             state = run_seg(progs[n], state, base)
@@ -176,8 +241,10 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
             d, np.asarray(eta0_global), mode="zeros", dtype=dtype)),
             grid.sharding)
 
-    def unpack(eta0_stacked):
-        return np.asarray(layout.unstack_internal(d, eta0_stacked))
+    def unpack(x_stacked):
+        if control_transform is not None:
+            x_stacked = control_transform(x_stacked)
+        return np.asarray(layout.unstack_internal(d, x_stacked))
 
     return cost, pack, unpack
 
@@ -187,7 +254,8 @@ def assimilate(model, observations: dict, *, iters: int = 200,
                obs_weight=None, background=None,
                background_weight: float = 0.0,
                remat_chunk: int | None = None,
-               optimizer: str = "adam") -> dict:
+               optimizer: str = "adam",
+               smooth_scale: float | None = None) -> dict:
     """Twin-experiment-ready 4D-Var: recover the initial surface
     elevation that best explains ``observations`` under ``model``'s
     dynamics, by descent on the AD gradient of the trajectory misfit.
@@ -200,14 +268,22 @@ def assimilate(model, observations: dict, *, iters: int = 200,
     forward-cost evaluations inside the same jitted program for the
     linesearch.
 
+    ``smooth_scale=L`` optimises a CONTROL vector through the
+    diffusion-operator square-root-B (:func:`control_smoother`):
+    increments become smooth at scale ~L cells and sparse observations
+    inform their neighbourhoods — the operational change of variables.
+
     Returns ``{"eta0": global array, "cost_history": [...],
-    "grad_norm": float}``.
+    "grad_norm": float}`` (``eta0`` is always the physical state).
     """
     import optax
 
+    transform = (control_smoother(model, smooth_scale)
+                 if smooth_scale is not None else None)
     cost, pack, unpack = make_cost_fn(
         model, observations, obs_weight=obs_weight, background=background,
-        background_weight=background_weight, remat_chunk=remat_chunk)
+        background_weight=background_weight, remat_chunk=remat_chunk,
+        control_transform=transform)
     d = model.grid.decomp
     x = pack(np.zeros((d.global_ny, d.global_nx))
              if first_guess is None else first_guess)

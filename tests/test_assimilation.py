@@ -280,6 +280,33 @@ def test_implicit_model_requires_differentiable_flag():
         make_cost_fn(m, {4: np.zeros((16, 16))})
 
 
+def test_control_variable_transform_sparse_obs():
+    """The Weaver-Courtier change of variables: with observations at
+    only 1 point in 16, raw 4D-Var puts spiky increments at observed
+    points; minimising a control vector through the diffusion-operator
+    sqrt-B (smooth_scale) spreads information to unobserved
+    neighbours and recovers the bump far better."""
+    N = 24
+    eta_true = gw.gaussian_eta(N, N, amp=0.5, width=0.15)
+    obs = _truth_obs(gw.build(N, N, dt=0.05, depth=10.0), eta_true,
+                     [6, 12])
+    ow = np.zeros((N, N))
+    ow[2::4, 2::4] = 1.0          # observe 1 point in 16
+
+    wet = None
+    err = {}
+    for scale in (None, 2.5):
+        m = gw.build(N, N, dt=0.05, depth=10.0)
+        res = assimilate(m, obs, iters=60, optimizer="lbfgs",
+                         obs_weight=ow, smooth_scale=scale)
+        if wet is None:
+            wet = layout.unstack_internal(
+                m.grid.decomp, np.asarray(m._t_upd)).astype(bool)
+        err[scale] = np.sqrt((((res["eta0"] - eta_true) * wet) ** 2
+                              ).mean())
+    assert err[2.5] < 0.5 * err[None], err
+
+
 def test_background_term_and_weights():
     """A background (prior) term pulls the solution toward the first
     guess where observations are masked out."""
