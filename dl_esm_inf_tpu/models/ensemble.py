@@ -214,6 +214,22 @@ class Ensemble:
         return {k: gather_to_host(layout.unstack_internal(d, s))
                 for k, s in zip(self._names(), self.states)}
 
+    def save(self, path: str) -> None:
+        """Checkpoint all members (global internal form + the model
+        clock) to one ``.npz`` — cycling DA needs restarts.  Uses the
+        multi-controller-safe gather, so every process may write (or
+        gate on ``jax.process_index() == 0``)."""
+        g = self.gather_all()
+        np.savez(path, __step__=np.int64(self._istep0), **g)
+
+    def load(self, path: str) -> None:
+        """Restore member states saved by :meth:`save` (scatter + halo
+        exchange per field; the clock resumes)."""
+        with np.load(path) as data:
+            for i, name in enumerate(self._field_names):
+                self.set_member_states(i, data[name])
+            self._istep0 = int(data["__step__"])
+
     def mean_and_spread(self) -> tuple[dict, dict]:
         """Ensemble mean and standard deviation per state field."""
         g = self.gather_all()

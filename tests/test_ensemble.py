@@ -221,6 +221,37 @@ def test_flagship_ensemble_continues_base_clock():
                                atol=1e-12)
 
 
+def test_ensemble_save_load_restart():
+    """Cycling DA needs restarts: save -> load into a FRESH ensemble ->
+    continue == uninterrupted run, bitwise, including the flagship's
+    time-dependent forcing clock."""
+    import os
+    import tempfile
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    gn, M = 32, 3
+    etas = _etas(M, gn, gn, seed=5)
+
+    def fresh():
+        e = Ensemble(nl.build(gn, gn, open_north=True), M)
+        return e
+
+    a = fresh()
+    a.set_member_states(0, etas * 0.3)
+    a.run(4)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ens.npz")
+        a.save(path)
+        a.run(3)
+
+        b = fresh()
+        b.load(path)
+        assert b._istep0 == 4
+        b.run(3)
+    ga, gb = a.gather_all(), b.gather_all()
+    for k in ga:
+        np.testing.assert_array_equal(gb[k], ga[k])
+
+
 def test_ensemble_statistics_and_guards():
     gn = 16
     base = gw.build(gn, gn, dt=0.05)
