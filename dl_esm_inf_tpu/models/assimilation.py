@@ -163,10 +163,50 @@ def control_smoother(model, scale: float = 2.0):
     return lambda w: prog(w, uw, vw, tu)
 
 
+def hybrid_controls(model, ensemble, *, smooth_scale: float = 2.0,
+                    beta=(1.0, 1.0)):
+    """Hybrid 4D-EnVar control variables (the production configuration
+    of the operational centres): the initial-state increment is
+
+        x0 = beta_s * B^(1/2) w  +  beta_e * X' a / sqrt(M-1)
+
+    — a smooth static-covariance part (:func:`control_smoother`) plus a
+    flow-DEPENDENT part spanned by the forecast-ensemble anomalies
+    ``X'`` of the observed field.  Returns ``(transform, penalty,
+    zero_control)``: ``transform`` maps the ``{"w": grid, "a": (M,)}``
+    control pytree to the stacked initial state, ``penalty`` is the
+    preconditioned background term ``||w||^2 + ||a||^2``, and
+    ``zero_control()`` builds the rest start.  The ensemble states are
+    captured as constants (the standard EnVar linearisation: the
+    ensemble is not re-run inside the minimisation).
+    """
+    beta_s, beta_e = (float(beta[0]), float(beta[1]))
+    sm = control_smoother(model, smooth_scale)
+    eo = ensemble.states[0]
+    em = jnp.mean(eo, axis=0)
+    norm = 1.0 / np.sqrt(max(ensemble.n_members - 1, 1))
+    anoms = (eo - em[None]) * norm            # (M, Y, X), sharded
+
+    def transform(x):
+        inc = beta_e * jnp.einsum("k,kyx->yx", x["a"], anoms)
+        return beta_s * sm(x["w"]) + inc
+
+    def penalty(x):
+        return (jnp.sum(x["w"] ** 2)
+                + jnp.sum(x["a"] ** 2).astype(x["w"].dtype))
+
+    def zero_control():
+        w = jnp.zeros_like(em)
+        return {"w": w,
+                "a": jnp.zeros((ensemble.n_members,), w.dtype)}
+
+    return transform, penalty, zero_control
+
+
 def make_cost_fn(model, observations: dict, obs_weight=None,
                  background=None, background_weight: float = 0.0,
                  remat_chunk: int | None = None,
-                 control_transform=None):
+                 control_transform=None, control_penalty=None):
     """Build ``cost(eta0_stacked) -> scalar``: the 4D-Var objective
 
     ``sum_t ||eta_t - obs_t||^2_w  [+ b_w * ||eta0 - background||^2_w]``
@@ -220,9 +260,13 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         if control_transform is not None:
             eta0 = control_transform(x)
             # preconditioned J_b: regularise the control vector itself
-            reg = (background_weight * jnp.sum((x - (bg if bg is not None
-                                                     else 0.0)) ** 2 * w)
-                   if background_weight else jnp.zeros((), w.dtype))
+            if not background_weight:
+                reg = jnp.zeros((), w.dtype)
+            elif control_penalty is not None:
+                reg = background_weight * control_penalty(x)
+            else:
+                reg = background_weight * jnp.sum(
+                    (x - (bg if bg is not None else 0.0)) ** 2 * w)
         else:
             eta0 = x
             reg = (background_weight * jnp.sum((eta0 - bg) ** 2 * w)
@@ -255,7 +299,8 @@ def assimilate(model, observations: dict, *, iters: int = 200,
                background_weight: float = 0.0,
                remat_chunk: int | None = None,
                optimizer: str = "adam",
-               smooth_scale: float | None = None) -> dict:
+               smooth_scale: float | None = None,
+               ensemble=None, hybrid_beta=(1.0, 1.0)) -> dict:
     """Twin-experiment-ready 4D-Var: recover the initial surface
     elevation that best explains ``observations`` under ``model``'s
     dynamics, by descent on the AD gradient of the trajectory misfit.
@@ -273,20 +318,42 @@ def assimilate(model, observations: dict, *, iters: int = 200,
     increments become smooth at scale ~L cells and sparse observations
     inform their neighbourhoods — the operational change of variables.
 
+    ``ensemble=Ensemble(...)`` upgrades this to HYBRID 4D-EnVar
+    (:func:`hybrid_controls`): the increment combines the static
+    sqrt-B part with the ensemble-anomaly span, weighted by
+    ``hybrid_beta=(beta_static, beta_ens)`` — flow-dependent errors
+    are corrected through the ensemble directions while the smoother
+    covers the rest.  ``background_weight`` then scales the
+    preconditioned penalty ``||w||^2 + ||a||^2``.
+
     Returns ``{"eta0": global array, "cost_history": [...],
-    "grad_norm": float}`` (``eta0`` is always the physical state).
+    "grad_norm": float}`` (``eta0`` is always the physical state;
+    hybrid runs add ``"ensemble_weights"``).
     """
     import optax
 
-    transform = (control_smoother(model, smooth_scale)
-                 if smooth_scale is not None else None)
+    if ensemble is not None:
+        if first_guess is not None:
+            raise ValueError("hybrid 4D-EnVar starts from the zero "
+                             "control; first_guess is not supported")
+        transform, penalty, zero_control = hybrid_controls(
+            model, ensemble,
+            smooth_scale=2.0 if smooth_scale is None else smooth_scale,
+            beta=hybrid_beta)
+    else:
+        transform = (control_smoother(model, smooth_scale)
+                     if smooth_scale is not None else None)
+        penalty = None
     cost, pack, unpack = make_cost_fn(
         model, observations, obs_weight=obs_weight, background=background,
         background_weight=background_weight, remat_chunk=remat_chunk,
-        control_transform=transform)
+        control_transform=transform, control_penalty=penalty)
     d = model.grid.decomp
-    x = pack(np.zeros((d.global_ny, d.global_nx))
-             if first_guess is None else first_guess)
+    if ensemble is not None:
+        x = zero_control()
+    else:
+        x = pack(np.zeros((d.global_ny, d.global_nx))
+                 if first_guess is None else first_guess)
 
     if optimizer == "adam":
         # uniform update() signature with lbfgs (extra args ignored)
@@ -307,8 +374,9 @@ def assimilate(model, observations: dict, *, iters: int = 200,
         c, g = jax.value_and_grad(cost)(x)
         updates, opt_state = opt.update(
             g, opt_state, x, value=c, grad=g, value_fn=cost)
-        return (optax.apply_updates(x, updates), opt_state, c,
-                jnp.abs(g).max())
+        gmax = jax.tree.reduce(
+            jnp.maximum, jax.tree.map(lambda t: jnp.abs(t).max(), g))
+        return optax.apply_updates(x, updates), opt_state, c, gmax
 
     history = []
     gmax = float("nan")
@@ -316,5 +384,8 @@ def assimilate(model, observations: dict, *, iters: int = 200,
         x, opt_state, c, gm = step(x, opt_state)
         history.append(float(c))
         gmax = gm
-    return {"eta0": unpack(x), "cost_history": history,
-            "grad_norm": float(gmax)}
+    out = {"eta0": unpack(x), "cost_history": history,
+           "grad_norm": float(gmax)}
+    if ensemble is not None:
+        out["ensemble_weights"] = np.asarray(x["a"])
+    return out
