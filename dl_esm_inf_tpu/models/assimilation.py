@@ -227,9 +227,11 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     optimisation variable a CONTROL vector ``w`` with initial state
     ``x0 = transform(w)``: the Weaver-Courtier change of variables
     that builds background-error correlations into the increments.
-    The background term then regularises ``w`` itself (||w||^2-style,
-    the preconditioned-J_b form); ``unpack`` still returns the
-    physical state.
+    The background term is then: ``control_penalty(x)`` when given
+    (the preconditioned-J_b form, hybrid EnVar), else a STATE-space
+    misfit ``||transform(x) - background||^2_w`` when a physical
+    ``background`` is supplied, else ``||w||^2_w``.  ``unpack``
+    always returns the physical state.
     """
     run_seg, t_mask, make_state = _trajectory_runner(model)
     if not observations:
@@ -259,14 +261,17 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
     def cost(x):
         if control_transform is not None:
             eta0 = control_transform(x)
-            # preconditioned J_b: regularise the control vector itself
             if not background_weight:
                 reg = jnp.zeros((), w.dtype)
             elif control_penalty is not None:
+                # preconditioned J_b: regularise the control itself
                 reg = background_weight * control_penalty(x)
+            elif bg is not None:
+                # a PHYSICAL background compares in state space (the
+                # control lives in a different norm)
+                reg = background_weight * jnp.sum((eta0 - bg) ** 2 * w)
             else:
-                reg = background_weight * jnp.sum(
-                    (x - (bg if bg is not None else 0.0)) ** 2 * w)
+                reg = background_weight * jnp.sum(x ** 2 * w)
         else:
             eta0 = x
             reg = (background_weight * jnp.sum((eta0 - bg) ** 2 * w)
@@ -344,6 +349,11 @@ def assimilate(model, observations: dict, *, iters: int = 200,
         transform = (control_smoother(model, smooth_scale)
                      if smooth_scale is not None else None)
         penalty = None
+        if transform is not None and first_guess is not None:
+            raise ValueError(
+                "smooth_scale optimises a CONTROL vector; a physical "
+                "first_guess cannot seed it (the transform is not "
+                "inverted here) — drop first_guess or smooth_scale")
     cost, pack, unpack = make_cost_fn(
         model, observations, obs_weight=obs_weight, background=background,
         background_weight=background_weight, remat_chunk=remat_chunk,

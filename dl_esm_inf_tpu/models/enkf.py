@@ -102,9 +102,13 @@ class ETKF:
     spurious long-range sample covariances otherwise contaminate the
     update.  On TPU the per-point (M, M) eigendecompositions run as
     one batched ``eigh`` over all local points and the moments are
-    taper-weighted einsums; points out of range of every observation
-    are left exactly unchanged (the transform degenerates to the
-    identity).
+    taper-weighted einsums.  At ``inflation=1`` points out of range of
+    every observation are left exactly unchanged (the transform
+    degenerates to the identity); with ``rho > 1`` their anomalies are
+    scaled by ``sqrt(rho)`` per analysis — the standard semantics of
+    multiplicative PRIOR inflation, which grows spread without bound
+    in never-observed regions over long cycling (use rho = 1, or
+    observe everywhere occasionally, if that matters).
     """
 
     def __init__(self, ensemble, *, obs_field: str | None = None,

@@ -116,6 +116,12 @@ class TracerModel:
         self.kappa = float(kappa)
         self.scheme = scheme
         self.reach = 1 if scheme == "upwind" else 2
+        if grid.halo_spec.halo < self.reach:
+            raise ValueError(
+                f"scheme={scheme!r} has stencil reach {self.reach} and "
+                f"needs halo_width >= {self.reach}, got "
+                f"{grid.halo_spec.halo} (build() sets this when "
+                "halo_width is left None)")
 
         self.c = dl.Field(grid, dl.T_POINTS)
         dtype = self.c.dtype

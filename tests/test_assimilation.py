@@ -358,6 +358,32 @@ def test_hybrid_4denvar():
     assert np.abs(res["ensemble_weights"]).max() > 1e-3
 
 
+def test_control_transform_background_is_state_space():
+    """With a control transform active, a PHYSICAL background compares
+    in state space: a dominant background term pins the analysis to
+    the background field itself (review fix — the control vector must
+    never be subtracted from a physical field)."""
+    N = 16
+    truth = gw.build(N, N, dt=0.05, depth=10.0)
+    truth.set_initial_eta(gw.gaussian_eta(N, N, amp=0.4))
+    truth.run(4)
+    obs = {4: truth.gather()["eta"]}
+    bgf = gw.gaussian_eta(N, N, amp=0.2, width=0.2)
+
+    m = gw.build(N, N, dt=0.05, depth=10.0)
+    res = assimilate(m, obs, iters=150, optimizer="lbfgs",
+                     smooth_scale=2.0, background=bgf,
+                     background_weight=1e4)
+    wet = layout.unstack_internal(
+        m.grid.decomp, np.asarray(m._t_upd)).astype(bool)
+    err = np.abs((res["eta0"] - bgf) * wet).max()
+    assert err < 0.05 * np.abs(bgf).max()
+
+    with pytest.raises(ValueError, match="first_guess"):
+        assimilate(m, obs, iters=1, smooth_scale=2.0,
+                   first_guess=bgf)
+
+
 def test_background_term_and_weights():
     """A background (prior) term pulls the solution toward the first
     guess where observations are masked out."""

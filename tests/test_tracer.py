@@ -261,6 +261,16 @@ def test_coupled_decomposition_invariant():
 def test_guards():
     with pytest.raises(ValueError, match="scheme"):
         tr.build(16, 16, scheme="weno")
+    # a direct TracerModel on a too-shallow halo fails at build time
+    # with a clear message, not an opaque trace error (review fix)
+    import dl_esm_inf_tpu as dl
+    g1 = dl.Grid(dl.ARAKAWA_C,
+                 (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                 dl.OFFSET_NE)
+    g1.decompose(16, 16, halo_width=1)
+    dl.grid_init(g1, 1.0, 1.0)
+    with pytest.raises(ValueError, match="halo_width >= 2"):
+        tr.TracerModel(g1, dt=0.1, u=0.1, v=0.0, scheme="vanleer")
     from dl_esm_inf_tpu.models import nemolite2d as nl
     with pytest.raises(TypeError, match="NemoLite2D"):
         tr.CoupledTracer(object())
