@@ -160,6 +160,16 @@ ens.run(2)
 for k, v in ens.gather_all().items():
     results[f"ek_{k}"] = v
 
+# ... and a LOCALIZED analysis (per-point weights, batched eigh, obs
+# extracted host-side — every process derives the identical obs list)
+omask = np.zeros((24, 24))
+omask[3:21:3, 3:21:3] = 1.0
+ETKF(ens, sigma=0.02, localization_radius=4.0).analysis(
+    gaussian_eta(24, 24, amp=0.3), obs_mask=omask)
+ens.run(2)
+for k, v in ens.gather_all().items():
+    results[f"lk_{k}"] = v
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

@@ -219,3 +219,12 @@ def test_multiprocess_etkf_matches(mp_results):
     for k, v in ens.gather_all().items():
         np.testing.assert_allclose(mp_results[f"ek_{k}"], v,
                                    rtol=0, atol=1e-9)
+
+    omask = np.zeros((24, 24))
+    omask[3:21:3, 3:21:3] = 1.0
+    ETKF(ens, sigma=0.02, localization_radius=4.0).analysis(
+        gaussian_eta(24, 24, amp=0.3), obs_mask=omask)
+    ens.run(2)
+    for k, v in ens.gather_all().items():
+        np.testing.assert_allclose(mp_results[f"lk_{k}"], v,
+                                   rtol=0, atol=1e-9)
