@@ -114,7 +114,8 @@ class ETKF:
     def __init__(self, ensemble, *, obs_field: str | None = None,
                  sigma: float = 0.05, inflation: float = 1.0,
                  localization_radius: float | None = None,
-                 obs_level: int = 0):
+                 obs_level: int = 0, adaptive_inflation: bool = False,
+                 inflation_max: float = 2.0):
         self.ens = ensemble
         names = ensemble._field_names
         self._obs_idx = (0 if obs_field is None
@@ -140,8 +141,12 @@ class ETKF:
         if localization_radius is not None and localization_radius <= 0:
             raise ValueError("localization_radius must be > 0 "
                              "(physical units; None = global ETKF)")
+        if inflation_max < 1.0:
+            raise ValueError("inflation_max must be >= 1")
         self.sigma = float(sigma)
         self.inflation = float(inflation)
+        self.adaptive_inflation = bool(adaptive_inflation)
+        self.inflation_max = float(inflation_max)
         self.localization_radius = (None if localization_radius is None
                                     else float(localization_radius))
         grid = ensemble.grid
@@ -299,6 +304,16 @@ class ETKF:
         ow = jax.device_put(ow, grid.sharding)
 
         before = self._obs_diagnostics(obs, ow)
+        if self.adaptive_inflation:
+            # Wang & Bishop (2003) innovation statistics: consistency
+            # wants <d^2> = spread^2 + sigma^2, so the forecast
+            # variance deficit (rms^2 - sigma^2)/spread^2 is the
+            # multiplicative inflation that restores it; clipped to
+            # [1, inflation_max] and persisted for the next cycle
+            rms, spread = before
+            est = (rms ** 2 - self.sigma ** 2) / max(spread ** 2, 1e-30)
+            self.inflation = float(np.clip(est, 1.0,
+                                           self.inflation_max))
         sig_inv2 = jnp.asarray(1.0 / self.sigma ** 2, dtype)
         rho = jnp.asarray(self.inflation, dtype)
         if self.localization_radius is None:
@@ -328,7 +343,8 @@ class ETKF:
         after = self._obs_diagnostics(obs, ow)
         return {"rms_innovation_before": before[0],
                 "rms_innovation_after": after[0],
-                "spread_before": before[1], "spread_after": after[1]}
+                "spread_before": before[1], "spread_after": after[1],
+                "inflation": self.inflation}
 
     def _obs_diagnostics(self, obs, ow):
         """(RMS mean innovation, mean member spread) on observed wet

@@ -274,6 +274,42 @@ def test_letkf_implicit_chebyshev_ensemble():
     assert all(np.isfinite(v).all() for v in ens.gather_all().values())
 
 
+def test_adaptive_inflation_under_model_error():
+    """The textbook adaptive-inflation case: the assimilating model is
+    WRONG (depth 12 vs truth 10, ~10% wave-speed error), so every
+    forecast re-injects error while a fixed rho = 1 ensemble collapses
+    toward false certainty and stops correcting.  Wang-Bishop adaptive
+    inflation reads the variance deficit off the innovation statistics
+    each cycle and keeps the filter responsive."""
+    N, M = 24, 6
+    truth, obs = _truth_and_obs(N, cycles=6, fsteps=5)
+    spread, gain = {}, {}
+    for adaptive in (False, True):
+        m = gw.build(N, N, dt=0.05, depth=12.0)     # imperfect model
+        ens = _perturbed_ensemble(m, M, amp=0.15, seed=8)
+        filt = ETKF(ens, sigma=0.005, adaptive_inflation=adaptive,
+                    inflation_max=50.0)
+        reductions = []
+        for i, y in enumerate(obs):
+            ens.run(5)
+            diag = filt.analysis(y)
+            if i == 1 and adaptive:
+                # the estimator itself: clip((rms^2-sigma^2)/spread^2)
+                want = min(50.0, max(1.0, (
+                    diag["rms_innovation_before"] ** 2 - 0.005 ** 2)
+                    / diag["spread_before"] ** 2))
+                assert abs(diag["inflation"] - want) < 1e-9 * want
+            if i > 0:
+                reductions.append(diag["rms_innovation_before"]
+                                  - diag["rms_innovation_after"])
+        spread[adaptive] = diag["spread_after"]
+        gain[adaptive] = sum(reductions)
+    # fixed rho collapses toward false certainty; adaptive sustains
+    # spread and keeps correcting (3x the cycled innovation reduction)
+    assert spread[True] > 2.0 * spread[False], spread
+    assert gain[True] > 2.0 * gain[False], gain
+
+
 def test_multi_level_ensemble_etkf():
     """ETKF over an NLayerModel ensemble: observe the TOP interface of
     the (M, L, ly, lx) state; the update corrects every level of every
