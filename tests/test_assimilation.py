@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from dl_esm_inf_tpu.core import layout
 from dl_esm_inf_tpu.models import gravity_wave as gw

@@ -10,7 +10,6 @@ import pytest
 
 import jax
 
-from dl_esm_inf_tpu.core import layout
 from dl_esm_inf_tpu.models import gravity_wave as gw
 from dl_esm_inf_tpu.models import nemolite2d as nl
 from dl_esm_inf_tpu.models import semi_implicit as si
