@@ -206,13 +206,18 @@ def hybrid_controls(model, ensemble, *, smooth_scale: float = 2.0,
 def make_cost_fn(model, observations: dict, obs_weight=None,
                  background=None, background_weight: float = 0.0,
                  remat_chunk: int | None = None,
-                 control_transform=None, control_penalty=None):
+                 control_transform=None, control_penalty=None,
+                 obs_state_index: int = 0):
     """Build ``cost(eta0_stacked) -> scalar``: the 4D-Var objective
 
     ``sum_t ||eta_t - obs_t||^2_w  [+ b_w * ||eta0 - background||^2_w]``
     over a trajectory started from rest at ``eta0``.  ``observations``
     maps step number (>=1) to a global ``(gny, gnx)`` array; the misfit
-    is evaluated on wet internal points only.  Returns ``(cost_fn,
+    is evaluated on wet internal points only.  ``obs_state_index``
+    selects WHICH state field is observed (0 = the surface elevation
+    in every runner; e.g. 2 = v for drifter-style velocity
+    observations — pass the face-wet mask via ``obs_weight`` if land-
+    adjacent faces should be excluded).  Returns ``(cost_fn,
     pack, unpack)`` where ``pack`` lifts a global initial eta into the
     stacked optimisation variable and ``unpack`` is its inverse.
 
@@ -282,7 +287,8 @@ def make_cost_fn(model, observations: dict, obs_weight=None,
         for n, t in zip(segs, steps):
             state = run_seg(progs[n], state, base)
             base = t
-            c = c + jnp.sum((state[0] - obs_stacked[t]) ** 2 * w)
+            c = c + jnp.sum((state[obs_state_index]
+                             - obs_stacked[t]) ** 2 * w)
         return c
 
     def pack(eta0_global):
