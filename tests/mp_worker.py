@@ -170,6 +170,17 @@ ens.run(2)
 for k, v in ens.gather_all().items():
     results[f"lk_{k}"] = v
 
+# --- tracer transport across the process seam (reach-2 limiter) --------
+from dl_esm_inf_tpu.models import tracer as trm  # noqa: E402
+
+tu, tv = trm.streamfunction_velocities(
+    0.4 * gaussian_eta(24, 24, amp=1.0, width=0.2))
+mt = trm.build(24, 24, ndomains=4 * nproc, dt=0.2, u=tu, v=tv,
+               kappa=0.02)
+mt.set_initial_tracer(gaussian_eta(24, 24, amp=1.0) + 0.01)
+mt.run(8)
+results["tr_c"] = mt.gather()["c"]
+
 if pid == 0:
     np.savez(outfile, **results)
 print(f"[{pid}] MP WORKER DONE", flush=True)

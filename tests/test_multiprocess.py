@@ -228,3 +228,18 @@ def test_multiprocess_etkf_matches(mp_results):
     for k, v in ens.gather_all().items():
         np.testing.assert_allclose(mp_results[f"lk_{k}"], v,
                                    rtol=0, atol=1e-9)
+
+
+def test_multiprocess_tracer_matches(mp_results):
+    """The van-Leer tracer (reach-2 stencil, limiter at ragged wet
+    edges) across REAL process boundaries == single-process."""
+    from dl_esm_inf_tpu.models import tracer as trm
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+    tu, tv = trm.streamfunction_velocities(
+        0.4 * gaussian_eta(24, 24, amp=1.0, width=0.2))
+    mt = trm.build(24, 24, ndomains=8, dt=0.2, u=tu, v=tv, kappa=0.02)
+    mt.set_initial_tracer(gaussian_eta(24, 24, amp=1.0) + 0.01)
+    mt.run(8)
+    np.testing.assert_allclose(mp_results["tr_c"], mt.gather()["c"],
+                               rtol=0, atol=1e-12)
