@@ -53,6 +53,33 @@ def _adapt(model):
         return (("c",), (model.c,),
                 (model._u, model._v, model._t_upd, model._u_wet,
                  model._v_wet), plain, model.reach)
+    if isinstance(model, tracer.CoupledTracer):
+        # online-coupled members: each advances its OWN flow and
+        # tracer; observing the plume corrects the flow through the
+        # ensemble cross-covariances (tests/test_enkf.py)
+        fs = model.flagship
+        if fs._ht is not None:
+            raise ValueError("coupled-tracer ensembles support flat "
+                             "bathymetry")
+        dx, dy = model.grid.dx, model.grid.dy
+
+        def step_ct(exch, st_, mk, istep):
+            ssh, un, vn, c = exch(tuple(st_))
+            rtime = (istep + 1).astype(ssh.dtype) * fs.p.rdt
+            forcing = nemolite2d.tidal_forcing(rtime, fs.p)
+            ssh2, un2, vn2 = nemolite2d.step_math(
+                ssh, un, vn, mk[0], fs.p, dx, dy, fs._fcor, fs.depth,
+                forcing)
+            c2 = tracer.tracer_step(
+                c, un * mk[2], vn * mk[3], mk[1], mk[2], mk[3],
+                dx=dx, dy=dy, dt=fs.p.rdt, kappa=model.kappa,
+                scheme=model.scheme)
+            return ssh2, un2, vn2, c2
+
+        return (("ssh", "u", "v", "c"),
+                (fs.sshn_t, fs.un, fs.vn, model.c),
+                (fs._mask_codes, model._t_upd, model._u_wet,
+                 model._v_wet), step_ct, 2)
     if isinstance(model, shallow.ShallowModel):
         return (("eta", "u", "v"), (model.eta, model.u, model.v), (),
                 plain, 1)

@@ -341,6 +341,12 @@ class CoupledTracer:
     set_initial_tracer = TracerModel.set_initial_tracer
     mass = TracerModel.mass
 
+    @property
+    def _istep0(self):
+        """The coupled clock is the flagship's (the ensemble runner
+        reads this to continue the tidal forcing)."""
+        return self.flagship._istep0
+
     # ------------------------------------------------------------------
     def step_program(self, nsteps: int = 1):
         if nsteps not in self._step_cache:

@@ -258,6 +258,53 @@ def test_coupled_decomposition_invariant():
                                    rtol=0, atol=1e-11)
 
 
+def test_coupled_ensemble_plume_obs_corrects_flow():
+    """Ensembles of ONLINE-COUPLED members: each advances its own flow
+    and tracer in one program (members == sequential coupled runs),
+    and an ETKF analysis of the PLUME corrects the FLOW through the
+    ensemble cross-covariances — the source/flow-inference workflow."""
+    from dl_esm_inf_tpu.models.enkf import ETKF
+    from dl_esm_inf_tpu.models.ensemble import Ensemble
+    N, M = 32, 5
+    rng = np.random.default_rng(3)
+    base = gaussian_eta(N, N, amp=0.2)
+    perts = np.stack([0.05 * rng.standard_normal((N, N))
+                      for _ in range(M)])
+    c0 = _blob(N)
+
+    def fresh(ssh0):
+        ct = _coupled(N, kappa=0.01)
+        ct.flagship.set_initial_ssh(ssh0)
+        ct.set_initial_tracer(c0)
+        return ct
+
+    truth = fresh(base + perts.mean(0) + 0.5 * (perts[0] - perts[2]))
+    truth.run(8)
+    y = truth.gather()["c"]
+
+    ens = Ensemble(fresh(base), M)
+    ens.set_member_states(0, np.stack([base + p for p in perts]))
+    ens.run(8)
+    # member 0 == its sequential coupled run (1-ulp program-pair tol)
+    seq = fresh(base + perts[0])
+    seq.run(8)
+    gm0 = ens.member(0)
+    gs = seq.gather()
+    for a, b in (("ssh", "sshn"), ("u", "un"), ("v", "vn"),
+                 ("c", "c")):
+        np.testing.assert_allclose(gm0[a], gs[b], rtol=0, atol=1e-13,
+                                   err_msg=a)
+
+    before = ens.gather_all()
+    diag = ETKF(ens, obs_field="c", sigma=1e-3).analysis(y)
+    after = ens.gather_all()
+    assert diag["rms_innovation_after"] < 0.7 * diag[
+        "rms_innovation_before"]
+    # the flow moved too: plume observations inform the velocities
+    assert np.abs(after["u"] - before["u"]).max() > 1e-7
+    assert np.abs(after["ssh"] - before["ssh"]).max() > 1e-7
+
+
 def test_guards():
     with pytest.raises(ValueError, match="scheme"):
         tr.build(16, 16, scheme="weno")
