@@ -38,11 +38,27 @@ def _trajectory_runner(model):
     from .gravity_wave import GravityWaveModel
     from .nemolite2d import NemoLite2D
     from .semi_implicit import SemiImplicitModel
-    from .tracer import TracerModel
+    from .tracer import CoupledTracer, TracerModel
 
     def rest3(x0):
         return (x0, jnp.zeros_like(x0), jnp.zeros_like(x0))
 
+    if isinstance(model, CoupledTracer):
+        # source inversion THROUGH the evolving flow: the flow's
+        # current state is captured as constants; the control is the
+        # initial tracer (state index 3 — pass obs_state_index=3)
+        fs = model.flagship
+        if fs._ht is not None:
+            raise ValueError("coupled-tracer 4D-Var supports flat "
+                             "bathymetry")
+        ops = (fs._mask_codes, model._t_upd, model._u_wet,
+               model._v_wet)
+        flow0 = (fs.sshn_t.data, fs.un.data, fs.vn.data)
+        off = int(fs._istep0)     # forcing continuity with the flow
+        return ((lambda prog, st, base: prog(jnp.int32(base + off),
+                                             *st, *ops)),
+                model._t_upd,
+                lambda x0: flow0 + (x0,))
     if isinstance(model, TracerModel):
         if model.use_pallas or model._sweep_K > 1:
             raise ValueError(
@@ -311,7 +327,8 @@ def assimilate(model, observations: dict, *, iters: int = 200,
                remat_chunk: int | None = None,
                optimizer: str = "adam",
                smooth_scale: float | None = None,
-               ensemble=None, hybrid_beta=(1.0, 1.0)) -> dict:
+               ensemble=None, hybrid_beta=(1.0, 1.0),
+               obs_state_index: int = 0) -> dict:
     """Twin-experiment-ready 4D-Var: recover the initial surface
     elevation that best explains ``observations`` under ``model``'s
     dynamics, by descent on the AD gradient of the trajectory misfit.
@@ -363,7 +380,8 @@ def assimilate(model, observations: dict, *, iters: int = 200,
     cost, pack, unpack = make_cost_fn(
         model, observations, obs_weight=obs_weight, background=background,
         background_weight=background_weight, remat_chunk=remat_chunk,
-        control_transform=transform, control_penalty=penalty)
+        control_transform=transform, control_penalty=penalty,
+        obs_state_index=obs_state_index)
     d = model.grid.decomp
     if ensemble is not None:
         x = zero_control()

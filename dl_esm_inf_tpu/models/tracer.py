@@ -348,8 +348,12 @@ class CoupledTracer:
         return self.flagship._istep0
 
     # ------------------------------------------------------------------
-    def step_program(self, nsteps: int = 1):
-        if nsteps not in self._step_cache:
+    def step_program(self, nsteps: int = 1,
+                     remat_chunk: int | None = None):
+        """``remat_chunk`` checkpoints the coupled loop for reverse AD
+        (source inversion THROUGH the evolving flow)."""
+        key = (nsteps, remat_chunk)
+        if key not in self._step_cache:
             from . import nemolite2d as nl
             fs = self.flagship
             grid = self.grid
@@ -375,16 +379,21 @@ class CoupledTracer:
                         scheme=self.scheme)
                     return ssh2, un2, vn2, c2
 
+                if remat_chunk is not None:
+                    from ..ops.adjoint import checkpointed_fori
+                    return checkpointed_fori(nsteps, one,
+                                             (ssh, un, vn, c),
+                                             remat_chunk)
                 return lax.fori_loop(0, nsteps, one,
                                      (ssh, un, vn, c))
 
             blk = P("y", "x")
-            self._step_cache[nsteps] = jax.jit(jax.shard_map(
+            self._step_cache[key] = jax.jit(jax.shard_map(
                 body, mesh=grid.mesh,
                 in_specs=(P(),) + (blk,) * 8 + ((blk,) if have_ht
                                                 else ()),
                 out_specs=(blk,) * 4, check_vma=False))
-        return self._step_cache[nsteps]
+        return self._step_cache[key]
 
     def run(self, nsteps: int) -> None:
         fs = self.flagship
