@@ -1,0 +1,261 @@
+"""One-way grid nesting: a refined child grid driven by its parent.
+
+The AGRIF capability class (NEMO's nesting layer): a child
+:class:`~.gravity_wave.GravityWaveModel` covers a rectangular window of
+its parent's domain at ``ratio`` x finer resolution (``dx/r``, ``dt/r``)
+and receives its open-boundary values from the parent — space-bilinear
+plus time-linear interpolation — while the parent never sees the child
+(one-way).  The reference library has no nesting layer; its clients
+hand-write this over MPI gather/scatter.  Here the WHOLE nest step —
+one parent step, ``r`` child substeps, and the boundary glue between
+them — is ONE jitted program over sharded global arrays: the glue is
+O(perimeter) static gathers/scatters at the jit level, so XLA inserts
+whatever resharding collectives the mesh layout needs (there is no
+hand-written pack/unpack or rank bookkeeping anywhere).
+
+Discrete design (what makes the seam exact rather than merely plausible):
+
+* The child grid keeps the standard one-cell land ring (tmask=0); the
+  next ring in — the *boundary ring* — is wet but its ``t_upd`` update
+  mask is zeroed (on every stacked copy, halo twins included), so the
+  child step never evolves it.  Before each child substep the ring's
+  eta is overwritten with parent values at the substep's START time
+  ``alpha = k/r``; u/v faces adjacent to the ring are updated by the
+  child's own stencil from those prescribed etas, which reproduces the
+  parent's forward-backward staggering exactly.
+* Consequence (pinned by ``tests/test_nesting.py``): at ``ratio=1`` the
+  bilinear weights and the time blend both degenerate to the identity
+  and the child interior equals the parent window to the last bit —
+  the nesting analogue of the decomposition-invariance invariant.
+
+Scope: the linear :class:`GravityWaveModel` on the plain jnp path
+(the glue must run every parent step, so deep-halo sweeps / Pallas
+temporal blocking are rejected — enable them on the parent AFTER
+`step_program` if you accept per-K-step coupling).  Land inside the
+child window is supported (the parent tmask is refined
+piecewise-constant); the boundary ring itself must be wet.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import dl_esm_inf_tpu as dl
+from ..core import layout
+from ..ops import stencils as st
+from .gravity_wave import GravityWaveModel
+
+
+# ----------------------------------------------------------------------
+# Interpolation index plans (host-side, static)
+# ----------------------------------------------------------------------
+def _t_point_plan(cy, cx, pj0, pi0, ratio, pny, pnx):
+    """Bilinear gather plan from parent T points to child T points.
+
+    Child T cell (cy, cx) sits at parent T-index coordinates
+    ``pj0 + (cy + 0.5)/r - 0.5`` (exactly integer when r == 1, so the
+    weights degenerate to the identity — the bitwise r=1 invariant).
+    """
+    py = pj0 + (np.asarray(cy, np.float64) + 0.5) / ratio - 0.5
+    px = pi0 + (np.asarray(cx, np.float64) + 0.5) / ratio - 0.5
+    y0 = np.clip(np.floor(py).astype(np.int64), 0, pny - 2)
+    x0 = np.clip(np.floor(px).astype(np.int64), 0, pnx - 2)
+    wy = np.clip(py - y0, 0.0, 1.0)
+    wx = np.clip(px - x0, 0.0, 1.0)
+    return y0, x0, wy, wx
+
+
+def _bilinear(pg, plan, dtype):
+    """Gather a plan's values from a (gny, gnx) global parent array."""
+    y0, x0, wy, wx = plan
+    wy = jnp.asarray(wy, dtype)
+    wx = jnp.asarray(wx, dtype)
+    v00 = pg[y0, x0]
+    v01 = pg[y0, x0 + 1]
+    v10 = pg[y0 + 1, x0]
+    v11 = pg[y0 + 1, x0 + 1]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def _stacked_indices(decomp, gy, gx):
+    """Stacked-layout coordinates of the INTERNAL copy of global cells.
+
+    Shard-halo twins are deliberately not touched: the child step opens
+    with a halo exchange, which refreshes them from these."""
+    h = decomp.halo
+    sy = (gy // decomp.tile_ny) * decomp.local_ny + h + gy % decomp.tile_ny
+    sx = (gx // decomp.tile_nx) * decomp.local_nx + h + gx % decomp.tile_nx
+    return sy, sx
+
+
+# ----------------------------------------------------------------------
+class OneWayNest:
+    """A parent model + a one-way refined child over a window of it.
+
+    Parameters
+    ----------
+    parent : GravityWaveModel
+        Plain jnp path (no pallas / steps_per_sweep).
+    origin : (pj0, pi0)
+        Parent T-cell of the child window's south-west corner.
+    shape : (ph, pw)
+        Window extent in parent cells; the child grid is
+        ``(ph*ratio, pw*ratio)`` and covers exactly that window.
+    ratio : int
+        Refinement ratio r >= 1: child dx = parent dx / r and the child
+        takes r substeps (dt/r) per parent step.
+    """
+
+    def __init__(self, parent: GravityWaveModel, *, origin, shape,
+                 ratio: int, child_ndomains=None, child_ndomainx=None,
+                 child_ndomainy=None):
+        if parent.use_pallas or parent._sweep_K > 1:
+            raise ValueError(
+                "one-way nesting needs the parent on the plain jnp path "
+                "(the boundary glue runs every parent step); build the "
+                "parent without pallas/steps_per_sweep")
+        self.parent = parent
+        self.ratio = r = int(ratio)
+        if r < 1:
+            raise ValueError(f"ratio must be >= 1, got {ratio}")
+        pj0, pi0 = (int(v) for v in origin)
+        ph, pw = (int(v) for v in shape)
+        pdec = parent.grid.decomp
+        pny, pnx = pdec.global_ny, pdec.global_nx
+        if not (0 <= pi0 and pi0 + pw <= pnx and 0 <= pj0
+                and pj0 + ph <= pny):
+            raise ValueError(
+                f"child window [{pj0}:{pj0 + ph}) x [{pi0}:{pi0 + pw}) "
+                f"outside the parent domain {pny}x{pnx}")
+        if ph < 4 or pw < 4:
+            raise ValueError("child window needs >= 4 parent cells per "
+                             "axis (land ring + boundary ring + interior)")
+        self.origin = (pj0, pi0)
+        self.shape = (ph, pw)
+        cny, cnx = ph * r, pw * r
+
+        # Child tmask: the parent window refined piecewise-constant,
+        # with the standard one-cell land ring forced on the outside.
+        ptm = layout.unstack_internal(pdec, parent.grid._tmask_np)
+        tm_c = np.kron(ptm[pj0:pj0 + ph, pi0:pi0 + pw],
+                       np.ones((r, r), np.int32)).astype(np.int32)
+        tm_c[0, :] = tm_c[-1, :] = 0
+        tm_c[:, 0] = tm_c[:, -1] = 0
+        ring = np.zeros((cny, cnx), np.int32)
+        ring[1, 1:-1] = ring[-2, 1:-1] = 1
+        ring[1:-1, 1] = ring[1:-1, -2] = 1
+        if not np.all(tm_c[ring == 1] == 1):
+            raise ValueError(
+                "the child's boundary ring must be wet: move the window "
+                "so its edge cells are ocean in the parent tmask")
+
+        pgrid = parent.grid
+        cgrid = dl.Grid(pgrid.name, pgrid.boundary_conditions,
+                        pgrid.offset, dtype=pgrid.dtype)
+        cgrid.decompose(cnx, cny, ndomains=child_ndomains,
+                        ndomainx=child_ndomainx, ndomainy=child_ndomainy,
+                        halo_width=pdec.halo)
+        dl.grid_init(cgrid, pgrid.dx / r, pgrid.dy / r, tm_c)
+        self.child = GravityWaveModel(cgrid, dt=parent.dt / r,
+                                      g=parent.g, depth=parent.depth)
+
+        # Freeze the boundary ring: zero t_upd on EVERY stacked copy
+        # (halo twins included) so no path ever evolves it.
+        cdec = cgrid.decomp
+        dtype = self.child.eta.dtype
+        ring_stacked = layout.stack_global(cdec, ring, mode="edge")
+        t_upd = np.asarray(self.child._t_upd) * (1 - ring_stacked)
+        self.child._t_upd = jax.device_put(jnp.asarray(t_upd, dtype),
+                                           cgrid.sharding)
+        self.child._mask_codes = jax.device_put(
+            st.pack_mask_bits((self.child._t_upd, self.child._u_wet,
+                               self.child._v_wet)), cgrid.sharding)
+
+        # Static plans: ring scatter targets + parent gather weights.
+        ry, rx = np.nonzero(ring)
+        self._ring_scatter = _stacked_indices(cdec, ry, rx)
+        self._ring_plan = _t_point_plan(ry, rx, pj0, pi0, r, pny, pnx)
+        self._prog_cache = {}
+
+    # ------------------------------------------------------------------
+    def sync_from_parent(self) -> None:
+        """Initialise the child's eta from the parent's (bilinear).
+
+        u/v start at rest; for a fine-structure initial condition set
+        the child's eta directly instead (``child.set_initial_eta``)."""
+        pj0, pi0 = self.origin
+        pdec = self.parent.grid.decomp
+        cdec = self.child.grid.decomp
+        cny, cnx = cdec.global_ny, cdec.global_nx
+        cy, cx = np.mgrid[0:cny, 0:cnx]
+        plan = _t_point_plan(cy.ravel(), cx.ravel(), pj0, pi0,
+                             self.ratio, pdec.global_ny, pdec.global_nx)
+        pg = self.parent.eta.gather_inner_data()
+        y0, x0, wy, wx = plan
+        vals = ((1 - wy) * ((1 - wx) * pg[y0, x0] + wx * pg[y0, x0 + 1])
+                + wy * ((1 - wx) * pg[y0 + 1, x0]
+                        + wx * pg[y0 + 1, x0 + 1]))
+        eta_c = vals.reshape(cny, cnx)
+        tm_c = layout.unstack_internal(cdec, self.child.grid._tmask_np)
+        eta_c[np.asarray(tm_c) != 1] = 0.0
+        self.child.set_initial_eta(eta_c)
+
+    # ------------------------------------------------------------------
+    def step_program(self, nsteps: int = 1):
+        """One jitted program: nsteps x (parent step + r child substeps).
+
+        State: ``(p_eta, p_u, p_v, c_eta, c_u, c_v)`` in the stacked
+        sharded layout.  Before child substep k the boundary ring's eta
+        is set to the parent field at blend time ``alpha = k/r``
+        (start-of-substep: with the forward-backward stagger the child's
+        own u/v updates then reproduce the parent's sequencing, which is
+        what makes r=1 bitwise)."""
+        if nsteps not in self._prog_cache:
+            parent, child, r = self.parent, self.child, self.ratio
+            p_prog = parent.step_program(1)
+            c_prog = child.step_program(1)
+            pdec = parent.grid.decomp
+            dtype = jnp.dtype(child.eta.dtype)
+            sy, sx = self._ring_scatter
+            plan = self._ring_plan
+            p_masks = (parent._t_upd, parent._u_wet, parent._v_wet,
+                       parent._mask_codes)
+            c_masks = (child._t_upd, child._u_wet, child._v_wet,
+                       child._mask_codes)
+
+            def body(_, s):
+                p_eta, p_u, p_v, c_eta, c_u, c_v = s
+                ring_old = _bilinear(layout.unstack_internal(pdec, p_eta),
+                                     plan, dtype)
+                p_eta, p_u, p_v = p_prog(p_eta, p_u, p_v, *p_masks)
+                ring_new = _bilinear(layout.unstack_internal(pdec, p_eta),
+                                     plan, dtype)
+                for k in range(r):
+                    if k == 0:
+                        vals = ring_old      # exact, no 0-weight blend
+                    else:
+                        a = dtype.type(k / r)
+                        vals = (1 - a) * ring_old + a * ring_new
+                    c_eta = c_eta.at[sy, sx].set(vals)
+                    c_eta, c_u, c_v = c_prog(c_eta, c_u, c_v, *c_masks)
+                return (p_eta, p_u, p_v, c_eta, c_u, c_v)
+
+            @jax.jit
+            def prog(p_eta, p_u, p_v, c_eta, c_u, c_v):
+                return lax.fori_loop(
+                    0, nsteps, body, (p_eta, p_u, p_v, c_eta, c_u, c_v))
+
+            self._prog_cache[nsteps] = prog
+        return self._prog_cache[nsteps]
+
+    def run(self, nsteps: int) -> None:
+        prog = self.step_program(nsteps)
+        p, c = self.parent, self.child
+        out = prog(p.eta.data, p.u.data, p.v.data,
+                   c.eta.data, c.u.data, c.v.data)
+        (p.eta.data, p.u.data, p.v.data,
+         c.eta.data, c.u.data, c.v.data) = out

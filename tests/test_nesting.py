@@ -1,0 +1,146 @@
+"""One-way grid nesting (models/nesting.py).
+
+Three invariants pin the nest seam:
+
+* ratio=1 is EXACT — the bilinear and time-blend weights degenerate to
+  the identity, so the child interior equals the parent window to the
+  last bit after any number of steps (the nesting analogue of the
+  1-shard == N-shard invariant).
+* decomposition invariance — a 1-domain parent + 1-domain child equals
+  the 8-device nest to fp64 roundoff.
+* refinement buys accuracy — against a uniformly-fine truth run, the
+  nested child beats the bilinear-interpolated coarse parent on an
+  under-resolved bump.
+"""
+import numpy as np
+import pytest
+
+from dl_esm_inf_tpu.models import gravity_wave as gw
+from dl_esm_inf_tpu.models.nesting import OneWayNest, _t_point_plan
+
+
+def _build_parent(gnx, gny, ndom, dt, depth=10.0, width=0.08):
+    parent = gw.build(gnx, gny, ndomains=ndom, dt=dt, depth=depth)
+    parent.set_initial_eta(gw.gaussian_eta(gnx, gny, width=width))
+    return parent
+
+
+def test_ratio1_child_matches_parent_bitwise():
+    parent = _build_parent(48, 48, 1, dt=0.02)
+    nest = OneWayNest(parent, origin=(12, 12), shape=(24, 24), ratio=1,
+                      child_ndomains=1)
+    nest.sync_from_parent()
+    nest.run(30)
+    pg = parent.eta.gather_inner_data()
+    cg = nest.child.eta.gather_inner_data()
+    # Child interior (inside land ring + boundary ring) vs the parent
+    # window: identical stencils on identical data -> identical bits.
+    np.testing.assert_array_equal(cg[2:-2, 2:-2], pg[14:34, 14:34])
+    # u/v likewise (faces strictly inside the ring evolve by the same
+    # updates from the same etas).
+    pu = parent.u.gather_inner_data()
+    cu = nest.child.u.gather_inner_data()
+    np.testing.assert_array_equal(cu[2:-2, 2:-3], pu[14:34, 14:33])
+
+
+def test_nest_decomposition_invariance():
+    runs = []
+    for pdom, cdom in ((1, 1), (None, None)):   # None -> all 8 devices
+        parent = _build_parent(64, 64, pdom, dt=0.02)
+        nest = OneWayNest(parent, origin=(16, 16), shape=(32, 32),
+                          ratio=2, child_ndomains=cdom)
+        nest.sync_from_parent()
+        nest.run(20)
+        runs.append((parent.eta.gather_inner_data(),
+                     nest.child.eta.gather_inner_data()))
+    np.testing.assert_allclose(runs[0][0], runs[1][0], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(runs[0][1], runs[1][1], rtol=0, atol=1e-12)
+
+
+def test_ring_time_staggering():
+    """After one parent step the ring holds the alpha=(r-1)/r blend of
+    the parent's pre/post states (start-of-substep convention)."""
+    r = 3
+    parent = _build_parent(48, 48, 1, dt=0.02)
+    eta_pre = parent.eta.gather_inner_data()
+    nest = OneWayNest(parent, origin=(12, 12), shape=(20, 20), ratio=r,
+                      child_ndomains=1)
+    nest.sync_from_parent()
+    nest.run(1)
+    eta_post = parent.eta.gather_inner_data()
+
+    cny, cnx = nest.child.grid.decomp.global_ny, nest.child.grid.decomp.global_nx
+    ring = np.zeros((cny, cnx), bool)
+    ring[1, 1:-1] = ring[-2, 1:-1] = True
+    ring[1:-1, 1] = ring[1:-1, -2] = True
+    ry, rx = np.nonzero(ring)
+    y0, x0, wy, wx = _t_point_plan(ry, rx, 12, 12, r, 48, 48)
+
+    def bilin(pg):
+        return ((1 - wy) * ((1 - wx) * pg[y0, x0] + wx * pg[y0, x0 + 1])
+                + wy * ((1 - wx) * pg[y0 + 1, x0] + wx * pg[y0 + 1, x0 + 1]))
+
+    a = (r - 1) / r
+    want = (1 - a) * bilin(eta_pre) + a * bilin(eta_post)
+    got = nest.child.eta.gather_inner_data()[ry, rx]
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
+def test_refinement_improves_accuracy():
+    """Under-resolved bump: the r=3 nested child tracks a uniformly-fine
+    truth run far better than the bilinearly-interpolated coarse parent."""
+    r, depth, dt = 3, 10.0, 0.05
+    sigma = 1.2                       # physical units ~ 1.2 coarse cells
+
+    def analytic(n, dx):
+        x = (np.arange(n) + 0.5) * dx
+        r2 = ((x - 16.0)[None, :] ** 2 + (x - 16.0)[:, None] ** 2)
+        return np.exp(-r2 / (2 * sigma ** 2))
+
+    nsteps = 10
+    # Truth: uniformly fine over the whole domain.
+    fine = gw.build(32 * r, 32 * r, ndomains=None, dt=dt / r,
+                    depth=depth, dx=1.0 / r, dy=1.0 / r)
+    fine.set_initial_eta(analytic(32 * r, 1.0 / r))
+    fine.run(nsteps * r)
+    truth = fine.eta.gather_inner_data()
+
+    parent = gw.build(32, 32, ndomains=None, dt=dt, depth=depth)
+    parent.set_initial_eta(analytic(32, 1.0))
+    nest = OneWayNest(parent, origin=(8, 8), shape=(16, 16), ratio=r)
+    nest.child.set_initial_eta(analytic(32 * r, 1.0 / r)
+                               [8 * r:24 * r, 8 * r:24 * r])
+    nest.run(nsteps)
+
+    # Compare on the child interior, inset from the prescribed ring;
+    # child cell (cy, cx) is collocated with fine cell (8r+cy, 8r+cx).
+    inset = 6
+    cg = nest.child.eta.gather_inner_data()[inset:-inset, inset:-inset]
+    tr = truth[8 * r + inset:24 * r - inset, 8 * r + inset:24 * r - inset]
+    err_nested = np.sqrt(np.mean((cg - tr) ** 2))
+
+    pg = parent.eta.gather_inner_data()
+    y, x = np.mgrid[8 * r + inset:24 * r - inset, 8 * r + inset:24 * r - inset]
+    y0, x0, wy, wx = _t_point_plan(y.ravel() - 8 * r, x.ravel() - 8 * r,
+                                   8, 8, r, 32, 32)
+    interp = ((1 - wy) * ((1 - wx) * pg[y0, x0] + wx * pg[y0, x0 + 1])
+              + wy * ((1 - wx) * pg[y0 + 1, x0] + wx * pg[y0 + 1, x0 + 1]))
+    err_coarse = np.sqrt(np.mean((interp.reshape(cg.shape) - tr) ** 2))
+
+    assert err_nested < 0.5 * err_coarse, (err_nested, err_coarse)
+    assert err_nested < 0.05 * np.sqrt(np.mean(tr ** 2))
+
+
+def test_rejects_bad_windows():
+    parent = _build_parent(48, 48, 1, dt=0.02)
+    with pytest.raises(ValueError, match="outside the parent"):
+        OneWayNest(parent, origin=(40, 40), shape=(16, 16), ratio=2)
+    with pytest.raises(ValueError, match="boundary ring must be wet"):
+        # window touching the parent's land ring
+        OneWayNest(parent, origin=(0, 0), shape=(16, 16), ratio=2)
+    with pytest.raises(ValueError, match="ratio"):
+        OneWayNest(parent, origin=(8, 8), shape=(16, 16), ratio=0)
+    ca = gw.build(64, 64, ndomains=1, dt=0.02, depth=10.0,
+                  steps_per_sweep=2)
+    with pytest.raises(ValueError, match="plain jnp path"):
+        OneWayNest(ca, origin=(16, 16), shape=(16, 16), ratio=2)
