@@ -108,11 +108,19 @@ class OneWayNest:
     ratio : int
         Refinement ratio r >= 1: child dx = parent dx / r and the child
         takes r substeps (dt/r) per parent step.
+    two_way : bool
+        After the r substeps, restrict the child's eta (conservative
+        r x r mean) back onto the parent's window interior — the
+        AGRIF "update" phase.  The feedback region is inset two parent
+        cells from the window edge (clear of the land + boundary
+        rings), covers wet parent cells only, and is the identity at
+        ratio=1, so the bitwise r=1 invariant survives feedback.
+        eta-only (the linear model's velocities follow from it).
     """
 
     def __init__(self, parent: GravityWaveModel, *, origin, shape,
-                 ratio: int, child_ndomains=None, child_ndomainx=None,
-                 child_ndomainy=None):
+                 ratio: int, two_way: bool = False, child_ndomains=None,
+                 child_ndomainx=None, child_ndomainy=None):
         if parent.use_pallas or parent._sweep_K > 1:
             raise ValueError(
                 "one-way nesting needs the parent on the plain jnp path "
@@ -134,6 +142,10 @@ class OneWayNest:
         if ph < 4 or pw < 4:
             raise ValueError("child window needs >= 4 parent cells per "
                              "axis (land ring + boundary ring + interior)")
+        self.two_way = bool(two_way)
+        if self.two_way and (ph < 5 or pw < 5):
+            raise ValueError("two-way feedback needs a window of >= 5 "
+                             "parent cells per axis (2-cell inset)")
         self.origin = (pj0, pi0)
         self.shape = (ph, pw)
         cny, cnx = ph * r, pw * r
@@ -179,6 +191,15 @@ class OneWayNest:
         ry, rx = np.nonzero(ring)
         self._ring_scatter = _stacked_indices(cdec, ry, rx)
         self._ring_plan = _t_point_plan(ry, rx, pj0, pi0, r, pny, pnx)
+
+        if self.two_way:
+            # Feedback plan: wet parent cells in the window interior
+            # (inset 2 parent cells), each fed the r x r mean of its
+            # child cells.
+            fj, fi = np.mgrid[pj0 + 2:pj0 + ph - 2, pi0 + 2:pi0 + pw - 2]
+            wet = ptm[fj, fi] == 1
+            self._fb_wet = wet.ravel()
+            self._fb_scatter = _stacked_indices(pdec, fj[wet], fi[wet])
         self._prog_cache = {}
 
     # ------------------------------------------------------------------
@@ -242,6 +263,15 @@ class OneWayNest:
                         vals = (1 - a) * ring_old + a * ring_new
                     c_eta = c_eta.at[sy, sx].set(vals)
                     c_eta, c_u, c_v = c_prog(c_eta, c_u, c_v, *c_masks)
+                if self.two_way:
+                    ph, pw = self.shape
+                    cg = layout.unstack_internal(child.grid.decomp,
+                                                 c_eta)
+                    blk = cg[2 * r:(ph - 2) * r, 2 * r:(pw - 2) * r]
+                    avg = blk.reshape(ph - 4, r, pw - 4, r).mean((1, 3))
+                    fsy, fsx = self._fb_scatter
+                    p_eta = p_eta.at[fsy, fsx].set(
+                        avg.ravel()[self._fb_wet])
                 return (p_eta, p_u, p_v, c_eta, c_u, c_v)
 
             @jax.jit

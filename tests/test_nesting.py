@@ -131,6 +131,71 @@ def test_refinement_improves_accuracy():
     assert err_nested < 0.05 * np.sqrt(np.mean(tr ** 2))
 
 
+def test_two_way_ratio1_is_identity():
+    """At r=1 the restriction feeds back exactly the values the parent
+    already holds, so a two-way nest leaves the parent trajectory
+    bitwise equal to a solo parent run."""
+    solo = _build_parent(48, 48, 1, dt=0.02)
+    solo.run(25)
+    parent = _build_parent(48, 48, 1, dt=0.02)
+    nest = OneWayNest(parent, origin=(12, 12), shape=(24, 24), ratio=1,
+                      two_way=True, child_ndomains=1)
+    nest.sync_from_parent()
+    nest.run(25)
+    np.testing.assert_array_equal(parent.eta.gather_inner_data(),
+                                  solo.eta.gather_inner_data())
+    np.testing.assert_array_equal(parent.u.gather_inner_data(),
+                                  solo.u.gather_inner_data())
+
+
+def test_two_way_decomposition_invariance():
+    runs = []
+    for pdom, cdom in ((1, 1), (None, None)):
+        parent = _build_parent(64, 64, pdom, dt=0.02)
+        nest = OneWayNest(parent, origin=(16, 16), shape=(32, 32),
+                          ratio=2, two_way=True, child_ndomains=cdom)
+        nest.sync_from_parent()
+        nest.run(15)
+        runs.append((parent.eta.gather_inner_data(),
+                     nest.child.eta.gather_inner_data()))
+    np.testing.assert_allclose(runs[0][0], runs[1][0], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(runs[0][1], runs[1][1], rtol=0, atol=1e-12)
+
+
+def test_two_way_feedback_improves_parent():
+    """The AGRIF update phase: with an under-resolved bump the two-way
+    parent tracks the fine truth far better than the one-way parent."""
+    r, depth, dt, sigma, nsteps = 3, 10.0, 0.05, 1.2, 10
+
+    def analytic(n, dx):
+        x = (np.arange(n) + 0.5) * dx
+        r2 = ((x - 16.0)[None, :] ** 2 + (x - 16.0)[:, None] ** 2)
+        return np.exp(-r2 / (2 * sigma ** 2))
+
+    fine = gw.build(32 * r, 32 * r, ndomains=None, dt=dt / r,
+                    depth=depth, dx=1.0 / r, dy=1.0 / r)
+    fine.set_initial_eta(analytic(32 * r, 1.0 / r))
+    fine.run(nsteps * r)
+    truth = fine.eta.gather_inner_data()
+    # Restrict the truth to coarse cells (conservative r x r mean).
+    truth_c = truth.reshape(32, r, 32, r).mean((1, 3))
+
+    errs = {}
+    for two_way in (False, True):
+        parent = gw.build(32, 32, ndomains=None, dt=dt, depth=depth)
+        parent.set_initial_eta(analytic(32, 1.0))
+        nest = OneWayNest(parent, origin=(8, 8), shape=(16, 16),
+                          ratio=r, two_way=two_way)
+        nest.child.set_initial_eta(analytic(32 * r, 1.0 / r)
+                                   [8 * r:24 * r, 8 * r:24 * r])
+        nest.run(nsteps)
+        pg = parent.eta.gather_inner_data()
+        # compare inside the feedback region (window inset 3 cells)
+        errs[two_way] = np.sqrt(np.mean(
+            (pg[11:21, 11:21] - truth_c[11:21, 11:21]) ** 2))
+    assert errs[True] < 0.6 * errs[False], errs
+
+
 def test_rejects_bad_windows():
     parent = _build_parent(48, 48, 1, dt=0.02)
     with pytest.raises(ValueError, match="outside the parent"):
