@@ -236,50 +236,8 @@ class OneWayNest:
         own u/v updates then reproduce the parent's sequencing, which is
         what makes r=1 bitwise)."""
         if nsteps not in self._prog_cache:
-            parent, child, r = self.parent, self.child, self.ratio
-            p_prog = parent.step_program(1)
-            c_prog = child.step_program(1)
-            pdec = parent.grid.decomp
-            dtype = jnp.dtype(child.eta.dtype)
-            sy, sx = self._ring_scatter
-            plan = self._ring_plan
-            p_masks = (parent._t_upd, parent._u_wet, parent._v_wet,
-                       parent._mask_codes)
-            c_masks = (child._t_upd, child._u_wet, child._v_wet,
-                       child._mask_codes)
-
-            def body(_, s):
-                p_eta, p_u, p_v, c_eta, c_u, c_v = s
-                ring_old = _bilinear(layout.unstack_internal(pdec, p_eta),
-                                     plan, dtype)
-                p_eta, p_u, p_v = p_prog(p_eta, p_u, p_v, *p_masks)
-                ring_new = _bilinear(layout.unstack_internal(pdec, p_eta),
-                                     plan, dtype)
-                for k in range(r):
-                    if k == 0:
-                        vals = ring_old      # exact, no 0-weight blend
-                    else:
-                        a = dtype.type(k / r)
-                        vals = (1 - a) * ring_old + a * ring_new
-                    c_eta = c_eta.at[sy, sx].set(vals)
-                    c_eta, c_u, c_v = c_prog(c_eta, c_u, c_v, *c_masks)
-                if self.two_way:
-                    ph, pw = self.shape
-                    cg = layout.unstack_internal(child.grid.decomp,
-                                                 c_eta)
-                    blk = cg[2 * r:(ph - 2) * r, 2 * r:(pw - 2) * r]
-                    avg = blk.reshape(ph - 4, r, pw - 4, r).mean((1, 3))
-                    fsy, fsx = self._fb_scatter
-                    p_eta = p_eta.at[fsy, fsx].set(
-                        avg.ravel()[self._fb_wet])
-                return (p_eta, p_u, p_v, c_eta, c_u, c_v)
-
-            @jax.jit
-            def prog(p_eta, p_u, p_v, c_eta, c_u, c_v):
-                return lax.fori_loop(
-                    0, nsteps, body, (p_eta, p_u, p_v, c_eta, c_u, c_v))
-
-            self._prog_cache[nsteps] = prog
+            self._prog_cache[nsteps] = _make_nest_program(
+                self.parent, (self,), nsteps)
         return self._prog_cache[nsteps]
 
     def run(self, nsteps: int) -> None:
@@ -289,3 +247,121 @@ class OneWayNest:
                    c.eta.data, c.u.data, c.v.data)
         (p.eta.data, p.u.data, p.v.data,
          c.eta.data, c.u.data, c.v.data) = out
+
+    # -- pieces shared with NestSet ------------------------------------
+    def _advance_child(self, c_state, ring_old, ring_new, c_prog,
+                       c_masks, dtype):
+        """r prescribed substeps (traced)."""
+        r = self.ratio
+        sy, sx = self._ring_scatter
+        c_eta, c_u, c_v = c_state
+        for k in range(r):
+            if k == 0:
+                vals = ring_old          # exact, no 0-weight blend
+            else:
+                a = dtype.type(k / r)
+                vals = (1 - a) * ring_old + a * ring_new
+            c_eta = c_eta.at[sy, sx].set(vals)
+            c_eta, c_u, c_v = c_prog(c_eta, c_u, c_v, *c_masks)
+        return c_eta, c_u, c_v
+
+    def _feedback(self, p_eta, c_eta):
+        """Restrict the child's eta onto the parent window (traced)."""
+        r = self.ratio
+        ph, pw = self.shape
+        cg = layout.unstack_internal(self.child.grid.decomp, c_eta)
+        blk = cg[2 * r:(ph - 2) * r, 2 * r:(pw - 2) * r]
+        avg = blk.reshape(ph - 4, r, pw - 4, r).mean((1, 3))
+        fsy, fsx = self._fb_scatter
+        return p_eta.at[fsy, fsx].set(avg.ravel()[self._fb_wet])
+
+
+def _make_nest_program(parent, nests, nsteps: int):
+    """Jitted program advancing a parent and its nested children.
+
+    State: ``(p_eta, p_u, p_v) + (c_eta, c_u, c_v) per child``; each
+    body iteration is one parent step, every child's ring-prescribed
+    substeps, then each two-way child's feedback (in `nests` order —
+    disjointness of feedback windows makes the order immaterial)."""
+    pdec = parent.grid.decomp
+    p_prog = parent.step_program(1)
+    p_masks = (parent._t_upd, parent._u_wet, parent._v_wet,
+               parent._mask_codes)
+    c_progs = [n.child.step_program(1) for n in nests]
+    c_masks = [(n.child._t_upd, n.child._u_wet, n.child._v_wet,
+                n.child._mask_codes) for n in nests]
+    dtype = jnp.dtype(parent.eta.dtype)
+
+    def body(_, s):
+        p_eta, p_u, p_v = s[:3]
+        pg_old = layout.unstack_internal(pdec, p_eta)
+        rings_old = [_bilinear(pg_old, n._ring_plan, dtype)
+                     for n in nests]
+        p_eta, p_u, p_v = p_prog(p_eta, p_u, p_v, *p_masks)
+        pg_new = layout.unstack_internal(pdec, p_eta)
+        out = []
+        for i, n in enumerate(nests):
+            ring_new = _bilinear(pg_new, n._ring_plan, dtype)
+            c_state = n._advance_child(s[3 + 3 * i:6 + 3 * i],
+                                       rings_old[i], ring_new,
+                                       c_progs[i], c_masks[i], dtype)
+            if n.two_way:
+                p_eta = n._feedback(p_eta, c_state[0])
+            out.extend(c_state)
+        return (p_eta, p_u, p_v, *out)
+
+    @jax.jit
+    def prog(*state):
+        return lax.fori_loop(0, nsteps, body, state)
+
+    return prog
+
+
+class NestSet:
+    """Several refined children over ONE parent, advanced together.
+
+    Takes :class:`OneWayNest` instances sharing the same parent model
+    (build each with its own window/ratio/two_way) and runs the whole
+    family — one parent step + every child's substeps + feedbacks — as
+    one jitted program.  One-way children are provably independent:
+    each child's trajectory (and the parent's) is bitwise identical to
+    running its nest alone (`tests/test_nesting.py`).  Two-way children
+    must have disjoint feedback windows so their parent updates
+    commute."""
+
+    def __init__(self, nests):
+        nests = tuple(nests)
+        if not nests:
+            raise ValueError("NestSet needs at least one nest")
+        if len({id(n.parent) for n in nests}) != 1:
+            raise ValueError("all nests must share the same parent model")
+        fb = [(n.origin, n.shape) for n in nests if n.two_way]
+        for a in range(len(fb)):
+            for b in range(a + 1, len(fb)):
+                (ja, ia), (ha, wa) = fb[a]
+                (jb, ib), (hb, wb) = fb[b]
+                if (ja < jb + hb and jb < ja + ha
+                        and ia < ib + wb and ib < ia + wa):
+                    raise ValueError(
+                        "two-way nests must have disjoint windows "
+                        f"(feedback regions overlap: {fb[a]} vs {fb[b]})")
+        self.parent = nests[0].parent
+        self.nests = nests
+        self._prog_cache = {}
+
+    def step_program(self, nsteps: int = 1):
+        if nsteps not in self._prog_cache:
+            self._prog_cache[nsteps] = _make_nest_program(
+                self.parent, self.nests, nsteps)
+        return self._prog_cache[nsteps]
+
+    def run(self, nsteps: int) -> None:
+        p = self.parent
+        state = [p.eta.data, p.u.data, p.v.data]
+        for n in self.nests:
+            state += [n.child.eta.data, n.child.u.data, n.child.v.data]
+        out = self.step_program(nsteps)(*state)
+        p.eta.data, p.u.data, p.v.data = out[:3]
+        for i, n in enumerate(self.nests):
+            (n.child.eta.data, n.child.u.data,
+             n.child.v.data) = out[3 + 3 * i:6 + 3 * i]

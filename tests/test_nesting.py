@@ -16,7 +16,8 @@ import numpy as np
 import pytest
 
 from dl_esm_inf_tpu.models import gravity_wave as gw
-from dl_esm_inf_tpu.models.nesting import OneWayNest, _t_point_plan
+from dl_esm_inf_tpu.models.nesting import (NestSet, OneWayNest,
+                                            _t_point_plan)
 
 
 def _build_parent(gnx, gny, ndom, dt, depth=10.0, width=0.08):
@@ -194,6 +195,67 @@ def test_two_way_feedback_improves_parent():
         errs[two_way] = np.sqrt(np.mean(
             (pg[11:21, 11:21] - truth_c[11:21, 11:21]) ** 2))
     assert errs[True] < 0.6 * errs[False], errs
+
+
+def test_nestset_one_way_children_independent():
+    """Sibling one-way children in one program are bitwise identical to
+    running each nest alone (they cannot see each other or perturb the
+    parent)."""
+    windows = (((8, 8), (20, 20), 2), ((36, 32), (20, 24), 1))
+
+    def make(two_children):
+        parent = _build_parent(64, 64, 1, dt=0.02)
+        picks = windows if two_children else windows[:1]
+        nests = [OneWayNest(parent, origin=o, shape=s, ratio=rr,
+                            child_ndomains=1) for o, s, rr in picks]
+        for n in nests:
+            n.sync_from_parent()
+        return parent, nests
+
+    parent_set, nests_set = make(True)
+    NestSet(nests_set).run(15)
+    parent_solo, nests_solo = make(False)
+    nests_solo[0].run(15)
+    np.testing.assert_array_equal(parent_set.eta.gather_inner_data(),
+                                  parent_solo.eta.gather_inner_data())
+    np.testing.assert_array_equal(
+        nests_set[0].child.eta.gather_inner_data(),
+        nests_solo[0].child.eta.gather_inner_data())
+
+
+def test_nestset_mixed_decomposition_invariance():
+    runs = []
+    for dom in (1, None):
+        parent = _build_parent(64, 64, dom, dt=0.02)
+        n1 = OneWayNest(parent, origin=(8, 8), shape=(20, 20), ratio=2,
+                        two_way=True, child_ndomains=dom)
+        n2 = OneWayNest(parent, origin=(36, 32), shape=(20, 24), ratio=3,
+                        child_ndomains=dom)
+        for n in (n1, n2):
+            n.sync_from_parent()
+        NestSet([n1, n2]).run(10)
+        runs.append((parent.eta.gather_inner_data(),
+                     n1.child.eta.gather_inner_data(),
+                     n2.child.eta.gather_inner_data()))
+    for a, b in zip(runs[0], runs[1]):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_nestset_rejections():
+    p1 = _build_parent(64, 64, 1, dt=0.02)
+    p2 = _build_parent(64, 64, 1, dt=0.02)
+    n1 = OneWayNest(p1, origin=(8, 8), shape=(20, 20), ratio=2)
+    with pytest.raises(ValueError, match="same parent"):
+        NestSet([n1, OneWayNest(p2, origin=(36, 32), shape=(20, 20),
+                                ratio=2)])
+    a = OneWayNest(p1, origin=(8, 8), shape=(20, 20), ratio=2,
+                   two_way=True)
+    b = OneWayNest(p1, origin=(16, 16), shape=(20, 20), ratio=2,
+                   two_way=True)
+    with pytest.raises(ValueError, match="disjoint"):
+        NestSet([a, b])
+    with pytest.raises(ValueError, match="at least one"):
+        NestSet([])
 
 
 def test_rejects_bad_windows():
