@@ -200,6 +200,7 @@ class OneWayNest:
             wet = ptm[fj, fi] == 1
             self._fb_wet = wet.ravel()
             self._fb_scatter = _stacked_indices(pdec, fj[wet], fi[wet])
+        self._subnests = ()      # filled by NestSet for telescoping
         self._prog_cache = {}
 
     # ------------------------------------------------------------------
@@ -229,42 +230,26 @@ class OneWayNest:
     def step_program(self, nsteps: int = 1):
         """One jitted program: nsteps x (parent step + r child substeps).
 
-        State: ``(p_eta, p_u, p_v, c_eta, c_u, c_v)`` in the stacked
-        sharded layout.  Before child substep k the boundary ring's eta
-        is set to the parent field at blend time ``alpha = k/r``
-        (start-of-substep: with the forward-backward stagger the child's
-        own u/v updates then reproduce the parent's sequencing, which is
-        what makes r=1 bitwise)."""
+        State pytree: ``((p_eta, p_u, p_v), tree)`` in the stacked
+        sharded layout (see :func:`_make_nest_program`).  Before child
+        substep k the boundary ring's eta is set to the parent field at
+        blend time ``alpha = k/r`` (start-of-substep: with the
+        forward-backward stagger the child's own u/v updates then
+        reproduce the parent's sequencing, which is what makes r=1
+        bitwise)."""
         if nsteps not in self._prog_cache:
             self._prog_cache[nsteps] = _make_nest_program(
                 self.parent, (self,), nsteps)
         return self._prog_cache[nsteps]
 
     def run(self, nsteps: int) -> None:
-        prog = self.step_program(nsteps)
-        p, c = self.parent, self.child
-        out = prog(p.eta.data, p.u.data, p.v.data,
-                   c.eta.data, c.u.data, c.v.data)
-        (p.eta.data, p.u.data, p.v.data,
-         c.eta.data, c.u.data, c.v.data) = out
+        p = self.parent
+        out = self.step_program(nsteps)(
+            ((p.eta.data, p.u.data, p.v.data), _read_tree((self,))))
+        p.eta.data, p.u.data, p.v.data = out[0]
+        _write_tree((self,), out[1])
 
     # -- pieces shared with NestSet ------------------------------------
-    def _advance_child(self, c_state, ring_old, ring_new, c_prog,
-                       c_masks, dtype):
-        """r prescribed substeps (traced)."""
-        r = self.ratio
-        sy, sx = self._ring_scatter
-        c_eta, c_u, c_v = c_state
-        for k in range(r):
-            if k == 0:
-                vals = ring_old          # exact, no 0-weight blend
-            else:
-                a = dtype.type(k / r)
-                vals = (1 - a) * ring_old + a * ring_new
-            c_eta = c_eta.at[sy, sx].set(vals)
-            c_eta, c_u, c_v = c_prog(c_eta, c_u, c_v, *c_masks)
-        return c_eta, c_u, c_v
-
     def _feedback(self, p_eta, c_eta):
         """Restrict the child's eta onto the parent window (traced)."""
         r = self.ratio
@@ -276,77 +261,126 @@ class OneWayNest:
         return p_eta.at[fsy, fsx].set(avg.ravel()[self._fb_wet])
 
 
-def _make_nest_program(parent, nests, nsteps: int):
-    """Jitted program advancing a parent and its nested children.
+def _read_tree(nests):
+    """Device state of a nest forest as a pytree (telescoping order)."""
+    return tuple(((n.child.eta.data, n.child.u.data, n.child.v.data),
+                  _read_tree(n._subnests)) for n in nests)
 
-    State: ``(p_eta, p_u, p_v) + (c_eta, c_u, c_v) per child``; each
-    body iteration is one parent step, every child's ring-prescribed
-    substeps, then each two-way child's feedback (in `nests` order —
-    disjointness of feedback windows makes the order immaterial)."""
-    pdec = parent.grid.decomp
-    p_prog = parent.step_program(1)
-    p_masks = (parent._t_upd, parent._u_wet, parent._v_wet,
-               parent._mask_codes)
-    c_progs = [n.child.step_program(1) for n in nests]
-    c_masks = [(n.child._t_upd, n.child._u_wet, n.child._v_wet,
-                n.child._mask_codes) for n in nests]
+
+def _write_tree(nests, tree) -> None:
+    for n, (c_state, sub) in zip(nests, tree):
+        n.child.eta.data, n.child.u.data, n.child.v.data = c_state
+        _write_tree(n._subnests, sub)
+
+
+def _make_nest_program(parent, nests, nsteps: int):
+    """Jitted program advancing a parent and a FOREST of nests.
+
+    State pytree: ``((p_eta, p_u, p_v), trees)`` with one
+    ``((c_eta, c_u, c_v), subtrees)`` entry per nest — nests telescope:
+    a nest whose parent model is another nest's child advances inside
+    that child's substeps, with its ring times interpolated at the
+    child's (finer) cadence.  Per level: one model step, then each
+    nest's ring-prescribed substeps (recursing into ITS nests), then
+    each two-way nest's feedback (window disjointness at every level
+    makes the order immaterial)."""
     dtype = jnp.dtype(parent.eta.dtype)
+    res = {}
+
+    def prep(model, ns):
+        res[id(model)] = (model.step_program(1),
+                          (model._t_upd, model._u_wet, model._v_wet,
+                           model._mask_codes))
+        for n in ns:
+            prep(n.child, n._subnests)
+
+    prep(parent, nests)
+
+    def advance(model, ns, m_state, trees):
+        """One step of ``model`` + all descendant nests (traced)."""
+        prog, masks = res[id(model)]
+        mdec = model.grid.decomp
+        pg_old = layout.unstack_internal(mdec, m_state[0])
+        rings_old = [_bilinear(pg_old, n._ring_plan, dtype) for n in ns]
+        m_eta, m_u, m_v = prog(*m_state, *masks)
+        pg_new = layout.unstack_internal(mdec, m_eta)
+        new_trees = []
+        for i, n in enumerate(ns):
+            ring_new = _bilinear(pg_new, n._ring_plan, dtype)
+            c_state, sub = trees[i]
+            r = n.ratio
+            sy, sx = n._ring_scatter
+            for k in range(r):
+                if k == 0:
+                    vals = rings_old[i]   # exact, no 0-weight blend
+                else:
+                    a = dtype.type(k / r)
+                    vals = (1 - a) * rings_old[i] + a * ring_new
+                c_state = (c_state[0].at[sy, sx].set(vals),
+                           c_state[1], c_state[2])
+                c_state, sub = advance(n.child, n._subnests,
+                                       c_state, sub)
+            if n.two_way:
+                m_eta = n._feedback(m_eta, c_state[0])
+            new_trees.append((c_state, sub))
+        return (m_eta, m_u, m_v), tuple(new_trees)
 
     def body(_, s):
-        p_eta, p_u, p_v = s[:3]
-        pg_old = layout.unstack_internal(pdec, p_eta)
-        rings_old = [_bilinear(pg_old, n._ring_plan, dtype)
-                     for n in nests]
-        p_eta, p_u, p_v = p_prog(p_eta, p_u, p_v, *p_masks)
-        pg_new = layout.unstack_internal(pdec, p_eta)
-        out = []
-        for i, n in enumerate(nests):
-            ring_new = _bilinear(pg_new, n._ring_plan, dtype)
-            c_state = n._advance_child(s[3 + 3 * i:6 + 3 * i],
-                                       rings_old[i], ring_new,
-                                       c_progs[i], c_masks[i], dtype)
-            if n.two_way:
-                p_eta = n._feedback(p_eta, c_state[0])
-            out.extend(c_state)
-        return (p_eta, p_u, p_v, *out)
+        return advance(parent, nests, s[0], s[1])
 
     @jax.jit
-    def prog(*state):
+    def prog(state):
         return lax.fori_loop(0, nsteps, body, state)
 
     return prog
 
 
 class NestSet:
-    """Several refined children over ONE parent, advanced together.
+    """A forest of nests — siblings AND telescopes — advanced together.
 
-    Takes :class:`OneWayNest` instances sharing the same parent model
-    (build each with its own window/ratio/two_way) and runs the whole
-    family — one parent step + every child's substeps + feedbacks — as
-    one jitted program.  One-way children are provably independent:
-    each child's trajectory (and the parent's) is bitwise identical to
-    running its nest alone (`tests/test_nesting.py`).  Two-way children
-    must have disjoint feedback windows so their parent updates
-    commute."""
+    Takes :class:`OneWayNest` instances and assembles the hierarchy by
+    identity: a nest whose ``parent`` is another nest's ``child``
+    telescopes inside it (its substeps run within the mid-level child's
+    substeps, ring times at the finer cadence); the remaining roots
+    must share one parent model.  The whole family advances as one
+    jitted program per ``run``.  One-way children are provably
+    independent: each child's trajectory (and the parent's) is bitwise
+    identical to running its nest alone (`tests/test_nesting.py`).
+    Two-way nests under the same parent model must have disjoint
+    windows so their feedbacks commute."""
 
     def __init__(self, nests):
         nests = tuple(nests)
         if not nests:
             raise ValueError("NestSet needs at least one nest")
-        if len({id(n.parent) for n in nests}) != 1:
-            raise ValueError("all nests must share the same parent model")
-        fb = [(n.origin, n.shape) for n in nests if n.two_way]
-        for a in range(len(fb)):
-            for b in range(a + 1, len(fb)):
-                (ja, ia), (ha, wa) = fb[a]
-                (jb, ib), (hb, wb) = fb[b]
-                if (ja < jb + hb and jb < ja + ha
-                        and ia < ib + wb and ib < ia + wa):
-                    raise ValueError(
-                        "two-way nests must have disjoint windows "
-                        f"(feedback regions overlap: {fb[a]} vs {fb[b]})")
-        self.parent = nests[0].parent
-        self.nests = nests
+        child_models = {id(n.child) for n in nests}
+        for n in nests:
+            n._subnests = tuple(m for m in nests if m.parent is n.child)
+            n._prog_cache.clear()    # hierarchy may have changed
+        roots = tuple(n for n in nests
+                      if id(n.parent) not in child_models)
+        if len({id(n.parent) for n in roots}) != 1:
+            raise ValueError(
+                "all nests must share the same parent model at the root "
+                "(or telescope from another nest's child)")
+        by_parent = {}
+        for n in nests:
+            if n.two_way:
+                by_parent.setdefault(id(n.parent), []).append(n)
+        for group in by_parent.values():
+            fb = [(n.origin, n.shape) for n in group]
+            for a in range(len(fb)):
+                for b in range(a + 1, len(fb)):
+                    (ja, ia), (ha, wa) = fb[a]
+                    (jb, ib), (hb, wb) = fb[b]
+                    if (ja < jb + hb and jb < ja + ha
+                            and ia < ib + wb and ib < ia + wa):
+                        raise ValueError(
+                            "two-way nests must have disjoint windows "
+                            f"(feedback overlaps: {fb[a]} vs {fb[b]})")
+        self.parent = roots[0].parent
+        self.nests = roots           # root nests; telescopes hang below
+        self.all_nests = nests
         self._prog_cache = {}
 
     def step_program(self, nsteps: int = 1):
@@ -357,11 +391,7 @@ class NestSet:
 
     def run(self, nsteps: int) -> None:
         p = self.parent
-        state = [p.eta.data, p.u.data, p.v.data]
-        for n in self.nests:
-            state += [n.child.eta.data, n.child.u.data, n.child.v.data]
-        out = self.step_program(nsteps)(*state)
-        p.eta.data, p.u.data, p.v.data = out[:3]
-        for i, n in enumerate(self.nests):
-            (n.child.eta.data, n.child.u.data,
-             n.child.v.data) = out[3 + 3 * i:6 + 3 * i]
+        out = self.step_program(nsteps)(
+            ((p.eta.data, p.u.data, p.v.data), _read_tree(self.nests)))
+        p.eta.data, p.u.data, p.v.data = out[0]
+        _write_tree(self.nests, out[1])

@@ -241,6 +241,46 @@ def test_nestset_mixed_decomposition_invariance():
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
 
+def test_telescoping_r1_bitwise():
+    """A nest within a nest, everything at ratio=1: the innermost child
+    still reproduces the root parent window to the last bit — the
+    exactness invariant survives composition."""
+    parent = _build_parent(64, 64, 1, dt=0.02)
+    mid = OneWayNest(parent, origin=(16, 16), shape=(32, 32), ratio=1,
+                     child_ndomains=1)
+    mid.sync_from_parent()
+    inner = OneWayNest(mid.child, origin=(8, 8), shape=(16, 16), ratio=1,
+                       child_ndomains=1)
+    inner.sync_from_parent()
+    NestSet([mid, inner]).run(20)
+    pg = parent.eta.gather_inner_data()
+    mg = mid.child.eta.gather_inner_data()
+    ig = inner.child.eta.gather_inner_data()
+    np.testing.assert_array_equal(mg[2:-2, 2:-2], pg[18:46, 18:46])
+    np.testing.assert_array_equal(ig[2:-2, 2:-2], pg[26:38, 26:38])
+
+
+def test_telescoping_two_way_cascade_invariance():
+    """The full AGRIF cascade — inner feeds mid feeds parent, refined
+    r=2 twice — is decomposition-invariant."""
+    runs = []
+    for dom in (1, None):
+        parent = _build_parent(64, 64, dom, dt=0.02)
+        mid = OneWayNest(parent, origin=(16, 16), shape=(32, 32),
+                         ratio=2, two_way=True, child_ndomains=dom)
+        mid.sync_from_parent()
+        inner = OneWayNest(mid.child, origin=(16, 16), shape=(32, 32),
+                           ratio=2, two_way=True, child_ndomains=dom)
+        inner.sync_from_parent()
+        NestSet([mid, inner]).run(6)
+        runs.append((parent.eta.gather_inner_data(),
+                     mid.child.eta.gather_inner_data(),
+                     inner.child.eta.gather_inner_data()))
+    for a, b in zip(runs[0], runs[1]):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+        assert np.isfinite(a).all()
+
+
 def test_nestset_rejections():
     p1 = _build_parent(64, 64, 1, dt=0.02)
     p2 = _build_parent(64, 64, 1, dt=0.02)
