@@ -211,6 +211,36 @@ def main():
             assert abs(tp.mass() - m0) <= 1e-4 * abs(m0)
         print("tracer sweep oracle    OK (compiled reach-1/2 == jnp; "
               "mass conserved)")
+
+        # --- grid nesting: the r=1 seam is bitwise on hardware, and a
+        # two-way telescope cascade runs as one program ------------------
+        from dl_esm_inf_tpu.models import gravity_wave as gwm
+        from dl_esm_inf_tpu.models.nesting import NestSet, OneWayNest
+        solo = gwm.build(64, 64, ndomains=1, dt=0.02, depth=10.0)
+        solo.set_initial_eta(gaussian_eta(64, 64, width=0.08))
+        solo.run(20)
+        par = gwm.build(64, 64, ndomains=1, dt=0.02, depth=10.0)
+        par.set_initial_eta(gaussian_eta(64, 64, width=0.08))
+        nst = OneWayNest(par, origin=(16, 16), shape=(32, 32), ratio=1,
+                         two_way=True)
+        nst.sync_from_parent()
+        nst.run(20)
+        assert np.array_equal(par.eta.gather_inner_data(),
+                              solo.eta.gather_inner_data())
+        assert np.array_equal(
+            nst.child.eta.gather_inner_data()[2:-2, 2:-2],
+            solo.eta.gather_inner_data()[18:46, 18:46])
+        mid = OneWayNest(par, origin=(8, 8), shape=(24, 24), ratio=2)
+        mid.sync_from_parent()
+        inner = OneWayNest(mid.child, origin=(8, 8), shape=(16, 16),
+                           ratio=2, two_way=True)
+        inner.sync_from_parent()
+        NestSet([nst, mid, inner]).run(10)
+        for mdl in (par, nst.child, mid.child, inner.child):
+            v = mdl.eta.gather_inner_data()
+            assert np.isfinite(v).all() and np.abs(v).max() < 2.0
+        print("nesting oracle         OK (r=1 two-way bitwise on chip; "
+              "sibling + telescope forest in one program)")
     print("ALL TPU ORACLES PASS")
 
 
