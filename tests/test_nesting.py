@@ -281,6 +281,35 @@ def test_telescoping_two_way_cascade_invariance():
         assert np.isfinite(a).all()
 
 
+def test_nest_program_is_differentiable():
+    """The adjoint flows through the whole coupled step — parent step,
+    ring gathers/scatters, child substeps, and two-way feedback — so
+    4D-Var machinery composes with nesting (== central differences)."""
+    import jax
+    import jax.numpy as jnp
+
+    parent = _build_parent(32, 32, 1, dt=0.02)
+    nest = OneWayNest(parent, origin=(8, 8), shape=(16, 16), ratio=2,
+                      two_way=True, child_ndomains=1)
+    nest.sync_from_parent()
+    prog = nest.step_program(3)
+    p, c = parent, nest.child
+    tree0 = (((c.eta.data, c.u.data, c.v.data), ()),)
+
+    def loss(p_eta):
+        out = prog(((p_eta, p.u.data, p.v.data), tree0))
+        return jnp.sum(out[1][0][0][0] ** 2)     # child eta energy
+
+    g = jax.grad(loss)(p.eta.data)
+    v = jnp.asarray(np.random.RandomState(0).normal(
+        size=np.shape(p.eta.data)), p.eta.data.dtype)
+    eps = 1e-6
+    fd = (loss(p.eta.data + eps * v) - loss(p.eta.data - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd),
+                               rtol=1e-6)
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
 def test_nestset_rejections():
     p1 = _build_parent(64, 64, 1, dt=0.02)
     p2 = _build_parent(64, 64, 1, dt=0.02)
