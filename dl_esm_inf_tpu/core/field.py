@@ -201,12 +201,9 @@ class Field:
             self.data = halo_mod.exchange(self.data, self.grid.mesh,
                                           self.grid.halo_spec, depth)
         elif transport == "remote_dma":
-            if self.data.ndim != 2:
-                raise NotImplementedError(
-                    "the remote_dma transport supports 2D fields; "
-                    "multi-level fields (levels=N) use the default "
-                    "ppermute transport, which carries the level axis "
-                    "transparently")
+            # multi-level fields ride too: the level axis is carried
+            # whole through every DMA (the 3D exchange the reference
+            # aborts on, parallel_comms_mod.f90:1736-1742)
             from ..parallel.halo_pallas import exchange_pallas
             self.data = exchange_pallas(self.data, self.grid.mesh,
                                         self.grid.halo_spec, depth,

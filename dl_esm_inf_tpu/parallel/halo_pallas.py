@@ -45,13 +45,21 @@ from .halo import HaloSpec
 
 def make_block_exchange(spec: HaloSpec, depth: int = 1,
                         interpret: bool = False,
-                        logical_ids: bool = False):
+                        logical_ids: bool = False,
+                        lead_shape: tuple = ()):
     """Per-block exchange fn, for use INSIDE a shard_map whose mesh axes
     are named 'y'/'x' (either may be absent if that side is unsplit).
 
     ``logical_ids``: address peers by scalar LOGICAL id instead of mesh
     coordinates — required under a single-axis mesh in interpret mode
-    (jax 0.9's emulation supports only that form there)."""
+    (jax 0.9's emulation supports only that form there).
+
+    ``lead_shape``: unsharded leading axes carried whole through every
+    DMA — a multi-level field's level axis (the 3D case the reference
+    aborts on, parallel_comms_mod.f90:1736-1742).  The 2D geometry is
+    unchanged: strips become (*lead, d, lx) / (*lead, ly, WB) slabs,
+    still 8-row / 128-lane aligned in the trailing (sublane, lane)
+    dims, so Mosaic's DMA rules are met level-count-independently."""
     if depth < 1 or depth > spec.halo:
         raise ValueError(
             f"halo-exchange depth {depth} outside [1, halo={spec.halo}]")
@@ -59,6 +67,18 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         raise NotImplementedError(
             "the remote-DMA transport supports one tile per device; "
             "over-decomposed grids use the ppermute exchange")
+    lead_shape = tuple(int(n) for n in lead_shape)
+    if any(n < 1 for n in lead_shape):
+        raise ValueError(f"lead_shape must be positive, got {lead_shape}")
+    nlead = len(lead_shape)
+
+    def tix(rows, cols=slice(None)):
+        """Full-lead index tuple for the trailing (rows, cols) slice."""
+        return (slice(None),) * nlead + (rows, cols)
+
+    def cols(c0, d):
+        """Compute-side column strip [c0, c0+d) of a landing/merge buf."""
+        return (slice(None),) * (nlead + 1) + (slice(c0, c0 + d),)
     if depth > spec.tile_ny or depth > spec.tile_nx:
         raise ValueError(
             f"remote-DMA exchange depth {depth} exceeds the tile "
@@ -127,7 +147,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
         def rdma(src_slice, dst_ref, sem_idx, peer):
             return rdma_ref(out_hbm.at[src_slice], dst_ref, sem_idx, peer)
 
-        colblk = rdma_common.colblk_fn(lx, WB)
+        colblk = rdma_common.colblk_fn(lx, WB, lead=nlead)
 
         def restore(dst_slice, src=None):
             """Un-receive: put the pre-PHASE values back in a halo
@@ -183,7 +203,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                                             copy_sem)
                 cpm.start()
                 cpm.wait()
-                mbuf[:, ow_m:ow_m + d] = land_w[:, oe_s:oe_s + d]
+                mbuf[cols(ow_m, d)] = land_w[cols(oe_s, d)]
                 cpb = pltpu.make_async_copy(mbuf, colblk(out_hbm, cw_m),
                                             copy_sem)
                 cpb.start()
@@ -195,7 +215,7 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                                             copy_sem)
                 cpm.start()
                 cpm.wait()
-                mbuf[:, oe_m:oe_m + d] = land_e[:, ow_s:ow_s + d]
+                mbuf[cols(oe_m, d)] = land_e[cols(ow_s, d)]
                 cpb = pltpu.make_async_copy(mbuf, colblk(out_hbm, ce_m),
                                             copy_sem)
                 cpb.start()
@@ -207,11 +227,11 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
                 # must reproduce them (corners included), not the
                 # pre-x input
                 bk_s = pltpu.make_async_copy(
-                    out_hbm.at[pl.ds(h - d, d), :],
-                    ybackup.at[pl.ds(0, d), :], copy_sem)
+                    out_hbm.at[tix(pl.ds(h - d, d))],
+                    ybackup.at[tix(pl.ds(0, d))], copy_sem)
                 bk_n = pltpu.make_async_copy(
-                    out_hbm.at[pl.ds(h + hgt, d), :],
-                    ybackup.at[pl.ds(d, d), :], copy_sem)
+                    out_hbm.at[tix(pl.ds(h + hgt, d))],
+                    ybackup.at[tix(pl.ds(d, d))], copy_sem)
                 bk_s.start()
                 bk_s.wait()
                 bk_n.start()
@@ -220,10 +240,10 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             # y-peer's full-width row delivery overlaps them
             phase_fence(1, north, south)
             # full-width rows AFTER the x phase: corners propagate
-            r_n = rdma((pl.ds(h + hgt - d, d), slice(None)),
-                       out_hbm.at[pl.ds(h - d, d), :], 2, north)
-            r_s = rdma((pl.ds(h, d), slice(None)),
-                       out_hbm.at[pl.ds(h + hgt, d), :], 3, south)
+            r_n = rdma(tix(pl.ds(h + hgt - d, d)),
+                       out_hbm.at[tix(pl.ds(h - d, d))], 2, north)
+            r_s = rdma(tix(pl.ds(h, d)),
+                       out_hbm.at[tix(pl.ds(h + hgt, d))], 3, south)
             r_n.start()
             r_s.start()
             r_n.wait()
@@ -232,13 +252,13 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             if need_yr:
                 @pl.when(jnp.logical_not(has_s))
                 def _():
-                    restore((pl.ds(h - d, d), slice(None)),
-                            src=ybackup.at[pl.ds(0, d), :])
+                    restore(tix(pl.ds(h - d, d)),
+                            src=ybackup.at[tix(pl.ds(0, d))])
 
                 @pl.when(jnp.logical_not(has_n))
                 def _():
-                    restore((pl.ds(h + hgt, d), slice(None)),
-                            src=ybackup.at[pl.ds(d, d), :])
+                    restore(tix(pl.ds(h + hgt, d)),
+                            src=ybackup.at[tix(pl.ds(d, d))])
 
     def build(dtype):
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -249,16 +269,17 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
             pltpu.SemaphoreType.REGULAR((2, 2)),      # [phase, direction]
         ]
         if need_yr:
-            scratch.append(pltpu.VMEM((2 * depth, lx), dtype))  # y snap
+            scratch.append(
+                pltpu.VMEM(lead_shape + (2 * depth, lx), dtype))  # y snap
         if do_x:
-            scratch += [pltpu.VMEM((ly, WB), dtype),  # west landing
-                        pltpu.VMEM((ly, WB), dtype),  # east landing
-                        pltpu.VMEM((ly, WB), dtype)]  # merge buffer
+            scratch += [pltpu.VMEM(lead_shape + (ly, WB), dtype),  # W land
+                        pltpu.VMEM(lead_shape + (ly, WB), dtype),  # E land
+                        pltpu.VMEM(lead_shape + (ly, WB), dtype)]  # merge
         return pl.pallas_call(
             kernel,
             in_specs=[any_spec],
             out_specs=any_spec,
-            out_shape=jax.ShapeDtypeStruct((ly, lx), dtype),
+            out_shape=jax.ShapeDtypeStruct(lead_shape + (ly, lx), dtype),
             scratch_shapes=scratch,
             # collective_id names this kernel's system BARRIER semaphore
             # (entry barrier, parallel/rdma.py); it must differ from
@@ -285,11 +306,14 @@ def make_block_exchange(spec: HaloSpec, depth: int = 1,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_exchange(mesh, spec: HaloSpec, depth: int, interpret: bool):
+def _build_exchange(mesh, spec: HaloSpec, depth: int, interpret: bool,
+                    lead_shape: tuple = ()):
     from jax.sharding import PartitionSpec as P
-    body = make_block_exchange(spec, depth, interpret=interpret)
-    fn = jax.shard_map(body, mesh=mesh, in_specs=P("y", "x"),
-                       out_specs=P("y", "x"), check_vma=False)
+    body = make_block_exchange(spec, depth, interpret=interpret,
+                               lead_shape=lead_shape)
+    pspec = P(*(None,) * len(lead_shape), "y", "x")
+    fn = jax.shard_map(body, mesh=mesh, in_specs=pspec,
+                       out_specs=pspec, check_vma=False)
     return jax.jit(fn)
 
 
@@ -297,5 +321,8 @@ def exchange_pallas(data, mesh, spec: HaloSpec, depth: int = 1,
                     interpret: bool = False):
     """Standalone remote-DMA halo refresh of one stacked-layout array
     (drop-in for :func:`.halo.exchange`; hardware path — see the module
-    docstring for the interpret-mode testing strategy)."""
-    return _build_exchange(mesh, spec, depth, interpret)(data)
+    docstring for the interpret-mode testing strategy).  Leading axes
+    beyond the trailing (y, x) pair — a multi-level field's level axis —
+    ride every DMA whole."""
+    return _build_exchange(mesh, spec, depth, interpret,
+                           tuple(data.shape[:-2]))(data)

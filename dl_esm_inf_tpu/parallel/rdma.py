@@ -81,16 +81,19 @@ def col_block_geometry(lx: int, strips: dict, interpret: bool,
     return WB, geo
 
 
-def colblk_fn(ref_width: int, WB: int):
+def colblk_fn(ref_width: int, WB: int, lead: int = 0):
     """ref -> WB-lane column-block sub-ref at a block start.
 
     When WB spans the whole width, returns the UN-sliced ref: Mosaic
     rejects a full-width lane slice of a lane-padded buffer just like a
-    narrow one."""
+    narrow one.  ``lead`` leading axes (e.g. a multi-level field's level
+    axis) are carried whole."""
     from jax.experimental import pallas as pl
 
     def colblk(ref, c0):
-        return ref if WB == ref_width else ref.at[:, pl.ds(c0, WB)]
+        if WB == ref_width:
+            return ref
+        return ref.at[(slice(None),) * (lead + 1) + (pl.ds(c0, WB),)]
 
     return colblk
 

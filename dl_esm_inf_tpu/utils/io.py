@@ -57,3 +57,147 @@ def dump_field(field: Field, path: str, halo_depth: int = 0,
 def load_dump(path: str) -> dict:
     with np.load(path) as data:
         return {k: data[k] for k in data.files}
+
+
+# ----------------------------------------------------------------------
+# NetCDF-3 classic writer (CDF-1) — the interchange format of the
+# NEMO/GOcean ecosystem the reference serves.  Self-contained encoder
+# (the format is ~a page of spec: magic, dim/attr/var header lists,
+# big-endian fixed-size data); scipy.io.netcdf_file / netCDF4 /
+# ncdump all read the output (pinned by tests/test_utils.py against
+# scipy's independent reader).
+# ----------------------------------------------------------------------
+_NC_TYPES = {np.dtype("int8"): (1, 1), np.dtype("S1"): (2, 1),
+             np.dtype("int16"): (3, 2), np.dtype("int32"): (4, 4),
+             np.dtype("float32"): (5, 4), np.dtype("float64"): (6, 8)}
+
+
+def _nc_pad(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _nc_name(s: str) -> bytes:
+    import struct
+    b = s.encode()
+    return struct.pack(">I", len(b)) + _nc_pad(b)
+
+
+def _nc_attrs(attrs: dict) -> bytes:
+    import struct
+    if not attrs:
+        return struct.pack(">II", 0, 0)
+    out = [struct.pack(">II", 0x0C, len(attrs))]
+    for name, val in attrs.items():
+        out.append(_nc_name(name))
+        if isinstance(val, str):
+            b = val.encode()
+            out.append(struct.pack(">II", 2, len(b)) + _nc_pad(b))
+        else:
+            arr = np.atleast_1d(np.asarray(val))
+            if arr.dtype.kind == "f":
+                arr = arr.astype(">f8")
+                tc = 6
+            else:
+                arr = arr.astype(">i4")
+                tc = 4
+            out.append(struct.pack(">II", tc, arr.size)
+                       + _nc_pad(arr.tobytes()))
+    return b"".join(out)
+
+
+def dump_netcdf(fields, path: str, *, names=None,
+                global_attrs: dict | None = None) -> None:
+    """Write one or more fields as a NetCDF-3 classic file.
+
+    ``fields``: a :class:`Field`, a ``{name: Field}`` dict, or a list
+    (named via ``names`` / ``var0..``).  Every field is gathered to its
+    global internal extent; coordinate variables ``x``/``y`` (physical
+    T-point coordinates, reference xt/yt formula) are emitted per
+    distinct extent, and a multi-level field gains a ``z<N>`` level
+    dimension.  The reference has no structured output at all (its
+    dump is a test-only gnuplot writer, test_halos.f90:267-338); this
+    is what its NEMO-family clients wrap third-party IO layers for.
+    """
+    import struct
+
+    if isinstance(fields, Field):
+        fields = {"var0" if not names else names[0]: fields}
+    elif not isinstance(fields, dict):
+        fields = {(names[i] if names else f"var{i}"): f
+                  for i, f in enumerate(fields)}
+
+    dims: dict[str, int] = {}      # name -> length, insertion-ordered
+    variables = []                 # (name, dim names, np data, attrs)
+
+    def dim_for(axis: str, n: int) -> str:
+        """Dimension name for extent n: the bare axis name first, a
+        suffixed one when fields of different extents share the file."""
+        if dims.get(axis, n) == n:
+            dims[axis] = n
+            return axis
+        name = f"{axis}{n}"
+        dims[name] = n
+        return name
+
+    coords_done = set()
+    for name, fld in fields.items():
+        g = np.asarray(fld.gather_inner_data())
+        d = fld.grid.decomp
+        xdim = dim_for("x", d.global_nx)
+        ydim = dim_for("y", d.global_ny)
+        if xdim not in coords_done:
+            coords_done.add(xdim)
+            variables.append((xdim, (xdim,),
+                              (np.arange(d.global_nx) + 1) * fld.grid.dx,
+                              {"units": "m", "axis": "X"}))
+        if ydim not in coords_done:
+            coords_done.add(ydim)
+            variables.append((ydim, (ydim,),
+                              (np.arange(d.global_ny) + 1) * fld.grid.dy,
+                              {"units": "m", "axis": "Y"}))
+        vdims = (ydim, xdim)
+        if g.ndim == 3:
+            zdim = dim_for("z", g.shape[0])
+            vdims = (zdim, ydim, xdim)
+        variables.append((name, vdims, g,
+                          {"coordinates": f"{ydim} {xdim}"}))
+
+    dim_ids = {n: i for i, n in enumerate(dims)}
+
+    def header(offsets) -> bytes:
+        out = [b"CDF\x01", struct.pack(">I", 0)]          # numrecs=0
+        out.append(struct.pack(">II", 0x0A, len(dims)))
+        for n, ln in dims.items():
+            out.append(_nc_name(n) + struct.pack(">I", ln))
+        out.append(_nc_attrs(global_attrs or {}))
+        out.append(struct.pack(">II", 0x0B, len(variables)))
+        for i, (n, vdims, g, attrs) in enumerate(variables):
+            out.append(_nc_name(n))
+            out.append(struct.pack(">I", len(vdims)))
+            for dn in vdims:
+                out.append(struct.pack(">I", dim_ids[dn]))
+            out.append(_nc_attrs(attrs))
+            tc, sz = _NC_TYPES[np.dtype(g.dtype)]
+            vsize = -(-g.size * sz // 4) * 4
+            out.append(struct.pack(">III", tc, vsize, offsets[i]))
+        return b"".join(out)
+
+    # data payloads, big-endian, 4-byte padded
+    payloads = []
+    for i, (n, vdims, g, attrs) in enumerate(variables):
+        if np.dtype(g.dtype) not in _NC_TYPES:   # e.g. bf16 diagnostics
+            g = np.asarray(g, np.float32)
+            variables[i] = (n, vdims, g, attrs)
+        payloads.append(_nc_pad(
+            np.ascontiguousarray(g).astype(
+                np.dtype(g.dtype).newbyteorder(">")).tobytes()))
+
+    hlen = len(header([0] * len(variables)))   # pass 1: header size
+    offsets, pos = [], hlen
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    with open(path, "wb") as f:
+        f.write(header(offsets))
+        for p in payloads:
+            f.write(p)

@@ -125,6 +125,20 @@ def main():
         np.testing.assert_array_equal(got1, want1)
         print("remote-DMA depth-1     OK (compiled, unaligned offsets)")
 
+        # multi-level (3D): the level axis rides every strip DMA whole
+        # — the exchange the reference aborts on
+        # (parallel_comms_mod.f90:1736-1742), compiled on the chip
+        from jax.sharding import NamedSharding
+        a3 = jax.device_put(
+            jnp.arange(3 * np.prod(wgrid.array_shape),
+                       dtype=jnp.float32).reshape(
+                           (3,) + wgrid.array_shape),
+            NamedSharding(wgrid.mesh, P(None, "y", "x")))
+        want3 = np.asarray(exchange(a3, wgrid.mesh, spec, depth=8))
+        got3d = np.asarray(exchange_pallas(a3, wgrid.mesh, spec, depth=8))
+        np.testing.assert_array_equal(got3d, want3)
+        print("remote-DMA 3-level     OK (compiled, level axis on DMA)")
+
         sweep = make_stencil_sweep(
             lambda s, p, c: s, ly=spec.local_ny, lx=spec.local_nx,
             state_dtypes=(jnp.float32,), exchange_spec=spec)

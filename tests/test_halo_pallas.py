@@ -32,24 +32,32 @@ def make_grid(gnx, gny, nx, ny, wrap=False, halo=1):
     return grid
 
 
-def unique_field(grid, dtype=jnp.float64):
-    shape = grid.array_shape
-    vals = np.arange(shape[0] * shape[1], dtype=np.float64).reshape(shape)
-    return jax.device_put(jnp.asarray(vals, dtype), grid.sharding)
+def unique_field(grid, dtype=jnp.float64, levels=None):
+    shape = grid.array_shape if levels is None else (
+        (levels,) + grid.array_shape)
+    vals = np.arange(np.prod(shape), dtype=np.float64).reshape(shape)
+    sh = grid.sharding if levels is None else NamedSharding(
+        grid.mesh, P(None, "y", "x"))
+    return jax.device_put(jnp.asarray(vals, dtype), sh)
 
 
 def run_1d(grid, a, depth=1):
-    """Drive the kernel under a 1D mesh (interpret-mode restriction)."""
+    """Drive the kernel under a 1D mesh (interpret-mode restriction).
+
+    Leading axes of ``a`` beyond the trailing (y, x) pair (a multi-level
+    field's level axis) are carried whole."""
     spec = grid.halo_spec
+    lead = tuple(a.shape[:-2])
     body = make_block_exchange(spec, depth, interpret=True,
-                               logical_ids=True)
+                               logical_ids=True, lead_shape=lead)
     devs = grid.mesh.devices.reshape(-1)
+    none = (None,) * len(lead)
     if spec.nprocx > 1 or spec.nprocy == 1:
         mesh = Mesh(devs, ("x",))
-        pspec = P(None, "x")
+        pspec = P(*none, None, "x")
     else:
         mesh = Mesh(devs, ("y",))
-        pspec = P("y", None)
+        pspec = P(*none, "y", None)
     a1 = jax.device_put(np.asarray(a), NamedSharding(mesh, pspec))
     fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=pspec,
                                out_specs=pspec, check_vma=False))
@@ -75,6 +83,44 @@ def test_depth2_and_int_dtype(wrap):
         want = np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=2))
         got = run_1d(grid, a, depth=2)
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("split", ["x", "y"])
+@pytest.mark.parametrize("wrap", [False, True])
+def test_multilevel_matches_ppermute(split, wrap):
+    """The 3D exchange the reference aborts on
+    (parallel_comms_mod.f90:1736-1742): a multi-level field's level
+    axis rides every DMA whole, matching the ppermute transport
+    exactly — halos, corners, and border restores per level."""
+    nx, ny = (8, 1) if split == "x" else (1, 8)
+    grid = make_grid(24, 24, nx, ny, wrap=wrap, halo=2)
+    a = unique_field(grid, levels=3)
+    for depth in (1, 2):
+        want = np.asarray(exchange(a, grid.mesh, grid.halo_spec,
+                                   depth=depth))
+        got = run_1d(grid, a, depth=depth)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_multilevel_field_remote_dma_transport():
+    """Field.halo_exchange(transport='remote_dma') on a levels=N field
+    plumbs the level axis end-to-end (single-domain: interpret mode
+    cannot emulate remote DMA under the 2D-named mesh, so this pins the
+    shape/sharding plumbing; the DMA legs are pinned by
+    test_multilevel_matches_ppermute and the chip oracles)."""
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(16, 16, ndomainx=1, ndomainy=1, halo_width=1)
+    dl.grid_init(grid, 1.0, 1.0)
+    g3 = np.stack([np.arange(256.0).reshape(16, 16) + 1000 * k
+                   for k in range(3)])
+    fld = dl.Field(grid, dl.T_POINTS, init_global_data=g3, levels=3)
+    ref = dl.Field(grid, dl.T_POINTS, init_global_data=g3, levels=3)
+    fld.halo_exchange(1, transport="remote_dma", interpret=True)
+    ref.halo_exchange(1)
+    np.testing.assert_array_equal(np.asarray(fld.data),
+                                  np.asarray(ref.data))
 
 
 def test_single_device_wrap():

@@ -165,6 +165,41 @@ def test_gocean_omp_grid_seeds_decompose(monkeypatch):
     assert d3.nprocx * d3.nprocy == dl.parallel.environment.num_devices()
 
 
+def test_dump_netcdf_scipy_roundtrip(tmp_path):
+    """The NetCDF-3 writer against scipy's INDEPENDENT reader: dims,
+    coords, data, and attributes of 2D + multi-level fields."""
+    scipy_io = pytest.importorskip("scipy.io")
+    m = build(ndom=4, gnx=8, gny=6)
+    g3 = np.stack([np.arange(48.0).reshape(6, 8) + 100 * k
+                   for k in range(3)])
+    f3 = dl.Field(m.grid, dl.T_POINTS, init_global_data=g3, levels=3)
+    p = str(tmp_path / "out.nc")
+    dio.dump_netcdf({"ssh": m.sshn_t, "temp": f3}, p,
+                    global_attrs={"title": "dl_esm_inf_tpu dump",
+                                  "step": 7})
+    with scipy_io.netcdf_file(p, "r", mmap=False) as nc:
+        assert nc.title == b"dl_esm_inf_tpu dump"
+        assert int(nc.step[0]) == 7
+        assert nc.dimensions["x"] == 8
+        assert nc.dimensions["y"] == 6
+        assert nc.dimensions["z"] == 3
+        np.testing.assert_allclose(nc.variables["x"][:],
+                                   (np.arange(8) + 1) * m.grid.dx)
+        np.testing.assert_allclose(
+            nc.variables["ssh"][:], np.asarray(m.sshn_t.gather_inner_data()))
+        np.testing.assert_allclose(nc.variables["temp"][:], g3)
+        assert nc.variables["ssh"].coordinates == b"y x"
+
+    # single field, list form, and mixed extents get suffixed dims
+    m2 = build(ndom=1, gnx=12, gny=6)
+    p2 = str(tmp_path / "two.nc")
+    dio.dump_netcdf([m.sshn_t, m2.sshn_t], p2, names=["a", "b"])
+    with scipy_io.netcdf_file(p2, "r", mmap=False) as nc:
+        assert nc.variables["a"].shape == (6, 8)
+        assert nc.variables["b"].shape == (6, 12)
+        assert nc.dimensions["x"] == 8 and nc.dimensions["x12"] == 12
+
+
 def test_dump_field(tmp_path):
     m = build(ndom=4, gnx=8, gny=6)
     p = str(tmp_path / "fld.npz")
