@@ -201,3 +201,120 @@ def dump_netcdf(fields, path: str, *, names=None,
         f.write(header(offsets))
         for p in payloads:
             f.write(p)
+
+
+_NC_DTYPES = {1: np.dtype("i1"), 2: np.dtype("S1"), 3: np.dtype(">i2"),
+              4: np.dtype(">i4"), 5: np.dtype(">f4"), 6: np.dtype(">f8")}
+
+
+def load_netcdf(path: str) -> dict:
+    """Read a NetCDF-3 classic file (CDF-1 or CDF-2, fixed AND record
+    variables) with plain numpy — the input half of the NEMO-family
+    workflow (bathymetry / tmask / forcing read from .nc files the
+    reference's clients produce with third-party IO layers).
+
+    Returns ``{"dimensions": {name: len}, "attributes": {...},
+    "variables": {name: ndarray}, "variable_attrs": {name: {...}}}``.
+    The record dimension's length is the actual record count.  Pinned
+    in tests/test_utils.py against files written by scipy (independent
+    producer) and by :func:`dump_netcdf` (round-trip).
+    """
+    import struct
+
+    buf = open(path, "rb").read()
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError(f"{path!r} is not a NetCDF-3 classic file")
+    osize = 4 if buf[3] == 1 else 8          # CDF-2: 64-bit offsets
+    pos = 4
+
+    def u32():
+        nonlocal pos
+        v = struct.unpack_from(">I", buf, pos)[0]
+        pos += 4
+        return v
+
+    def name():
+        nonlocal pos
+        n = u32()
+        s = buf[pos:pos + n].decode()
+        pos += n + (-n % 4)
+        return s
+
+    def attrs():
+        nonlocal pos
+        tag, natt = u32(), u32()
+        if tag not in (0, 0x0C):
+            raise ValueError(f"bad attribute-list tag {tag:#x}")
+        out = {}
+        for _ in range(natt):
+            an = name()
+            tc, n = u32(), u32()
+            if tc == 2:
+                out[an] = buf[pos:pos + n].decode(errors="replace")
+                pos += n + (-n % 4)
+            else:
+                dt = _NC_DTYPES[tc]
+                nb = n * dt.itemsize
+                vals = np.frombuffer(buf, dt, n, pos)
+                pos += nb + (-nb % 4)
+                out[an] = vals[0] if n == 1 else np.array(vals)
+        return out
+
+    numrecs = u32()
+    tag, ndim = u32(), u32()
+    if tag not in (0, 0x0A):
+        raise ValueError(f"bad dimension-list tag {tag:#x}")
+    dim_names, dim_lens, rec_dim = [], [], None
+    for i in range(ndim):
+        dim_names.append(name())
+        ln = u32()
+        if ln == 0:
+            rec_dim = i
+            ln = numrecs
+        dim_lens.append(ln)
+    gattrs = attrs()
+    tag, nvar = u32(), u32()
+    if tag not in (0, 0x0B):
+        raise ValueError(f"bad variable-list tag {tag:#x}")
+    var_meta = []                      # (name, dimids, attrs, dt, begin)
+    for _ in range(nvar):
+        vn = name()
+        dimids = [u32() for _ in range(u32())]
+        vattrs = attrs()
+        dt = _NC_DTYPES[u32()]
+        u32()                          # vsize (unreliable for >2GB; recompute)
+        begin = struct.unpack_from(">I" if osize == 4 else ">Q", buf, pos)[0]
+        pos += osize
+        var_meta.append((vn, dimids, vattrs, dt, begin))
+
+    # record stride: padded per-record slab of every record variable —
+    # EXCEPT when there is exactly one record variable (not padded)
+    rec_vars = [(dimids, dt) for _, dimids, _, dt, _ in var_meta
+                if dimids and dimids[0] == rec_dim]
+
+    def slab(dimids, dt):
+        n = int(np.prod([dim_lens[d] for d in dimids[1:]], dtype=np.int64))
+        nb = n * dt.itemsize
+        return n, (nb if len(rec_vars) == 1 else nb + (-nb % 4))
+
+    rec_stride = sum(slab(dimids, dt)[1] for dimids, dt in rec_vars)
+
+    variables, var_attrs = {}, {}
+    for vn, dimids, vattrs, dt, begin in var_meta:
+        shape = tuple(dim_lens[d] for d in dimids)
+        if dimids and dimids[0] == rec_dim:
+            n, _ = slab(dimids, dt)
+            recs = [np.frombuffer(buf, dt, n, begin + r * rec_stride)
+                    for r in range(numrecs)]
+            arr = (np.stack(recs) if recs
+                   else np.empty((0,) + shape[1:], dt)).reshape(shape)
+        else:
+            arr = np.frombuffer(
+                buf, dt, int(np.prod(shape, dtype=np.int64)), begin
+            ).reshape(shape)
+        variables[vn] = arr.astype(dt.newbyteorder("="))
+        var_attrs[vn] = vattrs
+
+    return {"dimensions": dict(zip(dim_names, dim_lens)),
+            "attributes": gattrs, "variables": variables,
+            "variable_attrs": var_attrs}

@@ -200,6 +200,61 @@ def test_dump_netcdf_scipy_roundtrip(tmp_path):
         assert nc.dimensions["x"] == 8 and nc.dimensions["x12"] == 12
 
 
+def test_load_netcdf_roundtrip_and_foreign(tmp_path):
+    """The pure-numpy NetCDF reader: round-trip through our writer AND
+    a scipy-written file with a record dimension (the NEMO-style input
+    case: time-varying forcing / bathymetry from third-party files)."""
+    scipy_io = pytest.importorskip("scipy.io")
+    m = build(ndom=4, gnx=8, gny=6)
+    p = str(tmp_path / "rt.nc")
+    dio.dump_netcdf({"ssh": m.sshn_t}, p, global_attrs={"step": 3})
+    d = dio.load_netcdf(p)
+    np.testing.assert_array_equal(
+        d["variables"]["ssh"], np.asarray(m.sshn_t.gather_inner_data()))
+    np.testing.assert_allclose(d["variables"]["x"],
+                               (np.arange(8) + 1) * m.grid.dx)
+    assert int(d["attributes"]["step"]) == 3
+    assert d["variable_attrs"]["ssh"]["coordinates"] == "y x"
+
+    # independent producer, record + fixed vars (multi- and single-
+    # record-var layouts differ: the latter is unpadded per record)
+    pf = str(tmp_path / "foreign.nc")
+    with scipy_io.netcdf_file(pf, "w") as nc:
+        nc.createDimension("time", None)
+        nc.createDimension("x", 3)
+        v = nc.createVariable("h", "f8", ("time", "x"))
+        v[0] = [1.0, 2.0, 3.0]
+        v[1] = [4.0, 5.0, 6.0]
+        s = nc.createVariable("n", "i4", ("time",))
+        s[0] = 7
+        s[1] = 8
+        f = nc.createVariable("fix", "f4", ("x",))
+        f[:] = [9.0, 10.0, 11.0]
+        f.units = "m"
+    d = dio.load_netcdf(pf)
+    assert d["dimensions"] == {"time": 2, "x": 3}
+    assert d["variables"]["h"].tolist() == [[1, 2, 3], [4, 5, 6]]
+    assert d["variables"]["n"].tolist() == [7, 8]
+    assert d["variables"]["fix"].tolist() == [9.0, 10.0, 11.0]
+    assert d["variable_attrs"]["fix"]["units"] == "m"
+
+    po = str(tmp_path / "single.nc")
+    with scipy_io.netcdf_file(po, "w") as nc:
+        nc.createDimension("time", None)
+        nc.createDimension("x", 3)
+        v = nc.createVariable("only", "i2", ("time", "x"))
+        for r in range(3):
+            v[r] = [3 * r + 1, 3 * r + 2, 3 * r + 3]
+    d = dio.load_netcdf(po)
+    assert d["variables"]["only"].tolist() == [[1, 2, 3], [4, 5, 6],
+                                               [7, 8, 9]]
+
+    with pytest.raises(ValueError, match="not a NetCDF-3"):
+        bad = str(tmp_path / "bad.nc")
+        open(bad, "wb").write(b"HDF\x05notnetcdf3")
+        dio.load_netcdf(bad)
+
+
 def test_dump_field(tmp_path):
     m = build(ndom=4, gnx=8, gny=6)
     p = str(tmp_path / "fld.npz")
