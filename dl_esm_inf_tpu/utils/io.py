@@ -117,6 +117,11 @@ def dump_netcdf(fields, path: str, *, names=None,
     dimension.  The reference has no structured output at all (its
     dump is a test-only gnuplot writer, test_halos.f90:267-338); this
     is what its NEMO-family clients wrap third-party IO layers for.
+
+    Plain 2D/3D numpy arrays are accepted alongside Fields (dims only,
+    no coordinate variables — there is no grid to take them from): the
+    prep path for bathymetry/tmask input files, read back by
+    :func:`load_netcdf`.
     """
     import struct
 
@@ -141,6 +146,19 @@ def dump_netcdf(fields, path: str, *, names=None,
 
     coords_done = set()
     for name, fld in fields.items():
+        if not isinstance(fld, Field):            # raw-array prep path
+            g = np.asarray(fld)
+            if g.ndim not in (2, 3):
+                raise ValueError(
+                    f"array variable {name!r} must be 2D (y, x) or "
+                    f"3D (z, y, x), got shape {g.shape}")
+            ydim = dim_for("y", g.shape[-2])
+            xdim = dim_for("x", g.shape[-1])
+            vdims = (ydim, xdim)
+            if g.ndim == 3:
+                vdims = (dim_for("z", g.shape[0]),) + vdims
+            variables.append((name, vdims, g, {}))
+            continue
         g = np.asarray(fld.gather_inner_data())
         d = fld.grid.decomp
         xdim = dim_for("x", d.global_nx)
@@ -185,8 +203,9 @@ def dump_netcdf(fields, path: str, *, names=None,
     # data payloads, big-endian, 4-byte padded
     payloads = []
     for i, (n, vdims, g, attrs) in enumerate(variables):
-        if np.dtype(g.dtype) not in _NC_TYPES:   # e.g. bf16 diagnostics
-            g = np.asarray(g, np.float32)
+        if np.dtype(g.dtype) not in _NC_TYPES:   # e.g. bf16, int64 masks
+            g = np.asarray(g, np.int32 if np.dtype(g.dtype).kind in "iu"
+                           else np.float32)
             variables[i] = (n, vdims, g, attrs)
         payloads.append(_nc_pad(
             np.ascontiguousarray(g).astype(

@@ -86,3 +86,24 @@ def test_nonpositive_depth_rejected():
     bad[3, 4] = 0.0
     with pytest.raises(ValueError, match="positive"):
         nl.build(32, 32, ndomains=1, depth=bad)
+
+
+def test_bathymetry_from_netcdf(tmp_path):
+    """The NEMO-style input workflow end to end: bathymetry written as
+    a raw array to NetCDF (prep path), read back with load_netcdf, and
+    driven through the flagship — identical to the in-memory array."""
+    from dl_esm_inf_tpu.utils import io as dio
+
+    ht = sloped_depth(48, 40)
+    p = str(tmp_path / "bathy.nc")
+    dio.dump_netcdf({"ht": ht, "tmask": np.ones((40, 48), np.int64)}, p,
+                    global_attrs={"title": "prep"})
+    d = dio.load_netcdf(p)
+    assert d["variables"]["tmask"].dtype == np.int32   # int64 narrowed
+    ma = build(ndom=4, depth=ht)
+    mb = build(ndom=4, depth=d["variables"]["ht"])
+    ma.run(30)
+    mb.run(30)
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_array_equal(mb.gather()[k], ma.gather()[k],
+                                      err_msg=k)
