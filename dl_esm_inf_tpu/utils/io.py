@@ -222,6 +222,159 @@ def dump_netcdf(fields, path: str, *, names=None,
             f.write(p)
 
 
+class NetCDFTimeSeries:
+    """Streaming time-series output: one NetCDF-3 file with an
+    UNLIMITED (record) time dimension, one record appended per call —
+    the production output path (snapshot history files) the reference's
+    NEMO-family clients wrap third-party IO layers for.
+
+    The header (fixed coordinate variables included) is written at
+    open; each :meth:`append` gathers the fields and writes one record
+    slab straight to disk (no host-side history buffering); ``close``
+    patches the record count.  Readable mid-stream by readers that
+    honour the streaming convention, and by anything after close.
+
+    >>> ts = NetCDFTimeSeries("hist.nc", {"ssh": m.sshn_t})
+    >>> for k in range(10):
+    ...     m.run(50)
+    ...     ts.append(time=50.0 * (k + 1) * m.params.rdt)
+    >>> ts.close()
+    """
+
+    def __init__(self, path: str, fields: dict, *,
+                 global_attrs: dict | None = None,
+                 time_units: str = "s", dtype=None):
+        import struct
+        self._path = path
+        self._fields = dict(fields)
+        self._nrec = 0
+        g0 = {n: np.asarray(f.gather_inner_data())
+              for n, f in self._fields.items()}
+        self._dtypes = {n: np.dtype(dtype) if dtype is not None
+                        else (g.dtype if g.dtype in _NC_TYPES
+                              else np.dtype("f4"))
+                        for n, g in g0.items()}
+
+        dims = {"time": 0}                       # record dim first
+        variables = []                           # fixed coords
+        rec_vars = [("time", ("time",), np.dtype("f8"),
+                     {"units": time_units, "axis": "T"})]
+        seen = {}
+        for n, g in g0.items():
+            fld = self._fields[n]
+            d = fld.grid.decomp
+            for axis, ln, coord in (
+                    ("y", d.global_ny, (np.arange(d.global_ny) + 1)
+                     * fld.grid.dy),
+                    ("x", d.global_nx, (np.arange(d.global_nx) + 1)
+                     * fld.grid.dx)):
+                if dims.get(axis, ln) != ln:
+                    raise ValueError(
+                        "all time-series fields must share one grid "
+                        f"extent; {axis}={ln} vs {dims[axis]}")
+                if axis not in dims:
+                    dims[axis] = ln
+                    variables.append((axis, (axis,), coord,
+                                      {"units": "m",
+                                       "axis": axis.upper()}))
+            vdims = ("time", "y", "x")
+            if g.ndim == 3:
+                if dims.setdefault("z", g.shape[0]) != g.shape[0]:
+                    raise ValueError("mismatched level counts")
+                vdims = ("time", "z", "y", "x")
+            seen[n] = vdims
+            rec_vars.append((n, vdims, self._dtypes[n],
+                             {"coordinates": "y x"}))
+
+        dim_ids = {n: i for i, n in enumerate(dims)}
+        nrecvars = len(rec_vars)
+
+        def rec_slab_bytes(vdims, dt):
+            n = int(np.prod([dims[d] for d in vdims[1:]], dtype=np.int64))
+            nb = n * dt.itemsize
+            return nb if nrecvars == 1 else nb + (-nb % 4)
+
+        def header(fixed_offsets, rec_offsets):
+            out = [b"CDF\x01", struct.pack(">i", -1)]   # STREAMING numrecs
+            out.append(struct.pack(">II", 0x0A, len(dims)))
+            for n, ln in dims.items():
+                out.append(_nc_name(n)
+                           + struct.pack(">I", 0 if n == "time" else ln))
+            out.append(_nc_attrs(global_attrs or {}))
+            out.append(struct.pack(
+                ">II", 0x0B, len(variables) + nrecvars))
+            for i, (n, vdims, g, attrs) in enumerate(variables):
+                tc, sz = _NC_TYPES[np.dtype(g.dtype)]
+                out.append(_nc_name(n) + struct.pack(">I", len(vdims)))
+                out += [struct.pack(">I", dim_ids[d]) for d in vdims]
+                out.append(_nc_attrs(attrs))
+                out.append(struct.pack(">III", tc,
+                                       -(-g.size * sz // 4) * 4,
+                                       fixed_offsets[i]))
+            for i, (n, vdims, dt, attrs) in enumerate(rec_vars):
+                out.append(_nc_name(n) + struct.pack(">I", len(vdims)))
+                out += [struct.pack(">I", dim_ids[d]) for d in vdims]
+                out.append(_nc_attrs(attrs))
+                out.append(struct.pack(">III", _NC_TYPES[dt][0],
+                                       rec_slab_bytes(vdims, dt),
+                                       rec_offsets[i]))
+            return b"".join(out)
+
+        for i, (n, vdims, g, attrs) in enumerate(variables):
+            variables[i] = (n, vdims, g.astype(
+                np.dtype(g.dtype if g.dtype in _NC_TYPES else "f8")), attrs)
+        hlen = len(header([0] * len(variables), [0] * nrecvars))
+        fixed_offsets, pos = [], hlen
+        payloads = []
+        for n, vdims, g, attrs in variables:
+            p = _nc_pad(np.ascontiguousarray(g).astype(
+                g.dtype.newbyteorder(">")).tobytes())
+            fixed_offsets.append(pos)
+            payloads.append(p)
+            pos += len(p)
+        rec_offsets = []
+        self._rec_stride = 0
+        for n, vdims, dt, attrs in rec_vars:
+            rec_offsets.append(pos + self._rec_stride)
+            self._rec_stride += rec_slab_bytes(vdims, dt)
+        self._rec_vars = rec_vars
+        self._f = open(path, "wb")
+        self._f.write(header(fixed_offsets, rec_offsets))
+        for p in payloads:
+            self._f.write(p)
+
+    def append(self, time: float = None) -> None:
+        """Gather every field and write one record (host-side; the
+        device arrays are untouched)."""
+        if self._f is None:
+            raise ValueError("time series already closed")
+        t = float(self._nrec if time is None else time)
+        single = len(self._rec_vars) == 1
+        for n, vdims, dt, _ in self._rec_vars:
+            g = (np.asarray(t, "f8") if n == "time"
+                 else np.asarray(self._fields[n].gather_inner_data(),
+                                 dt))
+            b = np.ascontiguousarray(g).astype(
+                dt.newbyteorder(">")).tobytes()
+            self._f.write(b if single else _nc_pad(b))
+        self._nrec += 1
+
+    def close(self) -> None:
+        import struct
+        if self._f is None:
+            return
+        self._f.seek(4)
+        self._f.write(struct.pack(">I", self._nrec))
+        self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 _NC_DTYPES = {1: np.dtype("i1"), 2: np.dtype("S1"), 3: np.dtype(">i2"),
               4: np.dtype(">i4"), 5: np.dtype(">f4"), 6: np.dtype(">f8")}
 

@@ -255,6 +255,33 @@ def test_load_netcdf_roundtrip_and_foreign(tmp_path):
         dio.load_netcdf(bad)
 
 
+def test_netcdf_timeseries(tmp_path):
+    """Streaming record-dimension output: snapshots appended straight
+    to disk, read back by scipy (independent) and load_netcdf."""
+    scipy_io = pytest.importorskip("scipy.io")
+    m = build(ndom=4, gnx=8, gny=6)
+    p = str(tmp_path / "hist.nc")
+    snaps = []
+    with dio.NetCDFTimeSeries(p, {"ssh": m.sshn_t},
+                              global_attrs={"title": "hist"}) as ts:
+        for k in range(3):
+            m.run(5)
+            snaps.append(np.asarray(m.sshn_t.gather_inner_data()).copy())
+            ts.append(time=5.0 * (k + 1))
+        with pytest.raises(ValueError, match="share one grid"):
+            m2 = build(ndom=1, gnx=12, gny=6)
+            dio.NetCDFTimeSeries(str(tmp_path / "bad.nc"),
+                                 {"a": m.sshn_t, "b": m2.sshn_t})
+    d = dio.load_netcdf(p)
+    assert d["dimensions"] == {"time": 3, "y": 6, "x": 8}
+    assert d["variables"]["time"].tolist() == [5.0, 10.0, 15.0]
+    for k in range(3):
+        np.testing.assert_array_equal(d["variables"]["ssh"][k], snaps[k])
+    with scipy_io.netcdf_file(p, "r", mmap=False) as nc:
+        assert nc.title == b"hist"
+        np.testing.assert_array_equal(nc.variables["ssh"][2], snaps[2])
+
+
 def test_dump_field(tmp_path):
     m = build(ndom=4, gnx=8, gny=6)
     p = str(tmp_path / "fld.npz")
