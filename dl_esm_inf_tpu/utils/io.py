@@ -338,15 +338,21 @@ class NetCDFTimeSeries:
             rec_offsets.append(pos + self._rec_stride)
             self._rec_stride += rec_slab_bytes(vdims, dt)
         self._rec_vars = rec_vars
-        self._f = open(path, "wb")
-        self._f.write(header(fixed_offsets, rec_offsets))
-        for p in payloads:
-            self._f.write(p)
+        # multi-process: every process gathers (collective), only the
+        # master writes — same split as the reference's master-rank IO
+        from ..parallel import environment as env
+        self._master = env.on_master()
+        self._f = open(path, "wb") if self._master else None
+        self._closed = False
+        if self._master:
+            self._f.write(header(fixed_offsets, rec_offsets))
+            for p in payloads:
+                self._f.write(p)
 
     def append(self, time: float = None) -> None:
         """Gather every field and write one record (host-side; the
         device arrays are untouched)."""
-        if self._f is None:
+        if self._closed:
             raise ValueError("time series already closed")
         t = float(self._nrec if time is None else time)
         single = len(self._rec_vars) == 1
@@ -354,19 +360,22 @@ class NetCDFTimeSeries:
             g = (np.asarray(t, "f8") if n == "time"
                  else np.asarray(self._fields[n].gather_inner_data(),
                                  dt))
-            b = np.ascontiguousarray(g).astype(
-                dt.newbyteorder(">")).tobytes()
-            self._f.write(b if single else _nc_pad(b))
+            if self._f is not None:
+                b = np.ascontiguousarray(g).astype(
+                    dt.newbyteorder(">")).tobytes()
+                self._f.write(b if single else _nc_pad(b))
         self._nrec += 1
 
     def close(self) -> None:
         import struct
-        if self._f is None:
+        if self._closed:
             return
-        self._f.seek(4)
-        self._f.write(struct.pack(">I", self._nrec))
-        self._f.close()
-        self._f = None
+        self._closed = True
+        if self._f is not None:
+            self._f.seek(4)
+            self._f.write(struct.pack(">I", self._nrec))
+            self._f.close()
+            self._f = None
 
     def __enter__(self):
         return self
