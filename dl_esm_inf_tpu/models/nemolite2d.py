@@ -892,7 +892,9 @@ def main(argv=None):
     """CLI demo: the canonical NEMOLite2D-style run (258^2 domain by
     default, like the GOcean benchmark namelist), printing per-field
     checksums every report interval — drive with
-    ``python -m dl_esm_inf_tpu.models.nemolite2d [N] [steps]``."""
+    ``python -m dl_esm_inf_tpu.models.nemolite2d [N] [steps] [hist.nc]``
+    (the optional third argument writes a NetCDF history file: one
+    ssh/u/v record per report interval)."""
     import sys
     import time as _time
 
@@ -903,6 +905,7 @@ def main(argv=None):
     args = list(argv if argv is not None else sys.argv[1:])
     n = int(args[0]) if args else 258
     nsteps = int(args[1]) if len(args) > 1 else 100
+    hist_path = args[2] if len(args) > 2 else None   # NetCDF history
     use_pallas = _jax.default_backend() == "tpu"
     m = build(n, n, pallas=use_pallas,
               steps_per_sweep=4 if use_pallas else 1)
@@ -910,6 +913,12 @@ def main(argv=None):
         print("nothing to do (nsteps < 1)")
         return
     m.set_initial_ssh(gaussian_eta(n, n, amp=0.2))
+    hist = None
+    if hist_path:
+        from ..utils.io import NetCDFTimeSeries
+        hist = NetCDFTimeSeries(
+            hist_path, {"ssh": m.sshn_t, "u": m.un, "v": m.vn},
+            global_attrs={"title": f"nemolite2d {n}x{n}"})
     report = max(1, nsteps // 5)
     done = 0
     t0 = t_end = None
@@ -921,6 +930,8 @@ def main(argv=None):
         cs = m.checksums()
         print(f"step {done:6d}  " +
               "  ".join(f"{k}={v:.10E}" for k, v in cs.items()), flush=True)
+        if hist is not None:
+            hist.append(time=done * m.p.rdt)
         # Time only FULL report-sized chunks after the first (warmup)
         # one: the first chunk and any odd-sized remainder chunk compile
         # a fresh program, which must stay outside the timed window.
@@ -930,6 +941,9 @@ def main(argv=None):
             else:
                 timed_steps += todo
                 t_end = _time.perf_counter()
+    if hist is not None:
+        hist.close()
+        print(f"history written to {hist_path}")
     if timed_steps and t_end is not None:
         dt = t_end - t0
         rate = f"{n * n * timed_steps / dt / 1e6:.1f} Mpt/s post-warmup"

@@ -237,7 +237,7 @@ class NetCDFTimeSeries:
     >>> ts = NetCDFTimeSeries("hist.nc", {"ssh": m.sshn_t})
     >>> for k in range(10):
     ...     m.run(50)
-    ...     ts.append(time=50.0 * (k + 1) * m.params.rdt)
+    ...     ts.append(time=50.0 * (k + 1) * rdt)
     >>> ts.close()
     """
 
@@ -442,6 +442,7 @@ def load_netcdf(path: str) -> dict:
         return out
 
     numrecs = u32()
+    streaming = numrecs == 0xFFFFFFFF        # unclosed/mid-stream file
     tag, ndim = u32(), u32()
     if tag not in (0, 0x0A):
         raise ValueError(f"bad dimension-list tag {tag:#x}")
@@ -451,7 +452,7 @@ def load_netcdf(path: str) -> dict:
         ln = u32()
         if ln == 0:
             rec_dim = i
-            ln = numrecs
+            ln = 0 if streaming else numrecs
         dim_lens.append(ln)
     gattrs = attrs()
     tag, nvar = u32(), u32()
@@ -479,6 +480,12 @@ def load_netcdf(path: str) -> dict:
         return n, (nb if len(rec_vars) == 1 else nb + (-nb % 4))
 
     rec_stride = sum(slab(dimids, dt)[1] for dimids, dt in rec_vars)
+    if streaming:                 # derive the count from the file size
+        first = min((b for _, dimids, _, _, b in var_meta
+                     if dimids and dimids[0] == rec_dim), default=0)
+        numrecs = (len(buf) - first) // rec_stride if rec_stride else 0
+        if rec_dim is not None:
+            dim_lens[rec_dim] = numrecs
 
     variables, var_attrs = {}, {}
     for vn, dimids, vattrs, dt, begin in var_meta:

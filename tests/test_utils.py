@@ -179,7 +179,7 @@ def test_dump_netcdf_scipy_roundtrip(tmp_path):
                                   "step": 7})
     with scipy_io.netcdf_file(p, "r", mmap=False) as nc:
         assert nc.title == b"dl_esm_inf_tpu dump"
-        assert int(nc.step[0]) == 7
+        assert int(nc.step) == 7     # scipy unpacks length-1 attrs
         assert nc.dimensions["x"] == 8
         assert nc.dimensions["y"] == 6
         assert nc.dimensions["z"] == 3
