@@ -249,6 +249,16 @@ def test_load_netcdf_roundtrip_and_foreign(tmp_path):
     assert d["variables"]["only"].tolist() == [[1, 2, 3], [4, 5, 6],
                                                [7, 8, 9]]
 
+    # CDF-2 (64-bit offsets) leg
+    p2 = str(tmp_path / "cdf2.nc")
+    with scipy_io.netcdf_file(p2, "w", version=2) as nc:
+        nc.createDimension("x", 5)
+        v = nc.createVariable("a", "f8", ("x",))
+        v[:] = [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert open(p2, "rb").read(4)[3] == 2
+    assert dio.load_netcdf(p2)["variables"]["a"].tolist() == [
+        1.0, 2.0, 3.0, 4.0, 5.0]
+
     with pytest.raises(ValueError, match="not a NetCDF-3"):
         bad = str(tmp_path / "bad.nc")
         open(bad, "wb").write(b"HDF\x05notnetcdf3")
