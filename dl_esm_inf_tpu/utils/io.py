@@ -245,7 +245,6 @@ class NetCDFTimeSeries:
                  global_attrs: dict | None = None,
                  time_units: str = "s", dtype=None):
         import struct
-        self._path = path
         self._fields = dict(fields)
         self._nrec = 0
         g0 = {n: np.asarray(f.gather_inner_data())
@@ -259,7 +258,6 @@ class NetCDFTimeSeries:
         variables = []                           # fixed coords
         rec_vars = [("time", ("time",), np.dtype("f8"),
                      {"units": time_units, "axis": "T"})]
-        seen = {}
         for n, g in g0.items():
             fld = self._fields[n]
             d = fld.grid.decomp
@@ -282,7 +280,6 @@ class NetCDFTimeSeries:
                 if dims.setdefault("z", g.shape[0]) != g.shape[0]:
                     raise ValueError("mismatched level counts")
                 vdims = ("time", "z", "y", "x")
-            seen[n] = vdims
             rec_vars.append((n, vdims, self._dtypes[n],
                              {"coordinates": "y x"}))
 
