@@ -921,31 +921,36 @@ def main(argv=None):
             global_attrs={"title": f"nemolite2d {n}x{n}"})
     report = max(1, nsteps // 5)
     done = 0
-    t0 = t_end = None
+    warmed = False
+    dt_total = 0.0
     timed_steps = 0
     while done < nsteps:
         todo = min(report, nsteps - done)
+        t0c = _time.perf_counter()
         m.run(todo)
         done += todo
-        cs = m.checksums()
+        cs = m.checksums()               # host readback = device fence
+        dtc = _time.perf_counter() - t0c
+        # Time only FULL report-sized chunks after the first (warmup)
+        # one: the first chunk and any odd-sized remainder chunk compile
+        # a fresh program, which must stay outside the timed window —
+        # and the per-chunk window keeps print/history IO out of the
+        # rate (advisor r3).
+        if todo == report:
+            if warmed:
+                timed_steps += todo
+                dt_total += dtc
+            else:
+                warmed = True
         print(f"step {done:6d}  " +
               "  ".join(f"{k}={v:.10E}" for k, v in cs.items()), flush=True)
         if hist is not None:
             hist.append(time=done * m.p.rdt)
-        # Time only FULL report-sized chunks after the first (warmup)
-        # one: the first chunk and any odd-sized remainder chunk compile
-        # a fresh program, which must stay outside the timed window.
-        if todo == report:
-            if t0 is None:
-                t0 = _time.perf_counter()
-            else:
-                timed_steps += todo
-                t_end = _time.perf_counter()
     if hist is not None:
         hist.close()
         print(f"history written to {hist_path}")
-    if timed_steps and t_end is not None:
-        dt = t_end - t0
+    if timed_steps:
+        dt = dt_total
         rate = f"{n * n * timed_steps / dt / 1e6:.1f} Mpt/s post-warmup"
         print(f"{nsteps} steps of {n}x{n}; {timed_steps} timed in "
               f"{dt:.3f}s ({rate}) [backend={_jax.default_backend()}, "

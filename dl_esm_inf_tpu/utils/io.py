@@ -76,6 +76,20 @@ def _nc_pad(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 4)
 
 
+def _nc_narrow(g: np.ndarray, name: str) -> np.ndarray:
+    """Cast an array with no NetCDF-3 type (bf16, int64/uint masks) to
+    the nearest classic type, refusing silent integer corruption:
+    values outside int32 range would wrap (advisor r3)."""
+    if np.dtype(g.dtype).kind in "iu":
+        if g.size and (g.min() < -2**31 or g.max() > 2**31 - 1):
+            raise ValueError(
+                f"variable {name!r} ({g.dtype}) has values outside the "
+                "int32 range; NetCDF-3 classic has no 64-bit integer "
+                "type — convert to float64 first")
+        return np.asarray(g, np.int32)
+    return np.asarray(g, np.float32)
+
+
 def _nc_name(s: str) -> bytes:
     import struct
     b = s.encode()
@@ -204,8 +218,7 @@ def dump_netcdf(fields, path: str, *, names=None,
     payloads = []
     for i, (n, vdims, g, attrs) in enumerate(variables):
         if np.dtype(g.dtype) not in _NC_TYPES:   # e.g. bf16, int64 masks
-            g = np.asarray(g, np.int32 if np.dtype(g.dtype).kind in "iu"
-                           else np.float32)
+            g = _nc_narrow(g, n)
             variables[i] = (n, vdims, g, attrs)
         payloads.append(_nc_pad(
             np.ascontiguousarray(g).astype(
@@ -249,9 +262,12 @@ class NetCDFTimeSeries:
         self._nrec = 0
         g0 = {n: np.asarray(f.gather_inner_data())
               for n, f in self._fields.items()}
+        # same kind-based narrowing as dump_netcdf (advisor r3: int64
+        # fields must not silently become float32)
         self._dtypes = {n: np.dtype(dtype) if dtype is not None
                         else (g.dtype if g.dtype in _NC_TYPES
-                              else np.dtype("f4"))
+                              else np.dtype(
+                                  "i4" if g.dtype.kind in "iu" else "f4"))
                         for n, g in g0.items()}
 
         dims = {"time": 0}                       # record dim first
@@ -354,14 +370,29 @@ class NetCDFTimeSeries:
         t = float(self._nrec if time is None else time)
         single = len(self._rec_vars) == 1
         for n, vdims, dt, _ in self._rec_vars:
-            g = (np.asarray(t, "f8") if n == "time"
-                 else np.asarray(self._fields[n].gather_inner_data(),
-                                 dt))
+            if n == "time":
+                g = np.asarray(t, "f8")
+            else:
+                g = np.asarray(self._fields[n].gather_inner_data())
+                if (dt.kind in "iu" and g.dtype.kind in "iu"
+                        and g.dtype.itemsize > dt.itemsize):
+                    info = np.iinfo(dt)
+                    if g.size and (g.min() < info.min
+                                   or g.max() > info.max):
+                        raise ValueError(
+                            f"record {self._nrec} of {n!r} has values "
+                            f"outside the {dt} range")
+                g = np.asarray(g, dt)
             if self._f is not None:
                 b = np.ascontiguousarray(g).astype(
                     dt.newbyteorder(">")).tobytes()
                 self._f.write(b if single else _nc_pad(b))
         self._nrec += 1
+        if self._f is not None:
+            # crash-safety + the documented mid-stream readability: the
+            # streaming numrecs sentinel only helps once records reach
+            # the file (advisor r3)
+            self._f.flush()
 
     def close(self) -> None:
         import struct
@@ -399,7 +430,8 @@ def load_netcdf(path: str) -> dict:
     """
     import struct
 
-    buf = open(path, "rb").read()
+    with open(path, "rb") as f:
+        buf = f.read()
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError(f"{path!r} is not a NetCDF-3 classic file")
     osize = 4 if buf[3] == 1 else 8          # CDF-2: 64-bit offsets

@@ -292,6 +292,45 @@ def test_netcdf_timeseries(tmp_path):
         np.testing.assert_array_equal(nc.variables["ssh"][2], snaps[2])
 
 
+def test_netcdf_int_narrowing_and_flush(tmp_path):
+    """Advisor r3: integer narrowing must be range-checked (dump) and
+    kind-consistent (time series), and append() must flush so the
+    documented mid-stream readability actually holds on disk."""
+    m = build(ndom=1, gnx=8, gny=6)
+
+    # raw int64 within range -> int32 payload, exact round-trip
+    a64 = np.arange(48, dtype=np.int64).reshape(6, 8) * 100000
+    p = str(tmp_path / "ints.nc")
+    dio.dump_netcdf({"codes": a64}, p)
+    d = dio.load_netcdf(p)
+    assert d["variables"]["codes"].dtype == np.int32
+    np.testing.assert_array_equal(d["variables"]["codes"], a64)
+
+    # out of int32 range -> refuse, never wrap
+    bad = a64.copy()
+    bad[0, 0] = 2**31 + 5
+    with pytest.raises(ValueError, match="int32 range"):
+        dio.dump_netcdf({"codes": bad}, str(tmp_path / "bad.nc"))
+
+    # time series: int64 field stays integer (i4), not float32
+    fi = dl.Field(m.grid, dl.T_POINTS, dtype=np.int64,
+                  init_global_data=np.arange(48).reshape(6, 8) * 10**6)
+    pts = str(tmp_path / "ints_ts.nc")
+    ts = dio.NetCDFTimeSeries(pts, {"n": fi})
+    ts.append(time=1.0)
+    # mid-stream (pre-close): append flushed, so a reader sees record 1
+    mid = dio.load_netcdf(pts)
+    assert mid["dimensions"]["time"] == 1
+    assert mid["variables"]["n"].dtype == np.int32
+    np.testing.assert_array_equal(mid["variables"]["n"][0],
+                                  np.arange(48).reshape(6, 8) * 10**6)
+    # an out-of-range record refuses instead of wrapping
+    fi.set_data(np.full(m.grid.array_shape, 2**31 + 7, np.int64))
+    with pytest.raises(ValueError, match="range"):
+        ts.append(time=2.0)
+    ts.close()
+
+
 def test_dump_field(tmp_path):
     m = build(ndom=4, gnx=8, gny=6)
     p = str(tmp_path / "fld.npz")
