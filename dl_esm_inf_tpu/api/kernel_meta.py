@@ -273,12 +273,20 @@ def _blk_spec(lead: int):
 
 def _space_mask(f, space):
     """The write mask of one field for an iteration space.  Always 2D:
-    it broadcasts over any leading (level) dims."""
+    it broadcasts over any leading (level) dims.
+
+    ``GO_EXTERNAL_PTS`` is the field's GLOBAL boundary ring (whole minus
+    internal in global coordinates, field_mod.f90:604-622) — the
+    decomposition-invariant reading of the reference's per-rank
+    whole-minus-internal (kernel_mod.f90:35-37); see
+    Field.external_mask."""
     if space == GO_INTERNAL_PTS:
         return f.internal_mask
     if space == GO_ALL_PTS:
         return jnp.ones(f.grid.array_shape, f.dtype)
-    return 1.0 - f.internal_mask
+    if space == GO_EXTERNAL_PTS:
+        return f.external_mask
+    raise ValueError(f"unknown iteration space {space!r}")
 
 
 def _bind_call(meta: KernelMeta, args):

@@ -184,6 +184,21 @@ class Field:
             return np.ones(self.grid.array_shape, dtype=bool)
         return self.grid.region_mask_np(*self._off)
 
+    @property
+    def external_mask(self) -> jax.Array:
+        """Device mask of this field's GLOBAL boundary ring — whole
+        minus internal in global coordinates (field_mod.f90:604-622),
+        decomposition-invariant by construction.  ALL_POINTS fields have
+        whole == internal (field_mod.f90:624-650): the ring is empty."""
+        if self.defined_on == ALL_POINTS:
+            return jnp.zeros(self.grid.array_shape, dtype=self.dtype)
+        return self.grid.external_mask(*self._off, dtype=self.dtype)
+
+    def external_mask_np(self) -> np.ndarray:
+        if self.defined_on == ALL_POINTS:
+            return np.zeros(self.grid.array_shape, dtype=bool)
+        return self.grid.external_mask_np(*self._off)
+
     # --- communication ------------------------------------------------------
     def halo_exchange(self, depth: int = 1,
                       transport: str = "ppermute",

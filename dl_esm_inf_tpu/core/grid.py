@@ -476,6 +476,22 @@ class Grid:
     def region_mask_np(self, off_x: int = 0, off_y: int = 0) -> np.ndarray:
         return layout.region_mask(self.decomp, off_x, off_y)
 
+    def external_mask(self, off_x: int = 0, off_y: int = 0,
+                      dtype=None) -> jax.Array:
+        """Device mask of the GLOBAL boundary ring (whole minus internal
+        in global coordinates — layout.external_mask): the write mask of
+        ``GO_EXTERNAL_PTS`` kernels.  Cached per (off_x, off_y, dtype)."""
+        dtype = jnp.dtype(dtype) if dtype is not None else self.dtype
+        key = ("ext", off_x, off_y, str(dtype))
+        if key not in self._region_masks:
+            m = layout.external_mask(self.decomp, off_x, off_y)
+            self._region_masks[key] = jax.device_put(
+                m.astype(dtype), self.sharding)
+        return self._region_masks[key]
+
+    def external_mask_np(self, off_x: int = 0, off_y: int = 0) -> np.ndarray:
+        return layout.external_mask(self.decomp, off_x, off_y)
+
 
 def grid_init(grid: Grid, dx: float, dy: float, tmask=None,
               time_step: float | None = None) -> None:

@@ -94,6 +94,33 @@ def region_mask(decomp: Decomposition, off_x: int = 0, off_y: int = 0) -> np.nda
     return my[:, None] & mx[None, :]
 
 
+def external_mask(decomp: Decomposition, off_x: int = 0,
+                  off_y: int = 0) -> np.ndarray:
+    """Stacked-layout bool mask of the GLOBAL boundary ring: the whole
+    region (internal grown by NBOUNDARY=1) minus the internal region,
+    in *global* coordinates (reference whole-minus-internal,
+    field_mod.f90:604-622, GO_EXTERNAL_PTS kernel_mod.f90:35-37).
+
+    Membership is a pure function of each cell's global coordinate —
+    never of its shard position — so the written cell set is
+    decomposition-invariant by construction.  It matches the serial
+    reference exactly; under decomposition it deliberately EXCLUDES the
+    reference's per-rank seam-halo cells (which mirror a neighbour's
+    interior and would make the written set layout-dependent).  Ring
+    cells outside the global domain land on the boundary shards'
+    halo/padding cells that carry those coordinates.
+    """
+    gx = global_x_index(decomp)
+    gy = global_y_index(decomp)
+    wx = (gx >= off_x - 1) & (gx <= decomp.global_nx)
+    wy = (gy >= off_y - 1) & (gy <= decomp.global_ny)
+    ix = (gx >= off_x) & (gx < decomp.global_nx)
+    iy = (gy >= off_y) & (gy < decomp.global_ny)
+    whole = wy[:, None] & wx[None, :]
+    internal = iy[:, None] & ix[None, :]
+    return whole & ~internal
+
+
 def global_x_index(decomp: Decomposition) -> np.ndarray:
     """Per stacked-column global (0-based) T index; halo/padding columns
 
