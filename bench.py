@@ -244,6 +244,9 @@ def main():
     t_start = time.monotonic()
     on_tpu = _tpu_reachable()
     import jax
+
+    from dl_esm_inf_tpu.utils import compilation_cache
+    compilation_cache.enable()   # warm driver re-runs: 13.5s -> 0.6s/program
     if not on_tpu:
         # switch in-process (JAX_PLATFORMS env is pinned by the axon
         # site hook; config.update works — CLAUDE.md environment rules)
@@ -350,25 +353,26 @@ def main():
     assert all(np.isfinite(v).all() for v in g.values()), "non-finite state"
 
     # secondary sweep-engine clients (temporal-blocking generality).
-    # Guarded by a wall-clock budget: on a cold compile cache the
-    # headline already cost ~4-8 min and the secondary models add four
-    # more program compiles — the driver must always get its JSON line.
+    # With the persistent compilation cache their programs cost ~0.6 s
+    # each once warmed (utils/compilation_cache.py), so the section fits
+    # comfortably; the gates below only protect a fully cold cache on a
+    # congested chip — the driver must always get its JSON line.
     if jax.default_backend() == "cpu":
         models = {"skipped": "cpu backend"}
-    elif time.monotonic() - t_start > 480:
+    elif time.monotonic() - t_start > 600:
         models = {"skipped": "time budget (cold compile cache)"}
     else:
         try:
             # the deadline also bounds the section itself (compiles +
             # sampling), not just its start
             models = measure_client_models(
-                jax, jnp, deadline=t_start + 660)
+                jax, jnp, deadline=t_start + 780)
         except Exception as e:  # noqa: BLE001 — secondary evidence
             models = {"error": repr(e)[:200]}  # never sink the headline
         try:
-            if time.monotonic() - t_start < 720:
+            if time.monotonic() - t_start < 810:
                 models["helmholtz_cheb_pallas_K4"] = measure_solver(
-                    jax, jnp, deadline=t_start + 840)
+                    jax, jnp, deadline=t_start + 900)
         except Exception as e:  # noqa: BLE001 — secondary evidence
             models["helmholtz_cheb_pallas_K4"] = {
                 "error": repr(e)[:200]}

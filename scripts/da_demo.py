@@ -14,6 +14,10 @@ inflation, hybrid recovery error vs the static transform).
 """
 import sys
 
+from dl_esm_inf_tpu.utils import compilation_cache
+
+compilation_cache.enable()
+
 if "--cpu" in sys.argv:
     import jax
     jax.config.update("jax_platforms", "cpu")

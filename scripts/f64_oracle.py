@@ -45,6 +45,8 @@ def slope_time(run, n_lo, n_hi, reps=3):
 
 def main():
     import jax
+    from dl_esm_inf_tpu.utils import compilation_cache
+    compilation_cache.enable()
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 

@@ -44,6 +44,8 @@ def _build(kernel_body):
     the negative child can prove 'compiled' before arming the
     deadlock."""
     import jax
+    from dl_esm_inf_tpu.utils import compilation_cache
+    compilation_cache.enable()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -21,6 +21,8 @@ from __future__ import annotations
 import time
 
 import jax
+from dl_esm_inf_tpu.utils import compilation_cache
+compilation_cache.enable()
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -35,6 +35,8 @@ def main():
     if args.cpu:
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
+    from dl_esm_inf_tpu.utils import compilation_cache
+    compilation_cache.enable()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)

@@ -18,6 +18,8 @@ import dl_esm_inf_tpu as dl
 
 def main():
     import jax
+    from dl_esm_inf_tpu.utils import compilation_cache
+    compilation_cache.enable()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     gnx, gny = 40, 30

@@ -15,3 +15,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA:CPU re-compiles are a large share of
+# the suite's wall-clock; entries are keyed per backend so CPU and TPU
+# runs never collide.
+from dl_esm_inf_tpu.utils import compilation_cache  # noqa: E402
+
+compilation_cache.enable()
