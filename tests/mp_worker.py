@@ -1,22 +1,31 @@
 """Multi-process worker: one JAX process of a multi-controller run.
 
 Launched by tests/test_multiprocess.py as ``python mp_worker.py
-<process_id> <num_processes> <outfile>`` — the analogue of one MPI rank
-under the reference CI's ``mpirun -np N`` (makefile-test.yml:59).  Each
-process owns 4 virtual CPU devices; jax.distributed stitches them into
-one 2x4 global mesh, and the framework runs UNCHANGED: cross-process
-halo exchanges and reductions ride the same collectives (over Gloo here,
+<process_id> <num_processes> <outfile> [port] [ndev] [mode]`` — the
+analogue of one MPI rank under the reference CI's ``mpirun -np N``
+(makefile-test.yml:59, np in {2, 4, 6}).  Each process owns ``ndev``
+virtual CPU devices (default 4); jax.distributed stitches them into one
+global mesh, and the framework runs UNCHANGED: cross-process halo
+exchanges and reductions ride the same collectives (over Gloo here,
 over DCN on real pods).  Process 0 writes its results for the test to
 compare against a single-process run of the same program.
+
+``mode`` ``"core"`` runs only the reference-CI oracle legs (hill halo,
+checksum, scatter/gather round trip, flagship) — used for the np=4
+(process seam on BOTH mesh axes) and np=6 (the reference's forced
+non-square 3x2 process grid) gangs; ``"full"`` (default) adds the
+framework-wide legs at np=2.
 """
 import os
 import sys
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
 pid, nproc, outfile = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 port = sys.argv[4] if len(sys.argv) > 4 else "12957"
+ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+mode = sys.argv[6] if len(sys.argv) > 6 else "full"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 # environment.initialise()'s multihost autodetection keys on these:
 os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
 os.environ["JAX_NUM_PROCESSES"] = str(nproc)
@@ -25,16 +34,18 @@ os.environ["JAX_PROCESS_ID"] = str(pid)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_num_cpu_devices", ndev)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 
 import dl_esm_inf_tpu as dl  # noqa: E402
+from dl_esm_inf_tpu.utils import compilation_cache  # noqa: E402
 
+compilation_cache.enable()
 dl.initialise()          # runs jax.distributed.initialize() (multihost)
 assert jax.process_count() == nproc
-assert len(jax.devices()) == 4 * nproc
+assert len(jax.devices()) == ndev * nproc
 
 results = {}
 
@@ -43,7 +54,7 @@ gnx, gny = 24, 20
 grid = dl.Grid(dl.ARAKAWA_C,
                (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
                dl.OFFSET_NE)
-grid.decompose(gnx, gny, ndomains=4 * nproc)
+grid.decompose(gnx, gny, ndomains=ndev * nproc)
 dl.grid_init(grid, 1.0, 1.0)
 from dl_esm_inf_tpu.testing import init_field_hill  # noqa: E402
 
@@ -66,18 +77,25 @@ results["roundtrip"] = f2.gather_inner_data()
 from dl_esm_inf_tpu.models import nemolite2d as nl  # noqa: E402
 from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta  # noqa: E402
 
-m = nl.build(32, 32, ndomains=4 * nproc, open_north=True)
+m = nl.build(32, 32, ndomains=ndev * nproc, open_north=True)
 m.set_initial_ssh(gaussian_eta(32, 32, amp=0.2))
 m.run(10)
 g = m.gather()
 for k, v in g.items():
     results[f"nl_{k}"] = v
 
+if mode == "core":
+    # np=4 / np=6 gangs: reference-CI oracle legs only
+    if pid == 0:
+        np.savez(outfile, **results)
+    print(f"[{pid}] MP WORKER DONE", flush=True)
+    sys.exit(0)
+
 # --- periodic wrap across the process boundary -------------------------
 pgrid = dl.Grid(dl.ARAKAWA_C,
                 (dl.BC_PERIODIC, dl.BC_PERIODIC, dl.BC_NONE),
                 dl.OFFSET_NE)
-pgrid.decompose(16, 16, ndomains=4 * nproc)
+pgrid.decompose(16, 16, ndomains=ndev * nproc)
 dl.grid_init(pgrid, 1.0, 1.0)
 pf = dl.Field(pgrid, dl.T_POINTS,
               init_global_data=np.arange(256.0).reshape(16, 16))
@@ -114,7 +132,7 @@ def mp_east(out, x):
 fgrid = dl.Grid(dl.ARAKAWA_C,
                 (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
                 dl.OFFSET_NE)
-fgrid.decompose(32, 32, ndomains=4 * nproc, halo_width=2, align_y=8)
+fgrid.decompose(32, 32, ndomains=ndev * nproc, halo_width=2, align_y=8)
 dl.grid_init(fgrid, 1.0, 1.0)
 fa = dl.Field(fgrid, dl.T_POINTS,
               init_global_data=np.arange(32.0 * 32).reshape(32, 32))
@@ -126,7 +144,7 @@ results["fused_sched"] = fb.gather_inner_data()
 # --- semi-implicit solver: CG psum dots crossing the process seam ------
 from dl_esm_inf_tpu.models import semi_implicit as si  # noqa: E402
 
-msi = si.build(24, 24, ndomains=4 * nproc, dt=1.0, depth=10.0,
+msi = si.build(24, 24, ndomains=ndev * nproc, dt=1.0, depth=10.0,
                tol=1e-11)
 msi.set_initial_eta(si.gaussian_eta(24, 24, amp=0.5))
 msi.run(5)
@@ -135,7 +153,7 @@ for k, v in msi.gather().items():
 
 # ... and with the radiative open boundary (regression: its mask must
 # build host-side — a sharded array can't be materialised here)
-mso = si.build(24, 24, ndomains=4 * nproc, dt=1.0, depth=10.0,
+mso = si.build(24, 24, ndomains=ndev * nproc, dt=1.0, depth=10.0,
                tol=1e-11, open_north=True, bc_amp=0.05)
 mso.run(5)
 for k, v in mso.gather().items():
@@ -148,7 +166,7 @@ from dl_esm_inf_tpu.models import gravity_wave as gwm  # noqa: E402
 from dl_esm_inf_tpu.models.enkf import ETKF  # noqa: E402
 from dl_esm_inf_tpu.models.ensemble import Ensemble  # noqa: E402
 
-gm = gwm.build(24, 24, ndomains=4 * nproc, dt=0.05, depth=10.0)
+gm = gwm.build(24, 24, ndomains=ndev * nproc, dt=0.05, depth=10.0)
 rng = np.random.default_rng(5)
 base = gaussian_eta(24, 24, amp=0.3)
 ens = Ensemble(gm, 4)
@@ -175,7 +193,7 @@ from dl_esm_inf_tpu.models import tracer as trm  # noqa: E402
 
 tu, tv = trm.streamfunction_velocities(
     0.4 * gaussian_eta(24, 24, amp=1.0, width=0.2))
-mt = trm.build(24, 24, ndomains=4 * nproc, dt=0.2, u=tu, v=tv,
+mt = trm.build(24, 24, ndomains=ndev * nproc, dt=0.2, u=tu, v=tv,
                kappa=0.02)
 mt.set_initial_tracer(gaussian_eta(24, 24, amp=1.0) + 0.01)
 mt.run(8)

@@ -22,18 +22,21 @@ from dl_esm_inf_tpu.testing import init_field_hill
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-@pytest.fixture(scope="module")
-def mp_results(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("mp") / "mp0.npz")
+def _run_gang(tmp_path_factory, nproc, port, ndev=4, mode="full"):
+    """Spawn one jax.distributed gang of ``nproc`` workers and return
+    process 0's results.  Gangs run one at a time (module-scoped
+    fixtures resolve sequentially) — concurrent XLA:CPU collective
+    programs deadlock (CLAUDE.md)."""
+    out = str(tmp_path_factory.mktemp(f"mp{nproc}") / "mp0.npz")
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(HERE)] + sys.path)
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, "mp_worker.py"),
-         str(pid), "2", out, "12957"],
+         str(pid), str(nproc), out, str(port), str(ndev), mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in range(2)]
+        text=True) for pid in range(nproc)]
     logs = []
     for p in procs:
         try:
@@ -41,11 +44,34 @@ def mp_results(tmp_path_factory):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multi-process workers timed out")
+            pytest.fail(f"{nproc}-process workers timed out")
         logs.append(o)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
     return dict(np.load(out))
+
+
+@pytest.fixture(scope="module")
+def mp_results(tmp_path_factory):
+    return _run_gang(tmp_path_factory, nproc=2, port=12957)
+
+
+@pytest.fixture(scope="module")
+def mp4_results(tmp_path_factory):
+    """np=4, 2 devices each: 8-device mesh whose PROCESS seams land on
+    both mesh axes at once (the reference CI's np=4 xy-split,
+    dist_mem/Makefile:64-80)."""
+    return _run_gang(tmp_path_factory, nproc=4, port=12961, ndev=2,
+                     mode="core")
+
+
+@pytest.fixture(scope="module")
+def mp6_results(tmp_path_factory):
+    """np=6, 1 device each: the reference CI's forced NON-SQUARE 3x2
+    process grid (makefile-test.yml:59-63) — every seam is a process
+    seam."""
+    return _run_gang(tmp_path_factory, nproc=6, port=12963, ndev=1,
+                     mode="core")
 
 
 def test_multiprocess_matches_single_process(mp_results):
@@ -97,6 +123,54 @@ def test_multiprocess_flagship_matches(mp_results):
     for k in ("sshn", "un", "vn"):
         np.testing.assert_allclose(mp_results[f"nl_{k}"], g[k],
                                    rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def _check_core_legs(results, ndom):
+    """hill + checksum + round-trip + flagship vs THIS process's own
+    single-controller run at the same decomposition (bit-for-bit)."""
+    gnx, gny = 24, 20
+    grid = dl.Grid(dl.ARAKAWA_C,
+                   (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                   dl.OFFSET_NE)
+    grid.decompose(gnx, gny, ndomains=ndom)
+    dl.grid_init(grid, 1.0, 1.0)
+    fld = dl.Field(grid, dl.T_POINTS)
+    init_field_hill(fld, -666.0)
+    fld.halo_exchange(1)
+    np.testing.assert_array_equal(results["hill"], fld.get_data())
+
+    ones = dl.Field(grid, dl.T_POINTS,
+                    init_global_data=np.ones((gny, gnx)))
+    assert float(results["gsum"]) == float(dl.field_checksum(ones))
+    assert float(results["gsum"]) == gnx * gny
+
+    vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+    np.testing.assert_array_equal(results["roundtrip"], vals + 1.0)
+
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+    m = nl.build(32, 32, ndomains=ndom, open_north=True)
+    m.set_initial_ssh(gaussian_eta(32, 32, amp=0.2))
+    m.run(10)
+    g = m.gather()
+    for k in ("sshn", "un", "vn"):
+        np.testing.assert_allclose(results[f"nl_{k}"], g[k],
+                                   rtol=1e-12, atol=1e-13, err_msg=k)
+
+
+def test_multiprocess_np4_xy_seams_match_single_process(mp4_results):
+    """4 REAL processes x 2 devices: a process boundary on BOTH mesh
+    axes at once (reference np=4 xy-split, dist_mem/Makefile:64-80)."""
+    _check_core_legs(mp4_results, ndom=8)
+
+
+def test_multiprocess_np6_nonsquare_matches_single_process(mp6_results):
+    """6 REAL processes x 1 device: the reference's forced non-square
+    3x2 process grid (makefile-test.yml:59-63)."""
+    import dl_esm_inf_tpu.core.decomposition as dc
+    px, py = dc.choose_process_grid(6, 24, 20)
+    assert {px, py} == {2, 3}, "np=6 must force a non-square grid"
+    _check_core_legs(mp6_results, ndom=6)
 
 
 def test_launcher(tmp_path):
