@@ -702,7 +702,8 @@ class Schedule:
         metadata drives it.
 
         Requirements (validated with clear errors): no reduction
-        arguments, 2D fields of one dtype, ``halo_width >=
+        arguments, one field dtype (multi-level ``levels=N`` fields
+        fuse as N streamed planes), ``halo_width >=
         repeats * sum(call depths)`` (and <= 8, the window ring), and
         8-row-aligned shard blocks (``decompose(align_y=8)``; compiled
         mode additionally needs 128-lane alignment — interpret mode
@@ -794,10 +795,16 @@ class Schedule:
                 "fused schedules do not support reduction arguments; "
                 "run the jnp schedule (reductions need a mesh "
                 "collective per call)")
-        if any(f.data.ndim != 2 for f in self._slots):
-            raise NotImplementedError(
-                "fused schedules support 2D fields; multi-level "
-                "fields run the jnp schedule")
+        # Multi-level (levels=N) fields fuse too: each level streams as
+        # its own 2D plane through the sweep (state planes if the slot
+        # is ever written, aux planes otherwise) and the kernel body
+        # sees the stacked (N, ty, tx) view re-assembled in VMEM
+        # compute — the one-dispatch tier for the nlayer family (the
+        # 3D case the reference aborts on, parallel_comms_mod.f90:
+        # 1736-1742).
+        leads = [f.data.ndim - 2 for f in self._slots]
+        nlev = [1 if ld == 0 else int(f.data.shape[0])
+                for ld, f in zip(leads, self._slots)]
         dts = {jnp.dtype(f.data.dtype) for f in self._slots}
         if len(dts) != 1:
             raise ValueError(
@@ -823,8 +830,16 @@ class Schedule:
         state_pos = {si: i for i, si in enumerate(written_set)}
         ro_slots = [si for si in range(len(self._slots))
                     if si not in state_pos]
-        ro_pos = {si: i for i, si in enumerate(ro_slots)}
-        n_state, n_ro = len(written_set), len(ro_slots)
+        n_ro = len(ro_slots)
+        # plane layout: slot -> first plane index in the flat streams
+        st_start, n_state_planes = {}, 0
+        for si in written_set:
+            st_start[si] = n_state_planes
+            n_state_planes += nlev[si]
+        ro_start, n_ro_planes = {}, 0
+        for si in ro_slots:
+            ro_start[si] = n_ro_planes
+            n_ro_planes += nlev[si]
 
         # Redundant-compute write masks: the jnp schedule's space masks
         # are zero on halo cells (reduction semantics), but the fused
@@ -861,11 +876,17 @@ class Schedule:
             masks = prepared[0]
             consts = prepared[1:1 + n_consts]
             ros = prepared[1 + n_consts:]
+
+            def slot_view(si):
+                planes = (cur[st_start[si]:st_start[si] + nlev[si]]
+                          if si in state_pos
+                          else ros[ro_start[si]:ro_start[si] + nlev[si]])
+                return planes[0] if leads[si] == 0 else jnp.stack(planes)
+
             for s in steps:
                 fn = s["fn"]
                 call_args = [
-                    (cur[state_pos[i]] if i in state_pos
-                     else ros[ro_pos[i]]) if kind == "f"
+                    slot_view(i) if kind == "f"
                     else consts[i] if kind == "c"
                     else scalars[i]
                     for kind, i in s["binding"] if kind != "r"]
@@ -878,37 +899,63 @@ class Schedule:
                         f"output(s); its metadata declares "
                         f"{len(s['written'])} written field(s)")
                 for (si, mi), nb in zip(s["written"], outs):
-                    cur[state_pos[si]] = jnp.where(masks[mi] > 0,
-                                                   nb.astype(dtype),
-                                                   cur[state_pos[si]])
+                    nbs = ((nb,) if leads[si] == 0
+                           else tuple(nb[k] for k in range(nlev[si])))
+                    for k, nbk in enumerate(nbs):
+                        p = st_start[si] + k
+                        cur[p] = jnp.where(masks[mi] > 0,
+                                           nbk.astype(dtype), cur[p])
             return tuple(cur)
 
         sweep = make_stencil_sweep(
             stepf, ly=spec.local_ny, lx=spec.local_nx,
-            state_dtypes=(dtype,) * n_state,
+            state_dtypes=(dtype,) * n_state_planes,
             aux_dtypes=(jnp.dtype(jnp.int8),) * n_codes
             + tuple(jnp.dtype(c.dtype) for c in self._consts)
-            + (dtype,) * n_ro,
+            + (dtype,) * n_ro_planes,
             n_scalars=n_sc, steps_per_sweep=K, prepare_fn=prepare,
             reach=max(total_reach, 1), tile_rows=tile_rows,
             interpret=interpret, repx=spec.repx, repy=spec.repy)
 
         blk = P("y", "x")
 
+        def split_planes(arrs, slots_list):
+            planes = []
+            for si, a in zip(slots_list, arrs):
+                if leads[si] == 0:
+                    planes.append(a)
+                else:
+                    planes.extend(a[k] for k in range(nlev[si]))
+            return tuple(planes)
+
+        def join_planes(planes, slots_list):
+            out, i = [], 0
+            for si in slots_list:
+                if leads[si] == 0:
+                    out.append(planes[i])
+                    i += 1
+                else:
+                    out.append(jnp.stack(planes[i:i + nlev[si]]))
+                    i += nlev[si]
+            return tuple(out)
+
         def body(state, ros, codes, consts, sc):
             # read-only slots: one exchange makes their halos valid for
-            # every step (nothing rewrites them)
+            # every step (nothing rewrites them).  Exchanges run at the
+            # SLOT level (a level axis rides each message whole); the
+            # sweep streams the flat 2D planes.
             if depth_needed and n_ro:
                 ros = _exchange_blocks(tuple(ros), spec, depth_needed)
+            ros_p = split_planes(ros, ro_slots)
 
             def one(st, sc_k):
                 if depth_needed:
                     st = _exchange_blocks(tuple(st), spec, depth_needed)
-                args = (list(st) + list(codes) + list(consts)
-                        + list(ros))
+                args = (list(split_planes(st, written_set))
+                        + list(codes) + list(consts) + list(ros_p))
                 if n_sc:
                     args.append(sc_k)
-                return tuple(sweep(*args))
+                return join_planes(tuple(sweep(*args)), written_set)
 
             if nsteps == 1:
                 return one(tuple(state), sc[0])
@@ -918,10 +965,12 @@ class Schedule:
 
         smapped = jax.shard_map(
             body, mesh=grid.mesh,
-            in_specs=(tuple([blk] * n_state), tuple([blk] * n_ro),
+            in_specs=(tuple(_blk_spec(leads[si]) for si in written_set),
+                      tuple(_blk_spec(leads[si]) for si in ro_slots),
                       tuple([blk] * n_codes), tuple([blk] * n_consts),
                       P()),
-            out_specs=tuple([blk] * n_state), check_vma=False)
+            out_specs=tuple(_blk_spec(leads[si]) for si in written_set),
+            check_vma=False)
         jprog = jax.jit(smapped)
 
         def prog(state_datas, ro_datas, sc_steps):
