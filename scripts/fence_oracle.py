@@ -17,17 +17,24 @@ semaphore hardware ops as signals to a peer):
 
 * NEGATIVE — a wait can ONLY be satisfied by its own (phase,
   direction): a kernel signals every OTHER slot and then waits on
-  phase-0/minus.  The correct implementation deadlocks (the parent
-  kills it on timeout and calls that a PASS); the round-1
+  phase-0/minus.  The correct implementation deadlocks; the round-1
   fence-aliasing bug — phases sharing a semaphore — would let the
-  wait complete and the subprocess exit cleanly, failing the oracle.
-  The subprocess prints a marker after its warm-up compile so a slow
-  tunnel compile cannot masquerade as the deadlock.
+  wait complete (in <2 s) and the subprocess exit cleanly, failing
+  the oracle.  The subprocess prints a marker after its warm-up
+  compile so a slow tunnel compile cannot masquerade as the deadlock.
+  PASS evidence, either form: the armed child is still blocked when
+  the parent's window closes (the parent kills it), OR the tunnel's
+  TPU-worker watchdog kills the hung program first (measured on this
+  image, ~60-90 s: the child dies with UNAVAILABLE "worker crashed or
+  restarted") after the wait demonstrably held >= 45 s.  A child that
+  dies in under 45 s proves nothing (tenancy/tunnel drop) and the leg
+  is INCONCLUSIVE.
 
 Usage:  python scripts/fence_oracle.py            # both oracles
         python scripts/fence_oracle.py --negative # (internal) child
 """
 import os
+import re
 import subprocess
 import sys
 import time
@@ -128,7 +135,15 @@ def negative_child():
     compile_fn, run = _build(kernel)
     compile_fn(np.zeros((ROWS, COLS), np.float32))
     print("NEGATIVE ARMED", flush=True)
-    run()
+    t_arm = time.time()
+    try:
+        run()
+    except Exception as e:  # noqa: BLE001 — the watchdog kill arrives
+        # as a runtime error; how LONG the wait held is the evidence
+        blocked = time.time() - t_arm
+        print(f"NEGATIVE KILLED after {blocked:.0f}s "
+              f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+        sys.exit(1)
     print("NEGATIVE COMPLETED (aliasing!)", flush=True)
 
 
@@ -180,14 +195,33 @@ def main():
             sys.exit(1)
         # armed with the kernel COMPILED: completion now can only mean
         # the wait was wrongly released.  Give it a generous window.
-        m, out = _poll_output(out_path, proc, ["NEGATIVE COMPLETED"],
-                              time.time() + 90)
-        if m or proc.poll() == 0:
+        m, out = _poll_output(out_path, proc,
+                              ["NEGATIVE COMPLETED", "NEGATIVE KILLED"],
+                              time.time() + 150)
+        if m == "NEGATIVE COMPLETED" or proc.poll() == 0:
             print(out[-1500:])
             print("fence NEGATIVE oracle  FAIL: a phase-0 wait was "
                   "released by other-slot signals (aliasing)")
             sys.exit(1)
-        if proc.poll() is not None:
+        if m == "NEGATIVE KILLED":
+            # the tunnel's TPU-worker watchdog killed the hung program
+            # (~60-90 s on this image).  The aliasing bug completes in
+            # <2 s, so a wait that demonstrably HELD >= 45 s before the
+            # kill is the deadlock — same evidence the parent-kill path
+            # records, delivered by the watchdog instead.
+            kill_re = re.search(r"NEGATIVE KILLED after (\d+)s", out)
+            blocked = int(kill_re.group(1)) if kill_re else -1
+            if blocked >= 45:
+                print(f"fence NEGATIVE oracle  OK (armed wait blocked "
+                      f"{blocked}s until the TPU-worker watchdog killed "
+                      f"the hung program — deadlock confirmed)")
+            else:
+                print(out[-1500:])
+                print(f"fence NEGATIVE oracle  INCONCLUSIVE: armed "
+                      f"child died after only {blocked}s (tenancy/"
+                      "tunnel drop, not a held wait) — rerun")
+                sys.exit(1)
+        elif proc.poll() is not None:
             # crashed (tenancy conflict, tunnel drop, ...) rather than
             # blocked on the wait: proves nothing either way
             print(out[-1500:])
@@ -195,8 +229,9 @@ def main():
                   f"exited with {proc.returncode} instead of "
                   "deadlocking — rerun")
             sys.exit(1)
-        print(f"fence NEGATIVE oracle  OK (armed wait deadlocked as "
-              f"required; killed after {time.time() - t0:.0f}s)")
+        else:
+            print(f"fence NEGATIVE oracle  OK (armed wait deadlocked "
+                  f"as required; killed after {time.time() - t0:.0f}s)")
     finally:
         if proc.poll() is None:
             proc.kill()
