@@ -357,22 +357,29 @@ def main():
     # each once warmed (utils/compilation_cache.py), so the section fits
     # comfortably; the gates below only protect a fully cold cache on a
     # congested chip — the driver must always get its JSON line.
+    # Gates sized for a fully COLD compilation cache (the round-3 and
+    # first round-4 artifacts both lost this section to a 600 s gate
+    # after kernel changes invalidated the cache): a cold headline
+    # costs ~15-19 min measured, and the verdict contract is a
+    # populated models section in ONE driver run — so the budget only
+    # gives up near the half-hour mark.  Warm (the normal case), the
+    # whole section costs ~2-3 min.
     if jax.default_backend() == "cpu":
         models = {"skipped": "cpu backend"}
-    elif time.monotonic() - t_start > 600:
+    elif time.monotonic() - t_start > 1250:
         models = {"skipped": "time budget (cold compile cache)"}
     else:
         try:
             # the deadline also bounds the section itself (compiles +
             # sampling), not just its start
             models = measure_client_models(
-                jax, jnp, deadline=t_start + 780)
+                jax, jnp, deadline=t_start + 1450)
         except Exception as e:  # noqa: BLE001 — secondary evidence
             models = {"error": repr(e)[:200]}  # never sink the headline
         try:
-            if time.monotonic() - t_start < 810:
+            if time.monotonic() - t_start < 1500:
                 models["helmholtz_cheb_pallas_K4"] = measure_solver(
-                    jax, jnp, deadline=t_start + 900)
+                    jax, jnp, deadline=t_start + 1600)
         except Exception as e:  # noqa: BLE001 — secondary evidence
             models["helmholtz_cheb_pallas_K4"] = {
                 "error": repr(e)[:200]}

@@ -327,6 +327,11 @@ class StepPrep(NamedTuple):
     u_wet: object
     v_wet: object
     wet_b: object       # t_wet > 0
+    cw: object          # t_wet * (rdt/dx) on square cells, else None:
+    # folds the continuity wet-cell select into the divergence
+    # prefactor (one array multiply replaces scalar-multiply + select;
+    # exact — t_wet is exactly 1.0/0.0 and the fluxes are finite
+    # wherever results survive)
     bc_b: object        # bc_cells > 0
     flu_b: object       # flather_u > 0
     flv_b: object
@@ -341,11 +346,14 @@ class StepPrep(NamedTuple):
     cv: object
 
 
-def make_prep(mask_codes, depth, p: Params, dtype, masks=None) -> StepPrep:
+def make_prep(mask_codes, depth, p: Params, dtype, masks=None,
+              dx=None, dy=None) -> StepPrep:
     """Build the hoisted sub-step constants (see :class:`StepPrep`).
 
     ``depth`` follows step_math's convention: scalar (flat bathymetry),
-    T-point array, or a pre-derived (ht, hu, hv) tuple."""
+    T-point array, or a pre-derived (ht, hu, hv) tuple.  Static square
+    ``dx == dy`` additionally hoists the continuity wet-prefactor
+    ``cw`` (see :class:`StepPrep`)."""
     if masks is None:
         masks = decode_masks(mask_codes, dtype)
     t_wet, u_wet, v_wet, bc_cells, flather_u, flather_v = masks
@@ -360,8 +368,13 @@ def make_prep(mask_codes, depth, p: Params, dtype, masks=None) -> StepPrep:
     cu = -jnp.sqrt(p.g / jnp.maximum(hu, 1e-3))
     cv = -jnp.sqrt(p.g / jnp.maximum(hv, 1e-3))
     fric = 1.0 / (1.0 + p.cbfr * p.rdt)
+    cw = ((p.rdt / dx) * t_wet
+          if (isinstance(dx, (int, float)) and isinstance(dy, (int, float))
+              and dx == dy)
+          else None)
     return StepPrep(t_wet, u_wet, v_wet,
-                    t_wet > 0, bc_cells > 0, flather_u > 0, flather_v > 0,
+                    t_wet > 0, cw, bc_cells > 0, flather_u > 0,
+                    flather_v > 0,
                     1.0 - 0.5 * u_wet, 1.0 - 0.5 * v_wet,
                     fric * u_wet, fric * v_wet,
                     ht, hu, hv, cu, cv)
@@ -398,7 +411,8 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
     """
     dtype = sshn_t.dtype
     pr = prep if prep is not None else make_prep(mask_codes, depth, p,
-                                                 dtype, masks=masks)
+                                                 dtype, masks=masks,
+                                                 dx=dx, dy=dy)
     ht, hu, hv = pr.ht, pr.hu, pr.hv
 
     # U/V-face ssh derived from the freshly-exchanged T ssh (the
@@ -412,8 +426,19 @@ def step_math(sshn_t, un, vn, mask_codes, p: Params, dx, dy, fcor, depth,
     depv = hv + sshn_v
     z = ht + sshn_t
 
-    ssha_t = continuity(sshn_t, un, vn, depu, depv, rdt=p.rdt, dx=dx, dy=dy)
-    ssha_t = jnp.where(pr.wet_b, ssha_t, sshn_t)
+    if pr.cw is not None:
+        # square-cell fast path: the wet-cell select folds into the
+        # hoisted prefactor (pr.cw = t_wet * rdt/dx — exactly rdt/dx at
+        # wet cells, exactly 0 at dry, so dry cells keep sshn_t and wet
+        # cells match continuity() bitwise; the step is VPU-bound and
+        # this is one array multiply for a scalar-multiply + select)
+        fx = depu * un
+        fy = depv * vn
+        ssha_t = sshn_t - pr.cw * ((fx - st.xm(fx)) + (fy - st.ym(fy)))
+    else:
+        ssha_t = continuity(sshn_t, un, vn, depu, depv,
+                            rdt=p.rdt, dx=dx, dy=dy)
+        ssha_t = jnp.where(pr.wet_b, ssha_t, sshn_t)
     ssha_t = jnp.where(pr.bc_b, jnp.asarray(forcing, dtype), ssha_t)
 
     if exch_mid is not None:
@@ -584,7 +609,7 @@ class NemoLite2D:
             # prepare()
             dep = ((ht, st.avg_x(ht), st.avg_y(ht)) if ht is not None
                    else self.depth)
-            prep = make_prep(mask_codes, dep, p, sshn.dtype)
+            prep = make_prep(mask_codes, dep, p, sshn.dtype, dx=dx, dy=dy)
             s = (sshn, un, vn)
             for k in range(K):
                 s = step_math(*s, mask_codes, p, dx, dy, self._fcor, dep,

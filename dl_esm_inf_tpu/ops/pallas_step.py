@@ -85,7 +85,8 @@ def make_fused_step(ly: int, lx: int, dtype_str: str, p, dx: float,
             dep = depth
         # full hoisted constants (masks, weights, booleans, Flather
         # coefficients) once per tile; K sub-steps reuse them
-        prep = make_prep(tm, dep, p, dtype) if hoist_masks else None
+        prep = (make_prep(tm, dep, p, dtype, dx=dx, dy=dy)
+                if hoist_masks else None)
         return tm, prep, dep
 
     def stepf(state, prepared, scalars):

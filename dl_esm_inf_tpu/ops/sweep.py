@@ -59,7 +59,11 @@ def auto_tile_rows(ly: int) -> int:
     104 beat the old fixed 64 in 10/10 and ~6/8 adjacent rounds
     (~8-15%); 104 vs 80 is a coin toss, so prefer the LARGEST even
     divider in [64, 128] (fewer tiles amortise the 2*RING window ring
-    and the per-tile prep).  No even divider -> the measured-good 64."""
+    and the per-tile prep).  No even divider -> the measured-good 64.
+
+    This is the conservative fallback; :func:`choose_tile_rows` (used
+    when the engine knows its stream count) additionally considers
+    much taller tiles under a VMEM budget."""
     best = None
     for ty in range(64, 129, 8):
         if ty > ly:
@@ -67,6 +71,47 @@ def auto_tile_rows(ly: int) -> int:
         if ly % ty == 0:
             best = ty
     return best if best is not None else min(64, ly)
+
+
+#: Scratch-window budget for choose_tile_rows: the engine's explicit
+#: (2, TY+2*RING, lx) in/out buffers must fit here, leaving the rest of
+#: the ~128 MB v5e VMEM for Mosaic's step intermediates (which scale
+#: with the same window height; measured headroom on the 6-buffer
+#: flagship at TY=520 = 31 MB of windows + intermediates, runs fine
+#: under the 100 MB compiler limit).
+TILE_SCRATCH_BUDGET = 40 * 1024 * 1024
+
+
+def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
+                     min_tiles: int = 2) -> int:
+    """Tile height when the stream count is known: redundant ring
+    compute is pure VPU overhead on a compute-bound step — the window
+    computes TY + 2*RING rows to keep TY, so (TY+16)/TY of the kernel
+    time is the ring tax (15.4% at TY=104, 3.1% at TY=520).
+
+    Measured on the v5e (1040-row flagship, scripts/abk4.py,
+    interleaved, round 4): TY=520 beat TY=104 in 6/6 adjacent rounds
+    (best 38.3 vs 42.3 us/step, ~3-9%), while TY=208 LOST to both by
+    ~10% — its 5-tile sweep is the only odd count, leaving one
+    unoverlapped remainder tile per sweep outside the pair pipeline.
+    So: the largest divider (multiple of 8, >= 64) whose tile count is
+    EVEN and whose explicit scratch windows fit TILE_SCRATCH_BUDGET;
+    no such divider -> :func:`auto_tile_rows`."""
+    per_row = 2 * lx * (2 * sum(jnp.dtype(d).itemsize for d in state_dtypes)
+                        + sum(jnp.dtype(d).itemsize for d in aux_dtypes))
+    best = None
+    for n_tiles in range(min_tiles, ly // 64 + 1, 2):
+        if ly % n_tiles:
+            continue
+        ty = ly // n_tiles
+        if ty % 8 or ty < 64:
+            continue
+        if (ty + 2 * RING) * per_row > TILE_SCRATCH_BUDGET:
+            continue
+        best = ty
+        break                      # counts ascend, so the first hit is
+        # the largest even-count divider
+    return best if best is not None else auto_tile_rows(ly)
 
 
 def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
@@ -208,7 +253,11 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
         d = 0
         do_x = do_y = need_yr = False
 
-    TY = tile_rows or auto_tile_rows(ly)
+    # the fused transport's y-phase overlap needs >= 3 tiles (interior
+    # tiles stream under the in-flight y rows), so keep >= 4 there
+    TY = tile_rows or choose_tile_rows(
+        ly, lx, state_dtypes, aux_dtypes,
+        min_tiles=4 if exchange_spec is not None else 2)
     TY = min(TY, ly)
     if TY % 8 != 0:
         raise ValueError(f"tile_rows must be a multiple of 8, got {TY}")

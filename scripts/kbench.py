@@ -106,7 +106,8 @@ def make_variant(ly, lx, dtype, p, dx, dy, fcor, depth, TY, mode):
                 from dl_esm_inf_tpu.models.nemolite2d import make_prep
                 from dl_esm_inf_tpu.ops import stencils as st_mod
                 with st_mod.hw_rolls():
-                    prep = make_prep(w_tm[0], depth, p, jnp.float32)
+                    prep = make_prep(w_tm[0], depth, p, jnp.float32,
+                                     dx=dx, dy=dy)
                     ssha, ua, va = step_math(
                         w_ssh[0], w_un[0], w_vn[0], w_tm[0], p, dx, dy,
                         fcor, depth, forcing=forcing_ref[0],
