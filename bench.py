@@ -199,10 +199,42 @@ def measure_solver(jax, jnp, deadline, N=1024):
         best = min(best, time.monotonic() - t0)
     if not np.isfinite(best):
         return {"skipped": "time budget"}
-    return {"solve_ms": round(best * 1e3, 3),
-            "iterations": info["iterations"],
-            "us_per_iteration": round(
-                best * 1e6 / max(info["iterations"], 1), 2)}
+    out = {"solve_ms": round(best * 1e3, 3),
+           "iterations": info["iterations"]}
+    # per-iteration cost via the slope of two FIXED iteration budgets
+    # (the whole solve is one device program, so a single-call quotient
+    # would charge the ~30-50 ms tunnel RPC to the iterations)
+    timers = {}
+    for n_it in (64, 128):
+        sN = HelmholtzSolver(grid, 50.0, 50.0, method="chebyshev",
+                             steps_per_exchange=4, pallas=True,
+                             maxiter=n_it)
+
+        def run(k, sN=sN):
+            xx, _ = sN.solve((b.data * (1.0 + 1e-6 * k))
+                             .block_until_ready())
+            jax.block_until_ready(xx)
+
+        run(0)                                 # compile + warm
+        timers[n_it] = run
+    slopes = []
+    k = 100
+    while time.monotonic() < deadline + 60 and len(slopes) < 3:
+        t = {}
+        for n_it, run in timers.items():
+            bst = float("inf")
+            for _ in range(2):
+                k += 1
+                t0 = time.monotonic()
+                run(k)
+                bst = min(bst, time.monotonic() - t0)
+            t[n_it] = bst
+        sl = (t[128] - t[64]) / 64
+        if sl > 0:                             # tenancy-shift guard
+            slopes.append(sl)
+    if slopes:
+        out["us_per_iteration_slope"] = round(min(slopes) * 1e6, 2)
+    return out
 
 
 def _tpu_reachable(budget_s: float | None = None) -> bool:
