@@ -61,7 +61,8 @@ def main():
     print("example-model oracle   OK (4 checksums == 40)")
 
     # --- multi-level fields + kernel schedule (compiled) --------------
-    from dl_esm_inf_tpu.api.kernel_meta import (GO_READ, GO_WRITE, GO_CT,
+    from dl_esm_inf_tpu.api.kernel_meta import (GO_READ, GO_READWRITE,
+                                                GO_WRITE, GO_CT,
                                                 Schedule, go_arg,
                                                 go_stencil, invoke,
                                                 kernel)
@@ -183,6 +184,45 @@ def main():
         np.testing.assert_allclose(fc2.gather_inner_data(),
                                    fc1.gather_inner_data(), rtol=1e-6)
         print("fused schedule         OK (compiled == jnp schedule)")
+
+        # --- MULTI-LEVEL fused schedule COMPILED (levels stream as 2D
+        # planes; the kernel body sees the stacked (N, ty, tx) view and
+        # couples levels via a cumsum down the stack) — the r4 nlayer
+        # one-dispatch tier on real Mosaic, not just interpret mode ----
+        @kernel(args=[go_arg(GO_READWRITE, GO_CT, go_stencil(0, 11, 0))])
+        def k3lev(e):
+            # inter-level coupling: partial sums down the stack as
+            # explicit adds (Mosaic has no cumsum lowering — measured)
+            p1 = e[0]
+            p2 = p1 + e[1]
+            pres = jnp.stack([p1, p2, p2 + e[2]])
+            return e + 0.25 * (st.xp(pres) - pres)
+
+        @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)])
+        def vsum(out, x):
+            return x[0] + x[1] + x[2]          # (3, h, w) -> (h, w)
+
+        def mlgrid():
+            g = dl.Grid(dl.ARAKAWA_C,
+                        (dl.BC_EXTERNAL, dl.BC_EXTERNAL, dl.BC_NONE),
+                        dl.OFFSET_NE)
+            g.decompose(64, 64, ndomains=1, halo_width=4, align=128,
+                        align_y=8)
+            dl.grid_init(g, 1.0, 1.0)
+            v3 = 0.01 * np.arange(3.0 * 64 * 64).reshape(3, 64, 64)
+            return (dl.Field(g, dl.T_POINTS, init_global_data=v3,
+                             levels=3),
+                    dl.Field(g, dl.T_POINTS))
+        me1, mc1 = mlgrid()
+        me2, mc2 = mlgrid()
+        calls = lambda e, c: ((k3lev, e), (k3lev, e), (vsum, c, e))
+        Schedule(*calls(me1, mc1))()
+        Schedule(*calls(me2, mc2)).fused()             # COMPILED
+        np.testing.assert_allclose(me2.gather_inner_data(),
+                                   me1.gather_inner_data(), rtol=1e-6)
+        np.testing.assert_allclose(mc2.gather_inner_data(),
+                                   mc1.gather_inner_data(), rtol=1e-6)
+        print("fused 3-level schedule OK (compiled, mixed 3D/2D slots)")
 
         # --- PSy-style flagship: 13 metadata kernels as ONE compiled
         # Mosaic kernel, vs the production model -----------------------
