@@ -203,7 +203,11 @@ def measure_solver(jax, jnp, deadline, N=1024):
            "iterations": info["iterations"]}
     # per-iteration cost via the slope of two FIXED iteration budgets
     # (the whole solve is one device program, so a single-call quotient
-    # would charge the ~30-50 ms tunnel RPC to the iterations)
+    # would charge the ~30-50 ms tunnel RPC to the iterations).  Gated
+    # on remaining budget: the two warm-ups are tunnel compiles when
+    # the cache is cold and must not overrun the driver's deadline.
+    if time.monotonic() > deadline:
+        return out
     timers = {}
     for n_it in (64, 128):
         sN = HelmholtzSolver(grid, 50.0, 50.0, method="chebyshev",

@@ -899,8 +899,21 @@ class Schedule:
                         f"output(s); its metadata declares "
                         f"{len(s['written'])} written field(s)")
                 for (si, mi), nb in zip(s["written"], outs):
-                    nbs = ((nb,) if leads[si] == 0
-                           else tuple(nb[k] for k in range(nlev[si])))
+                    if leads[si] == 0:
+                        nbs = (nb,)
+                    elif jnp.ndim(nb) == 2:
+                        # a 2D result for a levels=N slot broadcasts to
+                        # every level — the jnp schedule's (and
+                        # invoke's) numpy-broadcasting semantics; level
+                        # ROWS must never be sliced off a 2D block
+                        nbs = (nb,) * nlev[si]
+                    else:
+                        if nb.shape[0] != nlev[si]:
+                            raise ValueError(
+                                f"kernel '{s['fn'].__name__}' returned "
+                                f"{nb.shape[0]} level planes for a "
+                                f"levels={nlev[si]} field")
+                        nbs = tuple(nb[k] for k in range(nlev[si]))
                     for k, nbk in enumerate(nbs):
                         p = st_start[si] + k
                         cur[p] = jnp.where(masks[mi] > 0,

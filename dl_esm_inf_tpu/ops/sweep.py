@@ -99,18 +99,24 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
     no such divider -> :func:`auto_tile_rows`."""
     per_row = 2 * lx * (2 * sum(jnp.dtype(d).itemsize for d in state_dtypes)
                         + sum(jnp.dtype(d).itemsize for d in aux_dtypes))
-    best = None
-    for n_tiles in range(min_tiles, ly // 64 + 1, 2):
-        if ly % n_tiles:
-            continue
-        ty = ly // n_tiles
-        if ty % 8 or ty < 64:
-            continue
-        if (ty + 2 * RING) * per_row > TILE_SCRATCH_BUDGET:
-            continue
-        best = ty
-        break                      # counts ascend, so the first hit is
-        # the largest even-count divider
+    def scan(counts):
+        for n_tiles in counts:
+            if ly % n_tiles:
+                continue
+            ty = ly // n_tiles
+            if ty % 8 or ty < 64:
+                continue
+            if (ty + 2 * RING) * per_row > TILE_SCRATCH_BUDGET:
+                continue
+            return ty              # counts ascend, so the first hit
+        return None                # is the largest-TY candidate
+
+    best = scan(range(min_tiles, ly // 64 + 1, 2))
+    if best is None and min_tiles > 2:
+        # no even count fits, but the caller NEEDS >= min_tiles (the
+        # fused transport's y-phase overlap): any count >= min_tiles
+        # beats silently dropping the requirement
+        best = scan(range(min_tiles, ly // 64 + 1))
     return best if best is not None else auto_tile_rows(ly)
 
 

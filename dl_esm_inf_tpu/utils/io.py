@@ -374,8 +374,11 @@ class NetCDFTimeSeries:
                 g = np.asarray(t, "f8")
             else:
                 g = np.asarray(self._fields[n].gather_inner_data())
-                if (dt.kind in "iu" and g.dtype.kind in "iu"
-                        and g.dtype.itemsize > dt.itemsize):
+                # any int-kind change can wrap (incl. SAME-width
+                # uint32 -> i4 at >= 2**31): range-check whenever the
+                # target cannot represent the source exactly
+                if (dt.kind == "i" and g.dtype.kind in "iu"
+                        and np.dtype(g.dtype) != dt):
                     info = np.iinfo(dt)
                     if g.size and (g.min() < info.min
                                    or g.max() > info.max):

@@ -36,34 +36,59 @@ _LEG_RE = re.compile(r"^(.*?)\s{2,}(OK|FAIL|INCONCLUSIVE)\b[:\s]*(.*)$")
 
 
 def run_script(path, timeout, require_legs=True):
-    """Run one oracle script unbuffered, timestamping each leg line."""
+    """Run one oracle script unbuffered, timestamping each leg line.
+
+    The child's stdout goes to a FILE polled with a hard deadline (a
+    blocking ``for line in proc.stdout`` would hang the runner forever
+    on the documented failure mode — an axon tunnel outage blocks
+    backend init indefinitely — and the artifact would never be
+    written); on deadline the child is killed and the partial legs are
+    still recorded."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO, os.path.join(os.path.dirname(REPO), ".axon_site")]
         + env.get("PYTHONPATH", "").split(os.pathsep))
     t0 = time.monotonic()
+    out_path = path + ".runlog"
+    outf = open(out_path, "w")
     proc = subprocess.Popen([sys.executable, "-u", path],
-                            stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, env=env)
+                            stdout=outf, stderr=subprocess.STDOUT,
+                            text=True, env=env)
     legs, lines, t_prev = [], [], t0
-    try:
-        for line in proc.stdout:
-            line = line.rstrip("\n")
-            lines.append(line)
-            print(f"  | {line}", flush=True)
-            m = _LEG_RE.match(line)
-            if m:
-                now = time.monotonic()
-                legs.append({"name": m.group(1).strip(),
-                             "ok": m.group(2) == "OK",
-                             "detail": m.group(3).strip("() "),
-                             "seconds": round(now - t_prev, 1)})
-                t_prev = now
-        rc = proc.wait(timeout=max(1.0, timeout - (time.monotonic() - t0)))
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        rc = -9
-        lines.append(f"<runner timeout after {timeout}s>")
+    rc = None
+    with open(out_path, "r") as rf:
+        buf = ""
+        while True:
+            chunk = rf.read()
+            if chunk:
+                buf += chunk
+                *done, buf = buf.split("\n")
+                for line in done:
+                    lines.append(line)
+                    print(f"  | {line}", flush=True)
+                    m = _LEG_RE.match(line)
+                    if m:
+                        now = time.monotonic()
+                        legs.append({"name": m.group(1).strip(),
+                                     "ok": m.group(2) == "OK",
+                                     "detail": m.group(3).strip("() "),
+                                     "seconds": round(now - t_prev, 1)})
+                        t_prev = now
+                continue           # drain before sleeping/deciding
+            if proc.poll() is not None:
+                rc = proc.returncode
+                break
+            if time.monotonic() - t0 > timeout:
+                proc.kill()
+                proc.wait()
+                rc = -9
+                lines.append(f"<runner timeout after {timeout}s>")
+                print(f"  | <runner timeout after {timeout}s — killed>",
+                      flush=True)
+                break
+            time.sleep(2)
+    outf.close()
+    os.unlink(out_path)
     return {
         "ok": (rc == 0 and all(l["ok"] for l in legs)
                and (bool(legs) or not require_legs)),

@@ -547,3 +547,46 @@ def test_fused_schedule_multilevel_matches_jnp_schedule():
         np.testing.assert_allclose(x2.gather_inner_data(),
                                    x1.gather_inner_data(),
                                    rtol=1e-12, atol=1e-12, err_msg=name)
+
+
+def test_fused_schedule_multilevel_2d_result_broadcasts():
+    """A kernel that returns a 2D block for a levels=N written slot
+    broadcasts to every level in the jnp schedule (numpy semantics);
+    the fused path must match, not slice rows off the 2D array
+    (round-4 self-review), and a wrong level count must raise."""
+    import jax.numpy as jnp
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)])
+    def set_all_levels(out3, c2):              # (h, w) result, levels=3 slot
+        return 2.0 * c2
+
+    @kernel(args=[go_arg(GO_READWRITE, GO_CT,
+                         go_stencil(0, 11, 0))])
+    def relax(e):
+        return 0.5 * (e + jnp.stack([st.xp(e[k]) for k in range(3)]))
+
+    def fields(grid):
+        rng = np.random.default_rng(3)
+        c = dl.Field(grid, dl.T_POINTS, init_global_data=rng.standard_normal(
+            (grid.global_ny, grid.global_nx)))
+        e = dl.Field(grid, dl.T_POINTS, levels=3)
+        return e, c
+
+    g1, g2 = make_fused_grid(), make_fused_grid()
+    e1, c1 = fields(g1)
+    e2, c2 = fields(g2)
+    calls = lambda e, c: ((set_all_levels, e, c), (relax, e))
+    Schedule(*calls(e1, c1))()
+    Schedule(*calls(e2, c2)).fused(interpret=True)
+    np.testing.assert_allclose(e2.gather_inner_data(),
+                               e1.gather_inner_data(),
+                               rtol=1e-12, atol=1e-12)
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)])
+    def wrong_levels(out3, c2):
+        return jnp.stack([c2, c2])             # 2 planes for levels=3
+
+    g3 = make_fused_grid()
+    e3, c3 = fields(g3)
+    with pytest.raises(ValueError, match="level planes"):
+        Schedule((wrong_levels, e3, c3)).fused(interpret=True)

@@ -330,6 +330,17 @@ def test_netcdf_int_narrowing_and_flush(tmp_path):
         ts.append(time=2.0)
     ts.close()
 
+    # SAME-width unsigned -> signed (uint32 -> i4) wraps at >= 2**31
+    # without a width change: the range check must key on exact-dtype
+    # representability, not on itemsize narrowing (advisor r3 +
+    # round-4 self-review)
+    fu = dl.Field(m.grid, dl.T_POINTS, dtype=np.uint32,
+                  init_global_data=np.full((6, 8), 2**31 + 9, np.uint32))
+    tsu = dio.NetCDFTimeSeries(str(tmp_path / "u32_ts.nc"), {"u": fu})
+    with pytest.raises(ValueError, match="range"):
+        tsu.append(time=1.0)
+    tsu.close()
+
 
 def test_dump_field(tmp_path):
     m = build(ndom=4, gnx=8, gny=6)
