@@ -222,7 +222,7 @@ def main():
                                    me1.gather_inner_data(), rtol=1e-6)
         np.testing.assert_allclose(mc2.gather_inner_data(),
                                    mc1.gather_inner_data(), rtol=1e-6)
-        print("fused 3-level schedule OK (compiled, mixed 3D/2D slots)")
+        print("fused 3-level sched    OK (compiled, mixed 3D/2D slots)")
 
         # --- PSy-style flagship: 13 metadata kernels as ONE compiled
         # Mosaic kernel, vs the production model -----------------------
