@@ -154,6 +154,37 @@ def test_auto_tile_rows():
         assert ly % ty == 0 or ty == min(64, ly)
 
 
+def test_choose_tile_rows():
+    """Stream-count-aware TY (r4): the largest even-tile-count divider
+    whose scratch windows fit the VMEM budget; many-stream clients
+    fall back to the [64, 128] divider; min_tiles (fused transport)
+    is honoured before any silent degradation."""
+    import jax.numpy as jnp
+
+    from dl_esm_inf_tpu.ops.sweep import (RING, TILE_SCRATCH_BUDGET,
+                                          auto_tile_rows,
+                                          choose_tile_rows)
+    f32, i8 = jnp.dtype("float32"), jnp.dtype("int8")
+    flag = ((f32,) * 3, (i8,))          # flagship-like stream set
+    assert choose_tile_rows(1040, 1152, *flag) == 520     # measured win
+    # min_tiles=4 (fused transport): even scan lands on the 10-tile 104
+    assert choose_tile_rows(1040, 1152, *flag, min_tiles=4) == 104
+    # two-layer-like stream count blows the budget at tall tiles
+    assert choose_tile_rows(1040, 1152, (f32,) * 6,
+                            (f32,) * 3 + (i8,)) == 104
+    # property sweep: every answer divides (or is the auto fallback),
+    # is 8-aligned, and fits the budget when it came from the scan
+    for ly in range(64, 2080, 8):
+        for n_state in (1, 3, 6):
+            st = (f32,) * n_state
+            ty = choose_tile_rows(ly, 1152, st, (i8,))
+            assert ty % 8 == 0 and 0 < ty <= ly
+            if ty != auto_tile_rows(ly):
+                assert ly % ty == 0 and (ly // ty) % 2 == 0
+                per_row = 2 * 1152 * (2 * 4 * n_state + 1)
+                assert (ty + 2 * RING) * per_row <= TILE_SCRATCH_BUDGET
+
+
 @pytest.mark.parametrize("model", ["gravity_wave", "shallow", "twolayer"])
 def test_jnp_comm_avoidance_reach1_models(model):
     """set_steps_per_exchange (K jnp steps per depth-K exchange) must
