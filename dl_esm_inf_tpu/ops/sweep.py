@@ -73,13 +73,17 @@ def auto_tile_rows(ly: int) -> int:
     return best if best is not None else min(64, ly)
 
 
-#: Scratch-window budget for choose_tile_rows: the engine's explicit
-#: (2, TY+2*RING, lx) in/out buffers must fit here, leaving the rest of
-#: the ~128 MB v5e VMEM for Mosaic's step intermediates (which scale
-#: with the same window height; measured headroom on the 6-buffer
-#: flagship at TY=520 = 31 MB of windows + intermediates, runs fine
-#: under the 100 MB compiler limit).
-TILE_SCRATCH_BUDGET = 40 * 1024 * 1024
+#: Scoped-VMEM model for choose_tile_rows: explicit (2, TY+2*RING, lx)
+#: in/out window buffers PLUS Mosaic's step intermediates, which live
+#: at the same (TY+2*RING, lx) tile shape.  INTERMEDIATE_PLANES is the
+#: f32-plane equivalent of a step's live temporaries, calibrated on
+#: the chip: the flagship at TY=520/lx=1152 (windows 30.9 MB) and the
+#: TVD tracer at TY=520 (35.8 MB) both compile and run under the
+#: 100 MB limit, while the 2048-grid flagship at TY=344/lx=2176
+#: (windows 39.2 MB) OOMs at a measured 115.35 MB scoped allocation —
+#: windows + 25 planes predicts 92.6 / 97.5 / 117.5 MB respectively.
+INTERMEDIATE_PLANES = 25
+TILE_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
@@ -94,11 +98,15 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
     (best 38.3 vs 42.3 us/step, ~3-9%), while TY=208 LOST to both by
     ~10% — its 5-tile sweep is the only odd count, leaving one
     unoverlapped remainder tile per sweep outside the pair pipeline.
-    So: the largest divider (multiple of 8, >= 64) whose tile count is
-    EVEN and whose explicit scratch windows fit TILE_SCRATCH_BUDGET;
-    no such divider -> :func:`auto_tile_rows`."""
-    per_row = 2 * lx * (2 * sum(jnp.dtype(d).itemsize for d in state_dtypes)
-                        + sum(jnp.dtype(d).itemsize for d in aux_dtypes))
+    So: the largest divider (multiple of 8, >= 64) whose MODELLED
+    scoped VMEM (window buffers + INTERMEDIATE_PLANES step
+    temporaries, all at (TY+2*RING, lx)) fits TILE_VMEM_LIMIT with an
+    even tile count; no such divider -> :func:`auto_tile_rows`."""
+    per_row = lx * (2 * (2 * sum(jnp.dtype(d).itemsize
+                                 for d in state_dtypes)
+                         + sum(jnp.dtype(d).itemsize
+                               for d in aux_dtypes))
+                    + 4 * INTERMEDIATE_PLANES)
     def scan(counts):
         for n_tiles in counts:
             if ly % n_tiles:
@@ -106,7 +114,7 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
             ty = ly // n_tiles
             if ty % 8 or ty < 64:
                 continue
-            if (ty + 2 * RING) * per_row > TILE_SCRATCH_BUDGET:
+            if (ty + 2 * RING) * per_row > TILE_VMEM_LIMIT:
                 continue
             return ty              # counts ascend, so the first hit
         return None                # is the largest-TY candidate

@@ -161,7 +161,8 @@ def test_choose_tile_rows():
     is honoured before any silent degradation."""
     import jax.numpy as jnp
 
-    from dl_esm_inf_tpu.ops.sweep import (RING, TILE_SCRATCH_BUDGET,
+    from dl_esm_inf_tpu.ops.sweep import (INTERMEDIATE_PLANES, RING,
+                                          TILE_VMEM_LIMIT,
                                           auto_tile_rows,
                                           choose_tile_rows)
     f32, i8 = jnp.dtype("float32"), jnp.dtype("int8")
@@ -172,8 +173,16 @@ def test_choose_tile_rows():
     # two-layer-like stream count blows the budget at tall tiles
     assert choose_tile_rows(1040, 1152, (f32,) * 6,
                             (f32,) * 3 + (i8,)) == 104
+    # the 2048-grid flagship block: TY=344 at lx=2176 measured a
+    # 115.35 MB Mosaic scoped-VMEM OOM (r4) — the intermediates-aware
+    # model must reject it and fall back to the [64, 128] divider path
+    assert choose_tile_rows(2064, 2176, *flag) == auto_tile_rows(2064)
+    # the TVD tracer stream set keeps its measured-working 520
+    assert choose_tile_rows(1040, 1152, (f32,),
+                            (f32,) * 5 + (i8,)) == 520
     # property sweep: every answer divides (or is the auto fallback),
-    # is 8-aligned, and fits the budget when it came from the scan
+    # is 8-aligned, and fits the modelled scoped-VMEM limit when it
+    # came from the scan
     for ly in range(64, 2080, 8):
         for n_state in (1, 3, 6):
             st = (f32,) * n_state
@@ -181,8 +190,9 @@ def test_choose_tile_rows():
             assert ty % 8 == 0 and 0 < ty <= ly
             if ty != auto_tile_rows(ly):
                 assert ly % ty == 0 and (ly // ty) % 2 == 0
-                per_row = 2 * 1152 * (2 * 4 * n_state + 1)
-                assert (ty + 2 * RING) * per_row <= TILE_SCRATCH_BUDGET
+                per_row = 1152 * (2 * (2 * 4 * n_state + 1)
+                                  + 4 * INTERMEDIATE_PLANES)
+                assert (ty + 2 * RING) * per_row <= TILE_VMEM_LIMIT
 
 
 @pytest.mark.parametrize("model", ["gravity_wave", "shallow", "twolayer"])
