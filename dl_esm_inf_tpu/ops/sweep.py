@@ -87,7 +87,8 @@ TILE_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
-                     min_tiles: int = 2) -> int:
+                     min_tiles: int = 2,
+                     limit_bytes: int = TILE_VMEM_LIMIT) -> int:
     """Tile height when the stream count is known: redundant ring
     compute is pure VPU overhead on a compute-bound step — the window
     computes TY + 2*RING rows to keep TY, so (TY+16)/TY of the kernel
@@ -102,11 +103,17 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
     scoped VMEM (window buffers + INTERMEDIATE_PLANES step
     temporaries, all at (TY+2*RING, lx)) fits TILE_VMEM_LIMIT with an
     even tile count; no such divider -> :func:`auto_tile_rows`."""
+    # intermediates were calibrated on the 3-state-plane flagship;
+    # multi-level fused schedules stream N planes per slot and their
+    # stacked-view temporaries scale with the plane count, so charge
+    # proportionally MORE (never less: the 1-state TVD tracer's
+    # temporaries already need the full 25)
+    inter = INTERMEDIATE_PLANES * max(1, -(-len(state_dtypes) // 3))
     per_row = lx * (2 * (2 * sum(jnp.dtype(d).itemsize
                                  for d in state_dtypes)
                          + sum(jnp.dtype(d).itemsize
                                for d in aux_dtypes))
-                    + 4 * INTERMEDIATE_PLANES)
+                    + 4 * inter)
     def scan(counts):
         for n_tiles in counts:
             if ly % n_tiles:
@@ -114,7 +121,7 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
             ty = ly // n_tiles
             if ty % 8 or ty < 64:
                 continue
-            if (ty + 2 * RING) * per_row > TILE_VMEM_LIMIT:
+            if (ty + 2 * RING) * per_row > limit_bytes:
                 continue
             return ty              # counts ascend, so the first hit
         return None                # is the largest-TY candidate
@@ -271,7 +278,8 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
     # tiles stream under the in-flight y rows), so keep >= 4 there
     TY = tile_rows or choose_tile_rows(
         ly, lx, state_dtypes, aux_dtypes,
-        min_tiles=4 if exchange_spec is not None else 2)
+        min_tiles=4 if exchange_spec is not None else 2,
+        limit_bytes=min(vmem_limit_bytes, TILE_VMEM_LIMIT))
     TY = min(TY, ly)
     if TY % 8 != 0:
         raise ValueError(f"tile_rows must be a multiple of 8, got {TY}")
