@@ -48,7 +48,7 @@ def global_max(data) -> float:
     return float(_reduce_fn("max", str(kinds.sum_dtype()))(data))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _masked_sum_fn(acc_dtype_str: str):
     acc = jnp.dtype(acc_dtype_str)
 

@@ -12,13 +12,36 @@ re-run — including the driver's end-of-round one — hits warm compiles
 The reference has no analogue (Fortran is compiled ahead of time —
 which is exactly the property this restores to a JIT runtime).
 
-Call :func:`enable` before the first compilation.  Safe on every
-backend (TPU and the forced-CPU test mesh both benefit); entries are
-keyed per backend so they never collide.
+CPU isolation (round-4 verdict weak #3): XLA:CPU entries are
+ahead-of-time HOST machine code, loaded back through a machine-feature
+check (``cpu_aot_loader.cc``) that jax's cache key does not cover.
+Two measured defenses, both applied by :func:`enable`:
+
+* ``--xla_cpu_max_isa=AVX2``: at AVX512, XLA embeds the LLVM *tuning*
+  pseudo-features ``+prefer-no-scatter``/``+prefer-no-gather`` in the
+  serialized executable, and the loader's host-feature enumeration
+  never contains them — so EVERY reload errors "could lead to
+  execution errors such as SIGILL", even written-and-read on one
+  machine (reproduced; this is what polluted every round-4 CPU run).
+  Capping codegen at AVX2 keeps the compile feature set inside what
+  the check accepts: reloads are clean and the cache speedup remains.
+  Vector width does not matter here — the CPU mesh is a correctness
+  harness (tiny domains, collective-dominated), not a benchmark.
+* a per-host-fingerprint SUBDIRECTORY (:func:`cache_dir_for`), so a
+  cache directory shared across machines can never serve another
+  host's AOT code.  TPU entries stay at the root (they serialize for
+  the tunnel's device, independent of the host CPU) so existing warm
+  TPU caches keep hitting.
+
+Call :func:`enable` before the first compilation and AFTER pinning the
+platform (``jax.config.update("jax_platforms", ...)``) so the CPU/TPU
+directory choice sees the caller's intent.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from pathlib import Path
 
 #: Repo-root cache directory (this file lives at
@@ -26,20 +49,86 @@ from pathlib import Path
 DEFAULT_DIR = Path(__file__).resolve().parents[2] / ".jax_cache"
 
 
+def host_fingerprint() -> str:
+    """12-hex digest of the host CPU feature set (+ jax version).
+
+    Two hosts whose /proc/cpuinfo feature flags differ may not share
+    XLA:CPU AOT executables; hosts with identical flags may.  The jax
+    version is folded in because the serialization format itself is
+    version-bound."""
+    import jax
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.split(":")[0].strip().lower() in ("flags",
+                                                          "features"):
+                    feats += " " + " ".join(
+                        sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats += " " + platform.processor()
+    digest = hashlib.sha256(
+        f"{feats}|jax={jax.__version__}".encode()).hexdigest()
+    return digest[:12]
+
+
+def _cpu_intended() -> bool:
+    """Will this process compile for the CPU backend?
+
+    Checked without initialising a backend: (a) an in-process platform
+    pin (the only pin that works here — the axon site hook ignores the
+    ``JAX_PLATFORMS`` env var, CLAUDE.md), then (b) an
+    already-initialised backend (the driver may init before calling
+    :func:`enable`), then (c) whether the axon plugin env is present
+    at all — without it there is no TPU to claim and the platform
+    resolves to CPU."""
+    import jax
+
+    plats = getattr(jax.config, "jax_platforms", None)
+    if plats:
+        return str(plats).split(",")[0].strip() == "cpu"
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge._backends:  # noqa: SLF001 — read-only peek;
+            # the public API (jax.default_backend) would INITIALISE a
+            # backend, which must not happen before the caller's pins
+            return jax.default_backend() == "cpu"
+    except Exception:  # noqa: BLE001 — private layout may move
+        pass
+    return "PALLAS_AXON_POOL_IPS" not in os.environ
+
+
+def cache_dir_for(root: Path, cpu: bool) -> Path:
+    """The directory a backend's entries live in (see module docstring)."""
+    return root / f"cpu-{host_fingerprint()}" if cpu else root
+
+
 def enable(path: str | os.PathLike | None = None) -> str:
     """Point JAX's persistent compilation cache at a writable directory.
 
     ``path`` defaults to ``$DL_ESM_COMPILATION_CACHE`` or the repo-local
-    ``.jax_cache/``.  Min-entry thresholds are zeroed: over the tunnel
-    even a small program costs seconds to compile, so every executable
-    is worth persisting.  Returns the directory used (and creates it).
+    ``.jax_cache/``; CPU-backend processes land in a host-fingerprint
+    subdirectory of it (module docstring).  Min-entry thresholds are
+    zeroed: over the tunnel even a small program costs seconds to
+    compile, so every executable is worth persisting.  Returns the
+    directory used (and creates it).
     """
     import jax
 
-    cache_dir = Path(
+    root = Path(
         path
         or os.environ.get("DL_ESM_COMPILATION_CACHE")
         or DEFAULT_DIR)
+    cpu = _cpu_intended()
+    if cpu and "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+        # must land before XLA builds its DebugOptions (first compile);
+        # appended, never replacing (a caller may have pinned e.g.
+        # --xla_force_host_platform_device_count)
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_cpu_max_isa=AVX2").strip()
+    cache_dir = cache_dir_for(root, cpu)
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
