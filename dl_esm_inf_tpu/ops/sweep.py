@@ -99,10 +99,22 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
     (best 38.3 vs 42.3 us/step, ~3-9%), while TY=208 LOST to both by
     ~10% — its 5-tile sweep is the only odd count, leaving one
     unoverlapped remainder tile per sweep outside the pair pipeline.
-    So: the largest divider (multiple of 8, >= 64) whose MODELLED
-    scoped VMEM (window buffers + INTERMEDIATE_PLANES step
-    temporaries, all at (TY+2*RING, lx)) fits TILE_VMEM_LIMIT with an
-    even tile count; no such divider -> :func:`auto_tile_rows`."""
+
+    Round 5 (verdict r4 #4): TY need not DIVIDE ly — the row loop
+    already clamps the last tile (``ry = min(i*TY, ly-TY)``), re-running
+    its overlap rows.  At production sizes no even-count divider fits
+    the VMEM model (2048-grid: ly=2064 = 2^4*3*43 offers nothing
+    8-aligned in budget) and the old chooser fell to 64-row tiles with
+    a ~28%% ring tax; a CLAMPED candidate pays its overlap inside the
+    same objective and wins whenever the taller window's smaller ring
+    share beats the re-run.  So: minimise TOTAL COMPUTED WINDOW ROWS
+    ``cdiv(ly,TY) * (TY + 2*RING)`` over 8-aligned TY >= 64 with an
+    EVEN tile count (pair-pipeline, measured above) whose MODELLED
+    scoped VMEM (window buffers + INTERMEDIATE_PLANES step temporaries,
+    all at (TY+2*RING, lx)) fits ``limit_bytes``; ties prefer fewer
+    tiles (less per-tile prep), then exact dividers (no overlap
+    rewrite).  No even-count candidate -> any count >= min_tiles ->
+    :func:`auto_tile_rows`."""
     # intermediates were calibrated on the 3-state-plane flagship;
     # multi-level fused schedules stream N planes per slot and their
     # stacked-view temporaries scale with the plane count, so charge
@@ -114,19 +126,24 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
                          + sum(jnp.dtype(d).itemsize
                                for d in aux_dtypes))
                     + 4 * inter)
-    def scan(counts):
-        for n_tiles in counts:
-            if ly % n_tiles:
-                continue
-            ty = ly // n_tiles
-            if ty % 8 or ty < 64:
-                continue
-            if (ty + 2 * RING) * per_row > limit_bytes:
-                continue
-            return ty              # counts ascend, so the first hit
-        return None                # is the largest-TY candidate
 
-    best = scan(range(min_tiles, ly // 64 + 1, 2))
+    def scan(counts):
+        best = None                       # (computed_rows, n_tiles, ty)
+        for n_tiles in counts:
+            ty = _cdiv(_cdiv(ly, n_tiles), 8) * 8
+            if ty < 64:
+                break                     # ty shrinks as counts grow
+            if _cdiv(ly, ty) != n_tiles:  # rounding changed the count;
+                continue                  # that config appears under
+            if (ty + 2 * RING) * per_row > limit_bytes:  # its own n
+                continue
+            cand = (n_tiles * (ty + 2 * RING), n_tiles, ty)
+            if best is None or cand < best:
+                best = cand
+        return best[2] if best is not None else None
+
+    start = min_tiles + (min_tiles % 2)
+    best = scan(range(start, ly // 64 + 1, 2))
     if best is None and min_tiles > 2:
         # no even count fits, but the caller NEEDS >= min_tiles (the
         # fused transport's y-phase overlap): any count >= min_tiles

@@ -155,44 +155,56 @@ def test_auto_tile_rows():
 
 
 def test_choose_tile_rows():
-    """Stream-count-aware TY (r4): the largest even-tile-count divider
-    whose scratch windows fit the VMEM budget; many-stream clients
-    fall back to the [64, 128] divider; min_tiles (fused transport)
-    is honoured before any silent degradation."""
+    """Stream-count-aware TY (r4, extended r5): minimise total computed
+    window rows over 8-aligned TY with an even tile count under the
+    modelled scoped-VMEM budget — TY need not divide ly (the row loop
+    clamps the last tile); min_tiles (fused transport) is honoured
+    before any silent degradation."""
     import jax.numpy as jnp
 
     from dl_esm_inf_tpu.ops.sweep import (INTERMEDIATE_PLANES, RING,
-                                          TILE_VMEM_LIMIT,
+                                          TILE_VMEM_LIMIT, _cdiv,
                                           auto_tile_rows,
                                           choose_tile_rows)
     f32, i8 = jnp.dtype("float32"), jnp.dtype("int8")
     flag = ((f32,) * 3, (i8,))          # flagship-like stream set
     assert choose_tile_rows(1040, 1152, *flag) == 520     # measured win
-    # min_tiles=4 (fused transport): even scan lands on the 10-tile 104
-    assert choose_tile_rows(1040, 1152, *flag, min_tiles=4) == 104
-    # two-layer-like stream count blows the budget at tall tiles
+    # min_tiles=4 (fused transport): the clamped 4-tile 264 (computed
+    # rows 1120) now beats the 10-tile divider 104 (1200) — r5
+    assert choose_tile_rows(1040, 1152, *flag, min_tiles=4) == 264
+    # two-layer-like stream count: clamped 4-tile 264 fits its budget
     assert choose_tile_rows(1040, 1152, (f32,) * 6,
-                            (f32,) * 3 + (i8,)) == 104
+                            (f32,) * 3 + (i8,)) == 264
     # the 2048-grid flagship block: TY=344 at lx=2176 measured a
-    # 115.35 MB Mosaic scoped-VMEM OOM (r4) — the intermediates-aware
-    # model must reject it and fall back to the [64, 128] divider path
-    assert choose_tile_rows(2064, 2176, *flag) == auto_tile_rows(2064)
+    # 115.35 MB Mosaic scoped-VMEM OOM (r4) — the model must reject it;
+    # the r5 clamped scan recovers an 8-tile TY=264 (ring+clamp
+    # overhead 8.5%) instead of r4's 64-row fallback (~28%)
+    assert choose_tile_rows(2064, 2176, *flag) == 264
+    # ... and the 4096-grid block gets 40x104 (16.7%) instead of 64s
+    assert choose_tile_rows(4112, 4224, *flag) == 104
     # the TVD tracer stream set keeps its measured-working 520
     assert choose_tile_rows(1040, 1152, (f32,),
                             (f32,) * 5 + (i8,)) == 520
-    # property sweep: every answer divides (or is the auto fallback),
-    # is 8-aligned, and fits the modelled scoped-VMEM limit when it
-    # came from the scan
+    # property sweep: every answer is 8-aligned, within ly, fits the
+    # modelled scoped-VMEM limit when it came from the scan (with an
+    # even tile count and never a fully-redundant tile), and never
+    # computes more window rows than the auto fallback would
     for ly in range(64, 2080, 8):
         for n_state in (1, 3, 6):
             st = (f32,) * n_state
             ty = choose_tile_rows(ly, 1152, st, (i8,))
             assert ty % 8 == 0 and 0 < ty <= ly
+            n_eff = _cdiv(ly, ty)
             if ty != auto_tile_rows(ly):
-                assert ly % ty == 0 and (ly // ty) % 2 == 0
-                per_row = 1152 * (2 * (2 * 4 * n_state + 1)
-                                  + 4 * INTERMEDIATE_PLANES)
+                assert n_eff % 2 == 0 and n_eff >= 2
+                assert (n_eff - 1) * ty < ly    # last tile does work
+                inter = INTERMEDIATE_PLANES * max(1, -(-n_state // 3))
+                per_row = 1152 * (2 * (2 * 4 * n_state + 1) + 4 * inter)
                 assert (ty + 2 * RING) * per_row <= TILE_VMEM_LIMIT
+                auto = auto_tile_rows(ly)
+                if _cdiv(ly, auto) >= 2:   # auto honours min_tiles too
+                    assert (n_eff * (ty + 2 * RING)
+                            <= _cdiv(ly, auto) * (auto + 2 * RING))
 
 
 @pytest.mark.parametrize("model", ["gravity_wave", "shallow", "twolayer"])

@@ -94,6 +94,45 @@ def test_identity_step_overlapped_schedule():
         np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.parametrize("tile_rows", [64, 56])
+def test_identity_step_clamped_last_tile(tile_rows):
+    """TY that does NOT divide the block (r5 chooser): the last tile
+    clamps and re-runs its overlap rows — results must be identical,
+    both with the overlap schedule off (3 tiles at TY=64: 144 = 2*64 +
+    16-row clamp) and on (TY=56)."""
+    grid = make_grid(48, 256, 1, 2)
+    spec = grid.halo_spec
+    assert spec.local_ny == 144 and spec.local_ny % tile_rows != 0
+    arrs = unique_fields(grid)
+    want = [np.asarray(exchange(a, grid.mesh, grid.halo_spec, depth=8))
+            for a in arrs]
+    got = run_fused(grid, arrs, tile_rows=tile_rows)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_physics_clamped_last_tile_matches_divider_tiles():
+    """Real physics with a clamped last tile equals divider tiling
+    bit-for-bit (same window math, overlap rows recomputed to the same
+    values)."""
+    from dl_esm_inf_tpu.models import nemolite2d as nl
+    from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
+
+    def run(tile_rows):
+        m = nl.build(48, 144, ndomains=1, halo_width=8, open_north=True,
+                     pallas=True, steps_per_sweep=2)
+        m.enable_pallas(interpret=True, steps_per_sweep=2,
+                        tile_rows=tile_rows)
+        m.set_initial_ssh(gaussian_eta(48, 144, amp=0.2))
+        m.run(4)
+        return m.gather()
+
+    a = run(80)      # divider: 2 x 80 rows over the 160-row block
+    b = run(64)      # clamped: 3 x 64, last tile re-runs 32 rows
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_self_loopback_wrap():
     """1x1 doubly-periodic: every send wraps to the device itself —
     the full exchange machinery (fences aside) with no second device."""
