@@ -401,12 +401,15 @@ def measure_psy_fused(jax, jnp, deadline, N=1024):
     from dl_esm_inf_tpu.models.gravity_wave import gaussian_eta
     from dl_esm_inf_tpu.models.nemolite2d_psy import NemoLite2DPsy
 
-    psy = NemoLite2DPsy(N, N, ndomains=1, align=128)
+    # halo_width=8 enables the schedule's deepest legal temporal
+    # blocking (fused_erosion: 3 + 2 per further repeat -> repeats=3)
+    psy = NemoLite2DPsy(N, N, ndomains=1, align=128, halo_width=8)
     psy.set_initial_ssh(gaussian_eta(N, N, amp=0.2))
+    r = psy._sched.max_fused_repeats()
     ctr = [0]
 
     def make_prog(n):
-        return psy._sched.fused_program(n), n
+        return psy._sched.fused_program(n, repeats=r), n
 
     def step_state(prog):
         run, n = prog
@@ -415,21 +418,26 @@ def measure_psy_fused(jax, jnp, deadline, N=1024):
             s0 = ctr[0]
             # per-step forcing rows: every call's scalar block differs
             # (and the state advances in place), defeating tunnel dedup
-            run(scalars=[psy._scalars_at(s0 + k) for k in range(n)])
-            ctr[0] += n
+            run(scalars=[[psy._scalars_at(s0 + i * r + j)
+                          for j in range(r)] for i in range(n)])
+            ctr[0] += n * r
             _ = float(psy.sshn_t.data[16, 16])
         return go
 
-    # physical floor at 1 TB/s for the tier's minimal per-step traffic
-    # (carried state rw is the irreducible part: 3 fields * 8 B)
+    # physical floor at 1 TB/s for the tier's minimal per-SWEEP traffic
+    # (the slope's unit is one sweep of r in-kernel repeats; carried
+    # state rw is the irreducible part: 3 fields * 8 B + mask)
     floor = N * N * (3 * 8 + 1) / 1e12
-    t = _slope_rate(make_prog, step_state, floor, n_lo=100, n_hi=600,
+    t = _slope_rate(make_prog, step_state, floor,
+                    n_lo=max(1, 102 // r), n_hi=600 // r,
                     reps=3, tries=4, deadline=deadline)
     if t is None:
         return {"skipped": "samples tenancy-corrupted or over "
                            "time budget"}
-    return {"us_per_step": round(t * 1e6, 1),
-            "gpts_per_s": round(N * N / t / 1e9, 1)}
+    per_step = t / r
+    return {"us_per_step": round(per_step * 1e6, 1),
+            "gpts_per_s": round(N * N / per_step / 1e9, 1),
+            "repeats_per_sweep": r}
 
 
 def measure_solver(jax, jnp, deadline, N=1024):

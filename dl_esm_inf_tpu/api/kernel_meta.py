@@ -366,9 +366,12 @@ def _bind_call(meta: KernelMeta, args):
     return grid, records
 
 
+def _reads(a: Arg) -> bool:
+    return a.access in (Access.READ, Access.READWRITE, Access.INC)
+
+
 def _reads_off_point(a: Arg) -> bool:
-    return (a.access in (Access.READ, Access.READWRITE, Access.INC)
-            and a.stencil.reaches_off_point())
+    return _reads(a) and a.stencil.reaches_off_point()
 
 
 #: Compiled invoke() programs, keyed on the kernel FUNCTION (weakly:
@@ -638,7 +641,8 @@ class Schedule:
 
             n_red = sum(1 for a in meta.args if _is_reduction(a))
             # intrinsic off-point read depth of this call (independent
-            # of staleness) — the fused sweep's validity-erosion unit
+            # of staleness) — diagnostic; the fused tier's erosion is
+            # the dataflow analysis in fused_erosion, not a sum of these
             depth_i = max((a.stencil.depth() for k_, v_, a in records
                            if k_ == "field" and _reads_off_point(a)),
                           default=0)
@@ -686,6 +690,50 @@ class Schedule:
     # ------------------------------------------------------------------
     # The fused (Pallas sweep-engine) execution of a whole schedule.
     # ------------------------------------------------------------------
+    def fused_erosion(self, repeats: int = 1) -> int:
+        """Halo-validity erosion of ``repeats`` fused applications of
+        the sequence, by DATAFLOW rather than the naive per-call sum.
+
+        Staleness only propagates through slots a later kernel actually
+        reads: each slot carries a margin (how far invalidity has crept
+        in from the exchange-valid boundary), a call's inputs need
+        ``margin + stencil reach`` valid cells, and its written slots
+        inherit that requirement (kept at least at their old margin —
+        the masked merge preserves old values where the write mask is
+        0).  Grid-property planes are time-invariant with halos valid
+        from ``grid_init``, so they contribute their reach only.
+
+        For the NEMOLite2D schedule this gives 3 for one sequence and
+        +2 per further repeat (the true per-step dependency depth of
+        the physics — what the hand-fused kernel also achieves), where
+        the old sum-of-call-depths said 5 per repeat; that is what
+        makes ``repeats > 1`` legal inside the 8-row window ring."""
+        margin = [0] * len(self._slots)
+        worst = 0
+        for _ in range(int(repeats)):
+            for s in self._steps:
+                in_m = 0
+                for (kind, idx), a in zip(s["binding"], s["meta"].args):
+                    if kind == "f" and _reads(a):
+                        in_m = max(in_m, margin[idx] + a.stencil.depth())
+                    elif kind == "c" and a.stencil.reaches_off_point():
+                        in_m = max(in_m, a.stencil.depth())
+                worst = max(worst, in_m)
+                for si, _mi in s["written"]:
+                    margin[si] = max(margin[si], in_m)
+        return worst
+
+    def max_fused_repeats(self) -> int:
+        """Largest ``repeats`` whose :meth:`fused_erosion` fits both the
+        sweep window ring and the decomposition halo (capped at the
+        ring size — a pointwise schedule never erodes)."""
+        from ..ops.fastpath import RING
+        cap = min(RING, self._grid.halo_spec.halo)
+        k = 1
+        while k < RING and self.fused_erosion(k + 1) <= cap:
+            k += 1
+        return k
+
     def fused(self, scalars=None, *, repeats: int = 1,
               interpret: bool = False, tile_rows: int | None = None):
         """Run the WHOLE kernel sequence as ONE Pallas sweep kernel —
@@ -703,8 +751,10 @@ class Schedule:
 
         Requirements (validated with clear errors): no reduction
         arguments, one field dtype (multi-level ``levels=N`` fields
-        fuse as N streamed planes), ``halo_width >=
-        repeats * sum(call depths)`` (and <= 8, the window ring), and
+        fuse as N streamed planes), ``halo_width >=``
+        :meth:`fused_erosion` ``(repeats)`` (dataflow-aware, <= 8 — the
+        window ring; :meth:`max_fused_repeats` picks the deepest legal
+        temporal blocking), and
         8-row-aligned shard blocks (``decompose(align_y=8)``; compiled
         mode additionally needs 128-lane alignment — interpret mode
         does not).  Semantics match calling the schedule ``repeats``
@@ -810,17 +860,18 @@ class Schedule:
             raise ValueError(
                 f"fused schedules need one field dtype, got {dts}")
         dtype = next(iter(dts))
-        total_reach = sum(s["depth"] for s in self._steps)
         K = int(repeats)
         if K < 1:
             raise ValueError(f"repeats must be >= 1, got {K}")
-        depth_needed = K * total_reach
+        # dataflow-aware erosion (r5): see fused_erosion — the naive
+        # sum of call depths over-constrained halo_width AND barred
+        # repeats>1 for real schedules
+        depth_needed = self.fused_erosion(K)
         if depth_needed > spec.halo:
             raise ValueError(
-                f"fused schedule: {K} repeat(s) of a depth-"
-                f"{total_reach} sequence need halo_width >= "
-                f"{depth_needed} (decompose(halo_width="
-                f"{depth_needed}, align_y=8))")
+                f"fused schedule: {K} repeat(s) erode {depth_needed} "
+                f"halo cells > decomposition halo {spec.halo} "
+                f"(decompose(halo_width={depth_needed}, align_y=8))")
 
         # Slots a kernel writes are sweep STATE (stream in and out);
         # never-written slots (e.g. bathymetry) are time-invariant and
@@ -831,11 +882,27 @@ class Schedule:
         ro_slots = [si for si in range(len(self._slots))
                     if si not in state_pos]
         n_ro = len(ro_slots)
-        # plane layout: slot -> first plane index in the flat streams
-        st_start, n_state_planes = {}, 0
-        for si in written_set:
-            st_start[si] = n_state_planes
-            n_state_planes += nlev[si]
+        # SCRATCH slots (r5): written before ever being read in the
+        # sequence.  Their input values feed nothing but the masked
+        # merge's mask-0 background, which is time-invariant (no kernel
+        # ever writes those cells) — so the multi-step driver streams
+        # them as read-only aux planes for all but the LAST step (no
+        # per-step write-back traffic, no per-step exchange) and emits
+        # them once at the end.  For the flagship PSy schedule this
+        # cuts per-step streaming from 8 read+write fields to 3
+        # read+write + 5 read-only.
+        seen_read, seen_written = set(), set()
+        for s in self._steps:
+            for (kind, idx), a in zip(s["binding"], s["meta"].args):
+                if kind == "f" and _reads(a) and idx not in seen_written:
+                    seen_read.add(idx)
+            for si, _mi in s["written"]:
+                seen_written.add(si)
+        carried_slots = [si for si in written_set if si in seen_read]
+        scratch_slots = [si for si in written_set
+                         if si not in seen_read]
+        # plane layout: slot -> first plane index in the ro stream
+        # (state/extra layouts are per sweep variant, in build_sweep)
         ro_start, n_ro_planes = {}, 0
         for si in ro_slots:
             ro_start[si] = n_ro_planes
@@ -871,64 +938,102 @@ class Schedule:
                     c, min(8, n_masks - 8 * i), dtype))
             return (tuple(masks),) + tuple(aux[n_codes:])
 
-        def stepf(state, prepared, scalars):
-            cur = list(state)
-            masks = prepared[0]
-            consts = prepared[1:1 + n_consts]
-            ros = prepared[1 + n_consts:]
+        def build_sweep(state_slots, extra_slots):
+            """One sweep variant: ``state_slots`` stream in AND out;
+            ``extra_slots`` (scratch backgrounds) ride as read-only aux
+            planes after the ro planes, re-seeding the merge's mask-0
+            background on every application."""
+            sstart, n_sp = {}, 0
+            for si in state_slots:
+                sstart[si] = n_sp
+                n_sp += nlev[si]
+            xstart, n_xp = {}, 0
+            for si in extra_slots:
+                xstart[si] = n_xp
+                n_xp += nlev[si]
 
-            def slot_view(si):
-                planes = (cur[st_start[si]:st_start[si] + nlev[si]]
-                          if si in state_pos
-                          else ros[ro_start[si]:ro_start[si] + nlev[si]])
-                return planes[0] if leads[si] == 0 else jnp.stack(planes)
+            def stepf(state, prepared, scalars):
+                masks = prepared[0]
+                consts = prepared[1:1 + n_consts]
+                rest = prepared[1 + n_consts:]
+                ros = rest[:n_ro_planes]
+                extra = rest[n_ro_planes:]
+                # mutable per-slot planes: streamed state plus scratch
+                # slots (seeded from their aux background; every cell a
+                # later kernel reads is either rewritten first or
+                # mask-0 background by the scratch definition)
+                cur = {}
+                for si in state_slots:
+                    cur[si] = list(state[sstart[si]:
+                                         sstart[si] + nlev[si]])
+                for si in extra_slots:
+                    cur[si] = list(extra[xstart[si]:
+                                         xstart[si] + nlev[si]])
 
-            for s in steps:
-                fn = s["fn"]
-                call_args = [
-                    slot_view(i) if kind == "f"
-                    else consts[i] if kind == "c"
-                    else scalars[i]
-                    for kind, i in s["binding"] if kind != "r"]
-                outs = fn(*call_args)
-                if not isinstance(outs, tuple):
-                    outs = (outs,)
-                if len(outs) != len(s["written"]):
-                    raise ValueError(
-                        f"kernel {s['meta'].name} returned {len(outs)} "
-                        f"output(s); its metadata declares "
-                        f"{len(s['written'])} written field(s)")
-                for (si, mi), nb in zip(s["written"], outs):
-                    if leads[si] == 0:
-                        nbs = (nb,)
-                    elif jnp.ndim(nb) == 2:
-                        # a 2D result for a levels=N slot broadcasts to
-                        # every level — the jnp schedule's (and
-                        # invoke's) numpy-broadcasting semantics; level
-                        # ROWS must never be sliced off a 2D block
-                        nbs = (nb,) * nlev[si]
-                    else:
-                        if nb.shape[0] != nlev[si]:
-                            raise ValueError(
-                                f"kernel '{s['fn'].__name__}' returned "
-                                f"{nb.shape[0]} level planes for a "
-                                f"levels={nlev[si]} field")
-                        nbs = tuple(nb[k] for k in range(nlev[si]))
-                    for k, nbk in enumerate(nbs):
-                        p = st_start[si] + k
-                        cur[p] = jnp.where(masks[mi] > 0,
-                                           nbk.astype(dtype), cur[p])
-            return tuple(cur)
+                def slot_view(si):
+                    planes = (cur[si] if si in cur
+                              else ros[ro_start[si]:
+                                       ro_start[si] + nlev[si]])
+                    return (planes[0] if leads[si] == 0
+                            else jnp.stack(planes))
 
-        sweep = make_stencil_sweep(
-            stepf, ly=spec.local_ny, lx=spec.local_nx,
-            state_dtypes=(dtype,) * n_state_planes,
-            aux_dtypes=(jnp.dtype(jnp.int8),) * n_codes
-            + tuple(jnp.dtype(c.dtype) for c in self._consts)
-            + (dtype,) * n_ro_planes,
-            n_scalars=n_sc, steps_per_sweep=K, prepare_fn=prepare,
-            reach=max(total_reach, 1), tile_rows=tile_rows,
-            interpret=interpret, repx=spec.repx, repy=spec.repy)
+                for s in steps:
+                    fn = s["fn"]
+                    call_args = [
+                        slot_view(i) if kind == "f"
+                        else consts[i] if kind == "c"
+                        else scalars[i]
+                        for kind, i in s["binding"] if kind != "r"]
+                    outs = fn(*call_args)
+                    if not isinstance(outs, tuple):
+                        outs = (outs,)
+                    if len(outs) != len(s["written"]):
+                        raise ValueError(
+                            f"kernel {s['meta'].name} returned "
+                            f"{len(outs)} output(s); its metadata "
+                            f"declares {len(s['written'])} written "
+                            "field(s)")
+                    for (si, mi), nb in zip(s["written"], outs):
+                        if leads[si] == 0:
+                            nbs = (nb,)
+                        elif jnp.ndim(nb) == 2:
+                            # a 2D result for a levels=N slot broadcasts
+                            # to every level — the jnp schedule's (and
+                            # invoke's) numpy-broadcasting semantics;
+                            # level ROWS must never be sliced off a 2D
+                            # block
+                            nbs = (nb,) * nlev[si]
+                        else:
+                            if nb.shape[0] != nlev[si]:
+                                raise ValueError(
+                                    f"kernel '{s['fn'].__name__}' "
+                                    f"returned {nb.shape[0]} level "
+                                    f"planes for a levels={nlev[si]} "
+                                    "field")
+                            nbs = tuple(nb[k] for k in range(nlev[si]))
+                        for k, nbk in enumerate(nbs):
+                            cur[si][k] = jnp.where(masks[mi] > 0,
+                                                   nbk.astype(dtype),
+                                                   cur[si][k])
+                return tuple(p for si in state_slots for p in cur[si])
+
+            return make_stencil_sweep(
+                stepf, ly=spec.local_ny, lx=spec.local_nx,
+                state_dtypes=(dtype,) * n_sp,
+                aux_dtypes=(jnp.dtype(jnp.int8),) * n_codes
+                + tuple(jnp.dtype(c.dtype) for c in self._consts)
+                + (dtype,) * (n_ro_planes + n_xp),
+                n_scalars=n_sc, steps_per_sweep=K, prepare_fn=prepare,
+                reach=max(-(-depth_needed // K), 1),
+                total_reach=depth_needed, tile_rows=tile_rows,
+                interpret=interpret, repx=spec.repx, repy=spec.repy)
+
+        sweep_full = build_sweep(written_set, ())
+        # the light variant only exists when the multi-step driver can
+        # use it (scratch slots present and more than one step)
+        use_light = nsteps > 1 and scratch_slots and carried_slots
+        sweep_light = (build_sweep(carried_slots, tuple(scratch_slots))
+                       if use_light else None)
 
         blk = P("y", "x")
 
@@ -961,20 +1066,54 @@ class Schedule:
                 ros = _exchange_blocks(tuple(ros), spec, depth_needed)
             ros_p = split_planes(ros, ro_slots)
 
-            def one(st, sc_k):
+            def one(sweep_fn, slots, st, extra_p, sc_k):
                 if depth_needed:
                     st = _exchange_blocks(tuple(st), spec, depth_needed)
-                args = (list(split_planes(st, written_set))
-                        + list(codes) + list(consts) + list(ros_p))
+                args = (list(split_planes(st, slots))
+                        + list(codes) + list(consts) + list(ros_p)
+                        + list(extra_p))
                 if n_sc:
                     args.append(sc_k)
-                return join_planes(tuple(sweep(*args)), written_set)
+                return join_planes(tuple(sweep_fn(*args)), slots)
+
+            def full(st, sc_k):
+                return one(sweep_full, written_set, st, (), sc_k)
 
             if nsteps == 1:
-                return one(tuple(state), sc[0])
-            return lax.fori_loop(0, nsteps,
-                                 lambda i, st: one(st, sc[i]),
-                                 tuple(state))
+                return full(tuple(state), sc[0])
+            if not use_light:
+                if not carried_slots:
+                    # nothing feeds forward between steps (every
+                    # written slot is scratch): n applications == 1
+                    # application with the last step's scalars
+                    return full(tuple(state), sc[nsteps - 1])
+                return lax.fori_loop(0, nsteps,
+                                     lambda i, st: full(st, sc[i]),
+                                     tuple(state))
+
+            # r5 scratch path: the loop carries (and exchanges) only
+            # the read-before-write slots; scratch backgrounds are
+            # exchanged once (time-invariant where unwritten) and
+            # stream read-only, and the LAST step emits everything
+            # through the full sweep.
+            pos = {si: k for k, si in enumerate(written_set)}
+            carried0 = tuple(state[pos[si]] for si in carried_slots)
+            scr_bg = tuple(state[pos[si]] for si in scratch_slots)
+            if depth_needed:
+                scr_bg = _exchange_blocks(scr_bg, spec, depth_needed)
+            scr_p = split_planes(scr_bg, scratch_slots)
+
+            carried = lax.fori_loop(
+                0, nsteps - 1,
+                lambda i, st: one(sweep_light, carried_slots, st,
+                                  scr_p, sc[i]),
+                carried0)
+            merged = [None] * len(written_set)
+            for si, v in zip(carried_slots, carried):
+                merged[pos[si]] = v
+            for si, v in zip(scratch_slots, scr_bg):
+                merged[pos[si]] = v
+            return full(tuple(merged), sc[nsteps - 1])
 
         smapped = jax.shard_map(
             body, mesh=grid.mesh,

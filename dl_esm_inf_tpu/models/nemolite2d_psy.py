@@ -201,8 +201,10 @@ def copy_code(dst, src):
 class NemoLite2DPsy:
     """The flagship assembled from metadata kernels + one Schedule.
 
-    ``halo_width`` must cover the schedule's total stencil erosion
-    (5) for the fused tier; the jnp tier needs only 1.
+    ``halo_width`` must cover the schedule's dataflow erosion for the
+    fused tier (``Schedule.fused_erosion``: 3 for one sequence, +2 per
+    further in-kernel repeat — build with ``halo_width=8`` to enable
+    ``repeats=3`` temporal blocking); the jnp tier needs only 1.
     """
 
     def __init__(self, gnx: int, gny: int, params: nl.Params = nl.Params(),

@@ -55,6 +55,31 @@ def test_psy_fused_schedule_matches_production(prod):
     check(run_psy(fused=True, interpret=True), prod)
 
 
+def test_psy_fused_repeats_deep_blocking(prod):
+    """repeats>1 — in-kernel temporal blocking unlocked by the r5
+    dataflow erosion (the naive per-call sum said 5 per repeat and
+    barred repeats>1 inside the 8-row ring): fused_program(nsteps,
+    repeats=3) at halo 8 == production, and the erosion/repeats API
+    pins the flagship's dataflow values."""
+    m = NemoLite2DPsy(GNX, GNY, ndomains=4, halo_width=8)
+    s = m._sched
+    assert [s.fused_erosion(k) for k in (1, 2, 3)] == [3, 5, 7]
+    assert s.max_fused_repeats() == 3
+    m.set_initial_ssh(gaussian_eta(GNX, GNY, amp=0.2))
+    r = 3
+    run = s.fused_program(NSTEPS // r, repeats=r, interpret=True)
+    run(scalars=[[m._scalars_at(i * r + j) for j in range(r)]
+                 for i in range(NSTEPS // r)])
+    check(m.gather(), prod)
+
+
+def test_psy_default_halo_allows_two_repeats():
+    """The default halo_width=5 model admits repeats=2 under the
+    dataflow erosion (5), where the old sum-of-depths (10) refused."""
+    m = NemoLite2DPsy(GNX, GNY, ndomains=1)
+    assert m._sched.max_fused_repeats() == 2
+
+
 def test_psy_single_shard_matches(prod):
     """Serial (1x1 mesh) == distributed — the stub/MPI duality at the
     metadata layer."""

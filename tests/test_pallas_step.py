@@ -175,13 +175,14 @@ def test_choose_tile_rows():
     # two-layer-like stream count: clamped 4-tile 264 fits its budget
     assert choose_tile_rows(1040, 1152, (f32,) * 6,
                             (f32,) * 3 + (i8,)) == 264
-    # the 2048-grid flagship block: TY=344 at lx=2176 measured a
-    # 115.35 MB Mosaic scoped-VMEM OOM (r4) — the model must reject it;
-    # the r5 clamped scan recovers an 8-tile TY=264 (ring+clamp
-    # overhead 8.5%) instead of r4's 64-row fallback (~28%)
-    assert choose_tile_rows(2064, 2176, *flag) == 264
-    # ... and the 4096-grid block gets 40x104 (16.7%) instead of 64s
-    assert choose_tile_rows(4112, 4224, *flag) == 104
+    # the 2048-grid flagship block: TY=344 at lx=2176 (117.5 MB
+    # modelled) was refused by the old 100 MB Mosaic cap; at the r5
+    # measured 126 MB cap / 118 MB model budget it compiles, runs, and
+    # WINS (192.5 vs 197.3 us/step vs 8x264) — 4.7% ring overhead
+    # instead of r4's 64-row fallback (~28%)
+    assert choose_tile_rows(2064, 2176, *flag) == 344
+    # ... and the 4096-grid block gets 26x160 clamped (11.3%)
+    assert choose_tile_rows(4112, 4224, *flag) == 160
     # the TVD tracer stream set keeps its measured-working 520
     assert choose_tile_rows(1040, 1152, (f32,),
                             (f32,) * 5 + (i8,)) == 520

@@ -293,9 +293,11 @@ def test_fused_schedule_guards():
     # reductions are jnp-schedule-only
     with pytest.raises(NotImplementedError, match="reduction"):
         Schedule((total, a)).fused(interpret=True)
-    # halo too shallow for the sequence's total erosion depth
+    # halo too shallow for the sequence's dataflow erosion (the chain
+    # b<-a then c<-b erodes 2: staleness propagates through b)
     sched = Schedule((east_plus, b, a, 1.0), (east_plus, c, b, 1.0))
-    with pytest.raises(ValueError, match="halo_width >= 2"):
+    assert sched.fused_erosion(1) == 2
+    with pytest.raises(ValueError, match="halo_width=2"):
         sched.fused(interpret=True)
 
 
