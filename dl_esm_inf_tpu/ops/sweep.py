@@ -202,7 +202,14 @@ def make_stencil_sweep(step_fn, *, ly: int, lx: int, state_dtypes,
     are sequential on the core anyway) and the results reassemble into
     the device block.  Halo refresh between sweeps stays with the
     ppermute transport (intra-block seams are its local strip shifts);
-    the fused remote-DMA transport is one-tile-per-device only.
+    the fused remote-DMA transport is one-tile-per-device only — a
+    MEASURED don't-care, not a to-do: on the v5e the 2x2
+    over-decomposed flagship at 1024^2 costs ~5.4x the single-tile
+    step (283.6 vs 52.3 us/step, 6 interleaved rounds, r5), so
+    over-decomposition is a decomposition-flexibility feature (the
+    reference caps at one subdomain per rank,
+    parallel_comms_mod.f90:295 — here it runs), never a performance
+    path whose exchange share would be worth fusing.
     """
     state_dtypes = tuple(jnp.dtype(d) for d in state_dtypes)
     aux_dtypes = tuple(jnp.dtype(d) for d in aux_dtypes)

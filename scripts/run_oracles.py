@@ -101,7 +101,7 @@ def run_script(path, timeout, require_legs=True):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "ORACLES_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "ORACLES_r05.json"))
     ap.add_argument("--no-f64", action="store_true",
                     help="skip the (long) float64 golden oracle")
     args = ap.parse_args()
