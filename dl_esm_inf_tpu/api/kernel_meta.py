@@ -726,9 +726,19 @@ class Schedule:
     def max_fused_repeats(self) -> int:
         """Largest ``repeats`` whose :meth:`fused_erosion` fits both the
         sweep window ring and the decomposition halo (capped at the
-        ring size — a pointwise schedule never erodes)."""
+        ring size — a pointwise schedule never erodes).  Raises with
+        the required halo when even ONE application does not fit, so
+        ``fused_program(n, repeats=sched.max_fused_repeats())`` can
+        never hand back a value the build then rejects."""
         from ..ops.fastpath import RING
         cap = min(RING, self._grid.halo_spec.halo)
+        need1 = self.fused_erosion(1)
+        if need1 > cap:
+            raise ValueError(
+                f"fused schedule: even one application erodes {need1} "
+                f"halo cells > {cap} (min of decomposition halo "
+                f"{self._grid.halo_spec.halo} and the {RING}-row window "
+                f"ring); decompose(halo_width={need1}, align_y=8)")
         k = 1
         while k < RING and self.fused_erosion(k + 1) <= cap:
             k += 1

@@ -119,9 +119,10 @@ def choose_tile_rows(ly: int, lx: int, state_dtypes, aux_dtypes,
     ``cdiv(ly,TY) * (TY + 2*RING)`` over 8-aligned TY >= 64 with an
     EVEN tile count (pair-pipeline, measured above) whose MODELLED
     scoped VMEM (window buffers + INTERMEDIATE_PLANES step temporaries,
-    all at (TY+2*RING, lx)) fits ``limit_bytes``; ties prefer fewer
-    tiles (less per-tile prep), then exact dividers (no overlap
-    rewrite).  No even-count candidate -> any count >= min_tiles ->
+    all at (TY+2*RING, lx)) fits ``limit_bytes``; cost ties prefer
+    fewer tiles (less per-tile prep — the scan derives exactly one TY
+    per tile count, so this is the only reachable tiebreak).  No
+    even-count candidate -> any count >= min_tiles ->
     :func:`auto_tile_rows`."""
     # intermediates were calibrated on the 3-state-plane flagship;
     # multi-level fused schedules stream N planes per slot and their

@@ -14,15 +14,17 @@ inflation, hybrid recovery error vs the static transform).
 """
 import sys
 
-from dl_esm_inf_tpu.utils import compilation_cache
-
-compilation_cache.enable()
-
 if "--cpu" in sys.argv:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
     jax.config.update("jax_enable_x64", True)
+
+# enable AFTER the platform pin: CPU entries are ISA-capped and live
+# in a per-host subdirectory (utils/compilation_cache.py)
+from dl_esm_inf_tpu.utils import compilation_cache  # noqa: E402
+
+compilation_cache.enable()
 
 import numpy as np  # noqa: E402
 

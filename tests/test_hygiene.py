@@ -28,6 +28,11 @@ def _child_env():
     env["PYTHONPATH"] = (str(_REPO) + os.pathsep
                          + env.get("PYTHONPATH", ""))
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # do NOT inherit the suite's forced 8-device flag: the children
+    # must run the 1-device configuration a real standalone run gets,
+    # and a collective-heavy multi-device child beside the suite's
+    # live CPU mesh is the measured-SIGABRT class CLAUDE.md forbids
+    env.pop("XLA_FLAGS", None)
     return env
 
 

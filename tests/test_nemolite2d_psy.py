@@ -80,6 +80,17 @@ def test_psy_default_halo_allows_two_repeats():
     assert m._sched.max_fused_repeats() == 2
 
 
+def test_psy_max_repeats_raises_on_too_shallow_halo():
+    """max_fused_repeats must never return a value fused() would then
+    reject: at the jnp-tier halo (1) even one application erodes 3,
+    and the method says so with the required halo_width (review r5)."""
+    import pytest
+
+    m = NemoLite2DPsy(GNX, GNY, ndomains=1, halo_width=1)
+    with pytest.raises(ValueError, match="halo_width=3"):
+        m._sched.max_fused_repeats()
+
+
 def test_psy_single_shard_matches(prod):
     """Serial (1x1 mesh) == distributed — the stub/MPI duality at the
     metadata layer."""
