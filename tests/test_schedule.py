@@ -414,6 +414,84 @@ def test_fused_schedule_per_repeat_scalars():
         s2.fused(scalars=[[1.0]], repeats=3, interpret=True)
 
 
+def test_fused_program_scratch_slot_matches_jnp():
+    """Multi-step driver with a written-before-read SCRATCH slot (r5):
+    b is recomputed inside every sequence, a feeds forward.  The light
+    loop streams b as read-only background and the final full sweep
+    emits it; all slots must equal nsteps jnp schedule calls."""
+    g1, g2 = make_fused_grid(halo=8), make_fused_grid(halo=8)
+    a1, b1, _ = fused_chain_fields(g1)
+    a2, b2, _ = fused_chain_fields(g2)
+    s1 = Schedule((east_plus, b1, a1, 1.5), (double, a1, b1))
+    s2 = Schedule((east_plus, b2, a2, 1.5), (double, a2, b2))
+    for _ in range(4):
+        s1(scalars=[1.5])
+    s2.fused_program(4, interpret=True)(scalars=[1.5])
+    for f1, f2 in ((a1, a2), (b1, b2)):
+        np.testing.assert_allclose(f2.gather_inner_data(),
+                                   f1.gather_inner_data(),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_fused_program_readwrite_first_touch_is_carried():
+    """A slot whose FIRST touch is READWRITE reads its previous value:
+    it must classify as carried, never scratch — a misclassification
+    would collapse the n-step loop to one step (x+1 instead of x+3)."""
+    @kernel(args=[go_arg(GO_READWRITE, GO_CT)])
+    def incr(x):
+        return x + 1.0
+
+    g1, g2 = make_fused_grid(halo=8), make_fused_grid(halo=8)
+    a1, _, _ = fused_chain_fields(g1)
+    a2, _, _ = fused_chain_fields(g2)
+    s1 = Schedule((incr, a1))
+    s2 = Schedule((incr, a2))
+    for _ in range(3):
+        s1()
+    s2.fused_program(3, interpret=True)()
+    np.testing.assert_allclose(a2.gather_inner_data(),
+                               a1.gather_inner_data(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fused_program_multilevel_scratch():
+    """A levels=3 scratch slot rides the multi-step driver: its level
+    planes stream as read-only background during the loop steps and
+    emit on the final sweep."""
+    @kernel(args=[go_arg(GO_WRITE, GO_CT),
+                  go_arg(GO_READ, GO_CT, go_stencil(0, 11, 0))],
+            name="east_to_levels")
+    def east3(out3, x):            # 2D result broadcasts to all levels
+        return st.xp(x)
+
+    @kernel(args=[go_arg(GO_WRITE, GO_CT), go_arg(GO_READ, GO_CT)],
+            name="level_mean")
+    def sumlev(out, x3):
+        return x3.sum(axis=0) * 0.25
+
+    def fields(grid):
+        gny, gnx = grid.global_ny, grid.global_nx
+        vals = np.arange(gnx * gny, dtype=float).reshape(gny, gnx)
+        a = dl.Field(grid, dl.T_POINTS, init_global_data=vals)
+        w3 = dl.Field(grid, dl.T_POINTS, levels=3)
+        return a, w3
+
+    g1, g2 = make_fused_grid(halo=8), make_fused_grid(halo=8)
+    a1, w1 = fields(g1)
+    a2, w2 = fields(g2)
+    s1 = Schedule((east3, w1, a1), (sumlev, a1, w1))
+    s2 = Schedule((east3, w2, a2), (sumlev, a2, w2))
+    for _ in range(3):
+        s1()
+    s2.fused_program(3, interpret=True)()
+    np.testing.assert_allclose(a2.gather_inner_data(),
+                               a1.gather_inner_data(),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(w2.gather_inner_data(),
+                               w1.gather_inner_data(),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_fused_schedule_flat_scalars_with_0d_values():
     """A flat scalar row holding 0-d array values must NOT be
     misdetected as per-repeat rows (review finding)."""
