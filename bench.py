@@ -97,11 +97,13 @@ class _Child:
             text=True, cwd=_REPO, env=env)
         self.out: list = []
         self.err: collections.deque = collections.deque(maxlen=60)
+        self._pumps = []
         for stream, sink in ((self.proc.stdout, self.out),
                              (self.proc.stderr, self.err)):
             t = threading.Thread(target=self._pump, args=(stream, sink),
                                  daemon=True)
             t.start()
+            self._pumps.append(t)
 
     @staticmethod
     def _pump(stream, sink):
@@ -119,6 +121,13 @@ class _Child:
 
     def age(self) -> float:
         return time.monotonic() - self.t0
+
+    def drain(self, timeout: float = 5.0) -> None:
+        """Join the pump threads: a just-exited child's final output
+        line may not have been consumed yet when poll() first reports
+        the exit — reading .out before draining can miss it."""
+        for t in self._pumps:
+            t.join(timeout)
 
     def kill(self) -> None:
         try:
@@ -148,6 +157,7 @@ def _harvest_cpu(cpu: _Child | None, timeout_s: float = 900.0) -> dict:
         cpu.kill()
         return {"error": f"cpu fallback child hung > {timeout_s:.0f}s",
                 "stderr_tail": cpu.stderr_tail()}
+    cpu.drain()
     for line in reversed(list(cpu.out)):
         if line.startswith("{"):
             try:
@@ -191,6 +201,10 @@ def _acquire_backend():
             break
         rc = probe.proc.poll()
         if rc is not None:
+            probe.drain()
+            if probe.saw("TPU_OK"):
+                continue   # exited AND succeeded: the drained line
+            #                wins on the next loop iteration
             # a real failure (not a hang): record and retry with the
             # REMAINING budget — the next attempt is again long-lived
             tele["attempts"].append(
@@ -244,13 +258,15 @@ def _acquire_backend():
     if probe.proc.poll() is None:
         probe.kill()
         tele["warm"] = f"killed after {warm_budget:.0f}s warm budget"
-    elif probe.saw("WARM_OK"):
-        tele["warm"] = "ok"
-        tele["warm_total_s"] = float(
-            probe.saw("WARM_OK").split("total_s=")[1])
     else:
-        tele["warm"] = (f"warm phase failed rc={probe.proc.poll()}: "
-                        f"{probe.stderr_tail(4)}")
+        probe.drain()
+        if probe.saw("WARM_OK"):
+            tele["warm"] = "ok"
+            tele["warm_total_s"] = float(
+                probe.saw("WARM_OK").split("total_s=")[1])
+        else:
+            tele["warm"] = (f"warm phase failed rc={probe.proc.poll()}: "
+                            f"{probe.stderr_tail(4)}")
     return True, tele, None
 
 

@@ -734,11 +734,17 @@ class Schedule:
         cap = min(RING, self._grid.halo_spec.halo)
         need1 = self.fused_erosion(1)
         if need1 > cap:
+            if need1 > RING:
+                raise ValueError(
+                    f"fused schedule: even one application erodes "
+                    f"{need1} halo cells > the {RING}-row window ring — "
+                    "no halo_width can fuse this sequence; split the "
+                    "schedule or run the jnp tier")
             raise ValueError(
                 f"fused schedule: even one application erodes {need1} "
-                f"halo cells > {cap} (min of decomposition halo "
-                f"{self._grid.halo_spec.halo} and the {RING}-row window "
-                f"ring); decompose(halo_width={need1}, align_y=8)")
+                f"halo cells > decomposition halo "
+                f"{self._grid.halo_spec.halo}; "
+                f"decompose(halo_width={need1}, align_y=8)")
         k = 1
         while k < RING and self.fused_erosion(k + 1) <= cap:
             k += 1
@@ -893,24 +899,36 @@ class Schedule:
                     if si not in state_pos]
         n_ro = len(ro_slots)
         # SCRATCH slots (r5): written before ever being read in the
-        # sequence.  Their input values feed nothing but the masked
-        # merge's mask-0 background, which is time-invariant (no kernel
-        # ever writes those cells) — so the multi-step driver streams
-        # them as read-only aux planes for all but the LAST step (no
-        # per-step write-back traffic, no per-step exchange) and emits
-        # them once at the end.  For the flagship PSy schedule this
-        # cuts per-step streaming from 8 read+write fields to 3
+        # sequence AND written under ONE iteration-space mask.  Then
+        # every cell a later read can touch is either rewritten first
+        # in the current application or lies outside the slot's single
+        # write mask — where NO kernel ever writes, so the value is the
+        # time-invariant initial background.  The multi-step driver
+        # streams such slots as read-only aux planes for all but the
+        # LAST step (no per-step write-back traffic, no per-step
+        # exchange) and emits them once at the end.  The single-mask
+        # condition is load-bearing (review r5, confirmed by repro):
+        # with TWO write masks — e.g. an interior compute then a
+        # boundary-ring BC kernel, with a stencil read in between —
+        # the ring cells carry values ACROSS applications in the jnp
+        # semantics, which re-seeding from the background would lose;
+        # such slots stay carried.  For the flagship PSy schedule
+        # (every scratch slot written under the internal space only)
+        # this cuts per-step streaming from 8 read+write fields to 3
         # read+write + 5 read-only.
         seen_read, seen_written = set(), set()
+        write_masks: dict = {}
         for s in self._steps:
             for (kind, idx), a in zip(s["binding"], s["meta"].args):
                 if kind == "f" and _reads(a) and idx not in seen_written:
                     seen_read.add(idx)
-            for si, _mi in s["written"]:
+            for si, mi in s["written"]:
                 seen_written.add(si)
-        carried_slots = [si for si in written_set if si in seen_read]
+                write_masks.setdefault(si, set()).add(mi)
+        carried_slots = [si for si in written_set
+                         if si in seen_read or len(write_masks[si]) > 1]
         scratch_slots = [si for si in written_set
-                         if si not in seen_read]
+                         if si not in carried_slots]
         # plane layout: slot -> first plane index in the ro stream
         # (state/extra layouts are per sweep variant, in build_sweep)
         ro_start, n_ro_planes = {}, 0

@@ -433,6 +433,43 @@ def test_fused_program_scratch_slot_matches_jnp():
                                    rtol=1e-12, atol=1e-12)
 
 
+def test_fused_program_multi_mask_written_slot_is_carried():
+    """A written-before-read slot ALSO written under a SECOND
+    iteration-space mask (interior compute -> stencil read ->
+    whole-array BC write) must classify as CARRIED, not scratch: the
+    second mask's cells carry values across applications, which the
+    scratch background re-seed would silently lose (r5 review finding,
+    confirmed by repro before the fix)."""
+    from dl_esm_inf_tpu.api.kernel_meta import GO_ALL_PTS
+
+    @kernel(args=[go_arg(GO_READWRITE, GO_CT)],
+            iterates_over=GO_ALL_PTS, name="bc_fill_all")
+    def bc_fill(b):
+        return b * 0.5 + 21.0
+
+    @kernel(args=[go_arg(GO_READWRITE, GO_CT)], name="incr_int")
+    def incr(x):
+        return x + 1.0
+
+    def build(g):
+        a, b, c = fused_chain_fields(g)
+        return (a, b, c), Schedule(
+            (east_plus, b, a, 0.0),      # b: interior mask write
+            (east_plus, c, b, 0.0),      # stencil read of b
+            (bc_fill, b),                # b: SECOND (all-points) mask
+            (incr, a))                   # a feeds forward
+    g1, g2 = make_fused_grid(halo=8), make_fused_grid(halo=8)
+    f1, s1 = build(g1)
+    f2, s2 = build(g2)
+    for _ in range(3):
+        s1()
+    s2.fused_program(3, interpret=True)()
+    for x1, x2, nm in zip(f1, f2, "abc"):
+        np.testing.assert_allclose(x2.gather_inner_data(),
+                                   x1.gather_inner_data(),
+                                   rtol=1e-12, atol=1e-12, err_msg=nm)
+
+
 def test_fused_program_readwrite_first_touch_is_carried():
     """A slot whose FIRST touch is READWRITE reads its previous value:
     it must classify as carried, never scratch — a misclassification
